@@ -1,0 +1,268 @@
+"""Deduplication over the ``documents`` table — exact and near-dup.
+
+The training-data-pipeline dedup ladder:
+
+- :func:`exact_dedup` / :func:`dedup_keep_first` — hash-groupBy exact dedup.
+  One shuffle on the text hash; at 100 TB group on ``md5(text)`` (fixed
+  width) rather than the raw text to keep shuffle rows small.
+- :func:`ngram_jaccard_pairs` — exact word-3-gram Jaccard similarity pairs:
+  shingle → explode → self-equi-join on shingle → count common → filter.
+  The join is an equi-join on the shingle value, so Spark hash-partitions
+  both sides — no cross product; hot shingles are the skew risk at scale
+  (mitigate: drop ultra-frequent shingles, the standard "stopword shingle"
+  trick, before the join).
+- :func:`minhash_lsh_pairs` — MinHash+LSH: k=32 minhashes from one xxhash64
+  pass (affine rehash per function), banded 8×4; candidates from per-band
+  bucket joins, then *verified* with exact Jaccard so precision is exact and
+  only recall is approximate. This is the 100 TB path: candidate volume is
+  per-bucket quadratic instead of per-shingle quadratic.
+- :func:`simhash_fingerprints` — 64-bit SimHash per document (bit-majority
+  over token hashes), the constant-width fingerprint for hamming-distance
+  near-dup at scale.
+
+Oracle policy: exact ops have DuckDB oracles; MinHash/SimHash depend on
+xxhash64 (not reproducible in DuckDB) → rows-only driver check, with
+subset/equivalence assertions against the exact pairs in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Tables = dict[str, DataFrame]
+
+JACCARD_THRESHOLD = 0.3
+SHINGLE_WORDS = 3
+
+# MinHash parameters: k independent affine rehashes of one base hash.
+MINHASH_K = 32
+MINHASH_BANDS = 8  # 8 bands × 4 rows
+# Mersenne prime 2^31-1: keeps a*h+b < 2^62 so the affine rehash can't
+# overflow int64 under ANSI mode.
+_MERSENNE = (1 << 31) - 1
+
+
+def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (LCG-generated, no RNG imports)."""
+    out, state = [], 987654321
+    for _ in range(k):
+        state = (1103515245 * state + 12345) % (2**31)
+        a = state | 1
+        state = (1103515245 * state + 12345) % (2**31)
+        b = state
+        out.append((a, b))
+    return out
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """doc_id + distinct word-3-gram shingles (Catalyst higher-order fns)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    grams = ", ".join(f"ws[i + {j}]" for j in range(SHINGLE_WORDS))
+    sh = F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, size(ws) - {SHINGLE_WORDS}), "
+            f"i -> concat_ws(' ', {grams}))"
+        )
+    )
+    return (
+        df.select("doc_id", words.alias("ws"))
+        .where(F.size("ws") >= SHINGLE_WORDS)
+        .select("doc_id", sh.alias("shingles"))
+    )
+
+
+def _exploded_shingles(df: DataFrame) -> DataFrame:
+    return _shingles(df).select("doc_id", F.explode("shingles").alias("sh"))
+
+
+def exact_dedup(t: Tables) -> DataFrame:
+    """Exact duplicate groups: one row per distinct text."""
+    return (
+        t["documents"]
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def dedup_keep_first(t: Tables) -> DataFrame:
+    """Surviving doc ids after exact dedup (min doc_id per text)."""
+    return (
+        t["documents"]
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+def _jaccard_from_common(common, na, nb):
+    return F.round(common / (na + nb - common), 4)
+
+
+def ngram_jaccard_pairs(t: Tables) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs with similarity ≥ threshold."""
+    e = _exploded_shingles(t["documents"])
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ea = e.select(F.col("doc_id").alias("id_a"), "sh")
+    eb = e.select(F.col("doc_id").alias("id_b"), "sh")
+    common = (
+        ea.join(eb, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _jaccard_from_common(
+                F.col("common"), F.col("n_a"), F.col("n_b")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def minhash_signatures(t: Tables) -> DataFrame:
+    """k MinHash values per doc from one xxhash64 pass over shingles."""
+    e = _exploded_shingles(t["documents"])
+    base = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)).alias("h")
+    hashed = e.select("doc_id", base)
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(_minhash_coeffs(MINHASH_K))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(t: Tables) -> DataFrame:
+    """MinHash-LSH candidate pairs verified with exact Jaccard.
+
+    Banding: k/bands rows per band; docs sharing a band signature become
+    candidates. Verification re-computes exact Jaccard so every emitted pair
+    is a true ≥-threshold pair (output ⊆ ngram_jaccard_pairs).
+    """
+    sig = minhash_signatures(t)
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = [
+        F.xxhash64(
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(MINHASH_BANDS)
+    ]
+    sig = sig.select("doc_id", *bands)
+
+    cands = None
+    for b in range(MINHASH_BANDS):
+        a = sig.select(F.col("doc_id").alias("id_a"), F.col(f"band{b}").alias("bk"))
+        bb = sig.select(F.col("doc_id").alias("id_b"), F.col(f"band{b}").alias("bk"))
+        pair = a.join(bb, "bk").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+
+    e = _exploded_shingles(t["documents"])
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ea = e.select(F.col("doc_id").alias("id_a"), "sh")
+    eb = e.select(F.col("doc_id").alias("id_b"), "sh")
+    common = (
+        ea.join(eb, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+        .join(cands, ["id_a", "id_b"], "left_semi")
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _jaccard_from_common(
+                F.col("common"), F.col("n_a"), F.col("n_b")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def simhash_fingerprints(t: Tables) -> DataFrame:
+    """64-bit SimHash per document: bit-majority over token xxhash64 values.
+
+    Computed as 64 conditional-sum aggregates over the exploded token
+    stream — one shuffle on doc_id, all JVM-side.
+    """
+    tokens = t["documents"].select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    )
+    hashed = tokens.select("doc_id", F.xxhash64("w").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    summed = hashed.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return summed.select("doc_id", fp.alias("simhash"))
+
+
+_SHINGLE_DUCK = f"""
+    w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(ws) - {SHINGLE_WORDS - 1}),
+                   i -> {" || ' ' || ".join(f"ws[i + {j}]" for j in range(SHINGLE_WORDS))}
+                 )) AS shingles
+          FROM w WHERE len(ws) >= {SHINGLE_WORDS}),
+    e AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+    n AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+    p AS (SELECT e1.doc_id AS id_a, e2.doc_id AS id_b, count(*) AS common
+          FROM e e1 JOIN e e2 ON e1.sh = e2.sh
+          WHERE e1.doc_id < e2.doc_id GROUP BY 1, 2)
+"""
+
+ORACLES: dict[str, str] = {
+    "exact_dedup": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_keep_first": """
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH {_SHINGLE_DUCK}
+        SELECT id_a, id_b,
+               round(common * 1.0 / (na.n + nb.n - common), 4) AS jaccard
+        FROM p JOIN n na ON p.id_a = na.doc_id JOIN n nb ON p.id_b = nb.doc_id
+        WHERE round(common * 1.0 / (na.n + nb.n - common), 4) >= {JACCARD_THRESHOLD}
+    """,
+    # minhash_lsh_pairs / minhash_signatures / simhash_fingerprints:
+    # xxhash64-based — rows-only driver check; tests assert
+    # minhash_lsh_pairs ⊆ ngram_jaccard_pairs and high recall.
+}
+
+QUERIES = {
+    "exact_dedup": exact_dedup,
+    "dedup_keep_first": dedup_keep_first,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_fingerprints": simhash_fingerprints,
+}

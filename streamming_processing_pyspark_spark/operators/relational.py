@@ -1,0 +1,426 @@
+"""Relational operator surface — the SURVEY.md §2.10 gap list, Spark-first.
+
+The reference exercises only projections, filters, one self-join, and
+windowed counts; everything else a user would expect from an analytics
+engine (sorts/limits/top-k, semi/anti joins, set ops, rollup, analytic
+window functions, pivot, subqueries, scalar function library) is Catalyst
+built-ins to surface. Each query here is declared via the DataFrame API (or
+``spark.sql`` where SQL is clearer) and has a DuckDB oracle in ``ORACLES``.
+
+Scale notes per query are inline: broadcast hints on dimension tables keep
+the big fact-table scans shuffle-free where possible; multi-way joins order
+small-to-large so AQE can pick broadcast strategies at runtime.
+
+Float policy: aggregate outputs over double columns are rounded to 2
+decimals on BOTH sides (engine and oracle) so accumulation-order noise
+cannot flip the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Tables = dict[str, DataFrame]
+
+
+def q1_pricing_summary(t: Tables) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan → filter → 8-agg groupBy.
+
+    Catalyst plans partial+final HashAggregate with the shipdate filter and
+    the 7-column projection pushed into the parquet scan — at 100 TB this is
+    one pass over lineitem plus a tiny shuffle of partial aggregates.
+    """
+    li = t["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_top_orders(t: Tables) -> DataFrame:
+    """TPC-H Q3-style: 3-way join → group → top-10 by revenue.
+
+    customer is tiny relative to lineitem → explicit broadcast; orders joins
+    lineitem on the (high-cardinality, well-distributed) orderkey.
+    """
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = t["lineitem"].where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_nation_revenue(t: Tables) -> DataFrame:
+    """TPC-H Q5-style: 6-way star join → revenue per nation.
+
+    All dimension tables (region/nation/customer/supplier) broadcast; the
+    only shuffle on the fact side is lineitem↔orders on orderkey.
+    """
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def top_parts_per_brand(t: Tables) -> DataFrame:
+    """Top-3 parts by retail price per brand — rank window + filter."""
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        t["part"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+def customers_with_orders(t: Tables) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+def customers_without_orders(t: Tables) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def nation_keys_intersect(t: Tables) -> DataFrame:
+    """Set op: nations that have both customers and suppliers."""
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def nation_keys_except(t: Tables) -> DataFrame:
+    """Set op: nations with customers but no suppliers."""
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+def rollup_quantity(t: Tables) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — subtotals + grand total."""
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+def cube_quantity(t: Tables) -> DataFrame:
+    """CUBE over (returnflag, linestatus)."""
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+def orders_topk(t: Tables) -> DataFrame:
+    """Global top-10 by totalprice — Spark plans TakeOrderedAndProject
+    (per-partition heap + driver merge), no full sort at scale."""
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def avg_price_by_priority(t: Tables) -> DataFrame:
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def pivot_returnflag(t: Tables) -> DataFrame:
+    """Pivot: quantity sums per linestatus × returnflag.
+
+    Explicit pivot value list — at scale an un-listed pivot needs an extra
+    distinct-values job; listing values keeps it one pass.
+    """
+    return (
+        t["lineitem"]
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+def running_order_totals(t: Tables) -> DataFrame:
+    """Analytic window functions: running sum + rank per customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+    )
+
+
+def distinct_parts_per_flag(t: Tables) -> DataFrame:
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def big_spenders_sql(t: Tables) -> DataFrame:
+    """Correlated scalar subquery via the SQL API: orders above that
+    customer's average order value."""
+    spark = t["orders"].sparkSession
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (
+          SELECT avg(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+def scalar_functions_showcase(t: Tables) -> DataFrame:
+    """Scalar function library parity: date, string, math built-ins
+    (reference §2.7 uses hour/minute/split; this widens the surface)."""
+    o = t["orders"]
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.abs(F.col("o_totalprice") - 1000.0).alias("price_dev"),
+        F.when(F.col("o_totalprice") > 1000, "big").otherwise("small").alias("size_class"),
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "top_parts_per_brand": top_parts_per_brand,
+    "customers_with_orders": customers_with_orders,
+    "customers_without_orders": customers_without_orders,
+    "nation_keys_intersect": nation_keys_intersect,
+    "nation_keys_except": nation_keys_except,
+    "rollup_quantity": rollup_quantity,
+    "cube_quantity": cube_quantity,
+    "orders_topk": orders_topk,
+    "avg_price_by_priority": avg_price_by_priority,
+    "pivot_returnflag": pivot_returnflag,
+    "running_order_totals": running_order_totals,
+    "distinct_parts_per_flag": distinct_parts_per_flag,
+    "big_spenders": big_spenders_sql,
+    "scalar_functions_showcase": scalar_functions_showcase,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_top_orders": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q5_nation_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "top_parts_per_brand": """
+        SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INTEGER) AS rn FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (
+                   PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+                 ) AS rn
+          FROM part
+        ) WHERE rn <= 3
+    """,
+    "customers_with_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "nation_keys_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "nation_keys_except": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "rollup_quantity": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_quantity": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "orders_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "avg_price_by_priority": """
+        SELECT o_orderpriority, round(avg(o_totalprice), 2) AS avg_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "pivot_returnflag": """
+        SELECT l_linestatus,
+               round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+               round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+               round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        FROM lineitem GROUP BY l_linestatus
+    """,
+    "running_order_totals": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_total,
+               CAST(row_number() OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS INTEGER) AS order_seq,
+               round(lag(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ), 2) AS prev_price
+        FROM orders
+    """,
+    "distinct_parts_per_flag": """
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "big_spenders": """
+        SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (
+          SELECT avg(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+    """,
+    "scalar_functions_showcase": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(day(o_orderdate) AS INTEGER) AS order_day,
+               CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+               upper(o_orderpriority) AS prio_upper,
+               substring(o_orderpriority, 1, 1) AS prio_code,
+               CAST(length(o_orderstatus) AS INTEGER) AS status_len,
+               concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+               round(sqrt(o_totalprice), 4) AS price_sqrt,
+               CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+               abs(o_totalprice - 1000.0) AS price_dev,
+               CASE WHEN o_totalprice > 1000 THEN 'big' ELSE 'small' END AS size_class
+        FROM orders
+    """,
+}

@@ -1,0 +1,213 @@
+"""Similarity search over the ``embeddings`` table.
+
+Two tiers, per the scale brief:
+
+- :func:`cosine_topk` — brute-force cosine top-k against a query vector.
+  The query vector is a 1-row broadcast; the scan is a single pass with the
+  cosine computed in codegen (functions.vectors), and the top-k is
+  ``TakeOrderedAndProject`` (per-partition heaps, no global sort). This is
+  the exact baseline an IVF/LSH path must match.
+- :func:`embedding_near_dup_pairs` — all pairs with cosine ≥ threshold.
+  Locally a broadcast self-join; at 100 TB the same query runs over
+  LSH-bucketed candidates (see :func:`lsh_bucketed_pairs`), which prunes the
+  O(n²) candidate space to per-bucket blocks.
+- :func:`lsh_bucketed_pairs` — random-hyperplane (SimHash) LSH: sign-bit
+  signatures from deterministic hyperplanes, banded into buckets; candidate
+  pairs are generated per bucket and *verified* with the exact cosine, so
+  output ⊆ the brute-force pairs (approximate recall, exact precision).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine, dot, norm
+
+Tables = dict[str, DataFrame]
+
+QUERY_VEC_ID = 0
+TOPK = 10
+NEAR_DUP_THRESHOLD = 0.95
+
+
+def _with_cosine_to_query(t: Tables) -> DataFrame:
+    emb = t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    qvec = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec").alias("qvec")
+    )
+    # 1-row dimension → broadcast cross join, no shuffle of the big side
+    return emb.crossJoin(F.broadcast(qvec)).select(
+        "vec_id",
+        F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"),
+    )
+
+
+def cosine_topk(t: Tables) -> DataFrame:
+    """Brute-force cosine top-k (excluding the query vector itself)."""
+    return (
+        _with_cosine_to_query(t)
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )
+
+
+def embedding_near_dup_pairs(t: Tables) -> DataFrame:
+    """All embedding pairs with cosine ≥ 0.95 (exact, brute-force)."""
+    emb = t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (no RNG dependency:
+    digits of a fixed LCG so results are reproducible everywhere)."""
+    planes = []
+    state = 1234567
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            row.append((state / 2**31) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+N_PLANES = 16
+N_BANDS = 4  # 4 bands × 4 bits
+
+
+def lsh_bucketed_pairs(t: Tables, dim: int = 64) -> DataFrame:
+    """Random-hyperplane LSH near-dup: candidates per band-bucket, verified
+    with exact cosine. The scale path for `embedding_near_dup_pairs`."""
+    emb = t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    planes = _hyperplanes(dim, N_PLANES)
+    bits = [
+        F.when(dot(F.col("vec"), F.array(*[F.lit(v) for v in p])) >= 0, 1).otherwise(0)
+        for p in planes
+    ]
+    sig = emb.select("vec_id", "vec", F.array(*bits).alias("bits"))
+    bits_per_band = N_PLANES // N_BANDS
+    band_cols = []
+    for band in range(N_BANDS):
+        terms = None
+        for j in range(bits_per_band):
+            bit = F.col("bits")[band * bits_per_band + j] * (2**j)
+            terms = bit if terms is None else terms + bit
+        band_cols.append(terms.alias(f"band{band}"))
+    sig = sig.select("vec_id", "vec", *band_cols)
+
+    # candidates: same value in any band → union of per-band equi-joins
+    cands = None
+    for band in range(N_BANDS):
+        a = sig.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("vec").alias("vec_a"),
+            F.col(f"band{band}").alias("bk"),
+        )
+        b = sig.select(F.col("vec_id").alias("id_b"), F.col(f"band{band}").alias("bk"))
+        pair = a.join(b, ["bk"]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "vec_a")
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.dropDuplicates(["id_a", "id_b"]).drop("vec_a")
+
+    emb_a = t["embeddings"].select(
+        F.col("vec_id").alias("id_a"), as_double("embedding").alias("vec_a")
+    )
+    emb_b = t["embeddings"].select(
+        F.col("vec_id").alias("id_b"), as_double("embedding").alias("vec_b")
+    )
+    return (
+        cands.join(emb_a, "id_a")
+        .join(emb_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+    )
+
+
+def label_centroid_sim(t: Tables) -> DataFrame:
+    """Per-label mean vector and each vector's cosine to its label centroid —
+    an aggregation-over-arrays exercise (posexplode → per-dim mean →
+    re-assemble), all Catalyst built-ins."""
+    emb = t["embeddings"].select(
+        "vec_id", "label", F.posexplode(as_double("embedding")).alias("dim", "x")
+    )
+    centroid = (
+        emb.groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+    )
+    joined = emb.join(centroid, ["label", "dim"])
+    return (
+        joined.groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum(F.col("x") * F.col("cx"))
+                / (
+                    F.sqrt(F.sum(F.col("x") * F.col("x")))
+                    * F.sqrt(F.sum(F.col("cx") * F.col("cx")))
+                ),
+                6,
+            ).alias("centroid_sim")
+        )
+    )
+
+
+_COS_DUCK = (
+    "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
+)
+
+ORACLES: dict[str, str] = {
+    "cosine_topk": f"""
+        SELECT a.vec_id AS vec_id, {_COS_DUCK.replace('b.embedding', 'q.embedding')} AS cos_sim
+        FROM embeddings a,
+             (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE a.vec_id != {QUERY_VEC_ID}
+        ORDER BY cos_sim DESC, a.vec_id
+        LIMIT {TOPK}
+    """,
+    "embedding_near_dup_pairs": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_DUCK} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_DUCK} >= {NEAR_DUP_THRESHOLD}
+    """,
+    # lsh_bucketed_pairs: approximate (recall < 1) — rows-only check by design.
+    "label_centroid_sim": """
+        WITH e AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings
+        ), c AS (
+          SELECT label, dim, avg(x) AS cx FROM e GROUP BY label, dim
+        )
+        SELECT e.vec_id, e.label,
+               round(sum(e.x * c.cx) /
+                     (sqrt(sum(e.x * e.x)) * sqrt(sum(c.cx * c.cx))), 6)
+               AS centroid_sim
+        FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+        GROUP BY e.vec_id, e.label
+    """,
+}
+
+QUERIES = {
+    "cosine_topk": cosine_topk,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "lsh_bucketed_pairs": lsh_bucketed_pairs,
+    "label_centroid_sim": label_centroid_sim,
+}

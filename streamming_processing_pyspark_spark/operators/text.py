@@ -1,0 +1,153 @@
+"""Text-analysis queries over the ``documents`` table.
+
+The training-data-pipeline text surface: word counts (generalizing the
+reference's word count, ``Client.py:22-24``), token statistics, quality
+scoring, language ID, and document fingerprinting. All Catalyst-only — at
+100 TB these are one scan each with pushdown-friendly projections.
+
+Each query has a DuckDB oracle; the only systematic difference is Spark's
+0-based vs DuckDB's 1-based array lambda index, handled per side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    FINGERPRINT_MOD,
+    LANG_STOPWORDS,
+    alpha_ratio,
+    fingerprint,
+    lang_pick_expr,
+    lang_scores,
+    raw_tokens,
+    token_count,
+)
+
+Tables = dict[str, DataFrame]
+
+
+def word_counts(t: Tables) -> DataFrame:
+    """Global word count — the reference's word count as a batch op.
+
+    Split on single space with empties kept (reference Client.py:22
+    semantics); explode → groupBy → count is one shuffle with map-side
+    partial aggregation.
+    """
+    return (
+        t["documents"]
+        .select(F.explode(raw_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def token_stats(t: Tables) -> DataFrame:
+    """Per-document token statistics."""
+    return t["documents"].select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("text_len"),
+        F.round(F.length("text") / token_count("text"), 4).alias("avg_token_len"),
+    )
+
+
+def quality_scores(t: Tables) -> DataFrame:
+    """Heuristic quality scoring: alphabetic ratio × log token count."""
+    d = t["documents"]
+    return d.select(
+        "doc_id",
+        alpha_ratio("text").alias("alpha_ratio"),
+        token_count("text").alias("n_tokens"),
+        F.round(
+            alpha_ratio("text") * F.log(1 + token_count("text")), 4
+        ).alias("quality"),
+    )
+
+
+def lang_id(t: Tables) -> DataFrame:
+    """Stopword-hit language ID with deterministic tie-breaking."""
+    d = t["documents"].select("doc_id", "text", *lang_scores("text"))
+    return d.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}") for lang in LANG_STOPWORDS],
+        lang_pick_expr().alias("lang_guess"),
+    )
+
+
+def doc_fingerprints(t: Tables) -> DataFrame:
+    """Position-weighted polynomial fingerprint per document."""
+    return t["documents"].select(
+        "doc_id", fingerprint("text").alias("fingerprint")
+    )
+
+
+def _stopword_hits_duck(lang: str) -> str:
+    in_list = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        f"w -> w IN ({in_list}))) AS INTEGER) AS hits_{lang}"
+    )
+
+
+def _lang_case_duck() -> str:
+    langs = list(LANG_STOPWORDS)
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"hits_{lang} >= hits_{other}" for other in langs[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return f"CASE {' '.join(clauses)} ELSE '{langs[-1]}' END"
+
+
+_NTOK_DUCK = "CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)"
+_ALPHA_DUCK = (
+    "round(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text), 4)"
+)
+
+ORACLES: dict[str, str] = {
+    "word_counts": """
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+    """,
+    "token_stats": f"""
+        SELECT doc_id,
+               {_NTOK_DUCK} AS n_tokens,
+               CAST(length(text) AS INTEGER) AS text_len,
+               round(length(text) * 1.0 / {_NTOK_DUCK}, 4) AS avg_token_len
+        FROM documents
+    """,
+    "quality_scores": f"""
+        SELECT doc_id,
+               {_ALPHA_DUCK} AS alpha_ratio,
+               {_NTOK_DUCK} AS n_tokens,
+               round({_ALPHA_DUCK} * ln(1 + {_NTOK_DUCK}), 4) AS quality
+        FROM documents
+    """,
+    "lang_id": f"""
+        SELECT doc_id, {', '.join(f'hits_{lang}' for lang in LANG_STOPWORDS)},
+               {_lang_case_duck()} AS lang_guess
+        FROM (SELECT doc_id,
+              {', '.join(_stopword_hits_duck(lang) for lang in LANG_STOPWORDS)}
+              FROM documents)
+    """,
+    "doc_fingerprints": f"""
+        SELECT doc_id,
+               CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                 (w, i) -> CAST(i AS BIGINT) *
+                   (31 * length(w) + coalesce(ascii(substring(w, 1, 1)), 0))))
+               % {FINGERPRINT_MOD} AS BIGINT) AS fingerprint
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "word_counts": word_counts,
+    "token_stats": token_stats,
+    "quality_scores": quality_scores,
+    "lang_id": lang_id,
+    "doc_fingerprints": doc_fingerprints,
+}
