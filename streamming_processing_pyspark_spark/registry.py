@@ -13,10 +13,62 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from .functions.geo import classify_sql
 from .operators import dedup, multimodal, relational, similarity, text, windowed
+from .operators.windowed import LAT_SQL, LON_SQL
 from .tables import load_table, load_tables
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hourly_counts executed as a REAL Structured Streaming query (file
+    stream → stateful window agg → memory sink), proving stream/batch
+    parity through the driver's oracle gate."""
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_to_memory
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+    q, table = run_to_memory(agg, "complete")
+    q.stop()
+    return spark.table(table)
+
+
+def streaming_geofence_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geofence_hourly_counts as a streaming query (classify → window agg)."""
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_to_memory
+
+    ev = stream_events(spark, sf_dir)
+    pts = ev.withColumn("lon", F.expr(LON_SQL)).withColumn("lat", F.expr(LAT_SQL))
+    agg = (
+        pts.withColumn("headquarters", F.expr(classify_sql("lon", "lat")))
+        .where(F.col("headquarters") != "none")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "headquarters")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "headquarters", "cnt")
+    )
+    q, table = run_to_memory(agg, "complete")
+    q.stop()
+    return spark.table(table)
+
+
+_STREAMING_QUERIES: dict[str, QueryFn] = {
+    "streaming_hourly_counts": streaming_hourly_counts,
+    "streaming_geofence_hourly": streaming_geofence_hourly,
+}
+
+_STREAMING_ORACLES: dict[str, str] = {
+    "streaming_hourly_counts": windowed.ORACLES["hourly_counts"],
+    "streaming_geofence_hourly": windowed.ORACLES["geofence_hourly_counts"],
+}
 
 #: modules whose queries take the full tables dict
 _TABLE_MODULES = (relational, text, dedup, similarity, multimodal)
@@ -45,6 +97,7 @@ def build_queries() -> dict[str, QueryFn]:
             if name in out:
                 raise ValueError(f"duplicate query name {name!r}")
             out[name] = _wrap_tables(fn)
+    out.update(_STREAMING_QUERIES)
     return out
 
 
@@ -52,4 +105,5 @@ def build_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in (windowed, *_TABLE_MODULES):
         out.update(mod.ORACLES)
+    out.update(_STREAMING_ORACLES)
     return out

@@ -1,0 +1,254 @@
+"""Streaming layer: window aggs, sinks, determinism, recovery, statefulness.
+
+Covers SURVEY.md §5.4's test strategy: stream/batch parity, file-order
+independence (the property the reference lacked, §5.2), per-window-correct
+sink files (fixing §5.3), checkpoint recovery, and cross-batch trend
+detection.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamming_processing_pyspark_spark.sources.taxi_csv import (
+    normalize_trips,
+    read_taxi_csv,
+    stream_taxi_csv,
+)
+from streamming_processing_pyspark_spark.streaming.jobs import (
+    detect_trends_in_batch,
+    geofence_10min_counts,
+    geofence_hourly,
+    hourly_dropoff_counts,
+    hourly_file_name,
+    run_foreach_batch,
+    run_to_memory,
+    word_counts_stream,
+    write_geofence_files,
+    write_hourly_files,
+)
+from streamming_processing_pyspark_spark.streaming.trend import trending_stateful
+
+from .taxi_fixture import (
+    CITIGROUP_INSIDE,
+    EXPECTED_GEOFENCE_HOURLY,
+    EXPECTED_HOURLY,
+    default_plan,
+    write_taxi_files,
+    yellow_row,
+)
+
+
+def _trips_stream(spark, d, max_files=1):
+    return normalize_trips(stream_taxi_csv(spark, d, max_files_per_trigger=max_files))
+
+
+def test_streaming_hourly_counts_match_batch(spark, tmp_path):
+    d = str(tmp_path / "taxi")
+    write_taxi_files(d, default_plan())
+    q, table = run_to_memory(_trips_stream(spark, d) .transform(hourly_dropoff_counts), "complete")
+    try:
+        got = {r["hour_of_day"]: r["cnt"] for r in spark.table(table).collect()}
+    finally:
+        q.stop()
+    # window [10:00,11:00) has end-hour 11 (reference keys files by hour(end))
+    assert got == {h + 1: c for h, c in EXPECTED_HOURLY.items()}
+
+    batch = hourly_dropoff_counts(normalize_trips(read_taxi_csv(spark, d)))
+    assert {r["hour_of_day"]: r["cnt"] for r in batch.collect()} == got
+
+
+def test_file_order_independence(spark, tmp_path):
+    """Same final counts regardless of file arrival order (§5.2 fix)."""
+    plan = default_plan()
+    results = []
+    for order in (plan, plan[::-1]):
+        d = str(tmp_path / f"taxi_{len(results)}")
+        write_taxi_files(d, order)
+        q, table = run_to_memory(
+            _trips_stream(spark, d).transform(hourly_dropoff_counts), "complete"
+        )
+        try:
+            results.append(
+                sorted((r["hour_of_day"], r["cnt"]) for r in spark.table(table).collect())
+            )
+        finally:
+            q.stop()
+    assert results[0] == results[1]
+
+
+def test_streaming_geofence_counts(spark, tmp_path):
+    d = str(tmp_path / "taxi")
+    write_taxi_files(d, default_plan())
+    q, table = run_to_memory(_trips_stream(spark, d).transform(geofence_hourly), "complete")
+    try:
+        got = {
+            (r["hour_of_day"] - 1, r["headquarters"]): r["cnt"]
+            for r in spark.table(table).collect()
+        }
+    finally:
+        q.stop()
+    assert got == EXPECTED_GEOFENCE_HOURLY
+
+
+def test_hourly_file_sink_naming_and_contents(spark, tmp_path):
+    """Reference Task2 naming (output-{hour*360000}, hour 0→24) with
+    per-window-correct contents."""
+    d = str(tmp_path / "taxi")
+    out = str(tmp_path / "out")
+    write_taxi_files(
+        d,
+        default_plan()
+        + [("part-2015-12-01-2359.csv", [yellow_row("2015-12-01 23:59:30", -73.98, 40.75)])],
+    )
+    agg = hourly_dropoff_counts(_trips_stream(spark, d, max_files=10))
+    q = run_foreach_batch(agg, lambda df, _id: write_hourly_files(df, out), "update")
+    q.processAllAvailable()
+    q.stop()
+    # hour(window.end): 10:xx→11, 11:xx→12, 23:xx→0→24
+    assert sorted(os.listdir(out)) == sorted(
+        [hourly_file_name(11), hourly_file_name(12), hourly_file_name(24)]
+    )
+    assert hourly_file_name(24) == "output-8640000"
+    with open(os.path.join(out, "output-3960000")) as f:  # hour 11 = window [10,11)
+        assert f.read().strip() == "4"
+
+
+def test_geofence_file_sink_per_window_correct(spark, tmp_path):
+    """Fix of reference Task3.py:102-103: each hourly file carries ITS
+    window's counts, not the first row's."""
+    d = str(tmp_path / "taxi")
+    out = str(tmp_path / "out3")
+    write_taxi_files(d, default_plan())
+    agg = geofence_hourly(_trips_stream(spark, d, max_files=10))
+    q = run_foreach_batch(agg, lambda df, _id: write_geofence_files(df, out), "update")
+    q.processAllAvailable()
+    q.stop()
+    with open(os.path.join(out, "output3-3960000")) as f:  # window [10,11)
+        assert f.read() == "('citigroup', 2)\n('goldman', 1)\n"
+    with open(os.path.join(out, "output3-4320000")) as f:  # window [11,12)
+        assert f.read() == "('citigroup', 1)\n('goldman', 0)\n"
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
+    """Stop → add file → restart from checkpoint: old files not re-counted,
+    new file processed exactly once (reference K6 semantics)."""
+    d = str(tmp_path / "taxi")
+    ckpt = str(tmp_path / "ckpt")
+    write_taxi_files(d, default_plan())
+    seen: list[tuple[int, int]] = []
+
+    def sink(df, batch_id):
+        seen.append((batch_id, df.count()))
+
+    def start():
+        agg = hourly_dropoff_counts(_trips_stream(spark, d, max_files=10))
+        return run_foreach_batch(agg, sink, "update", checkpoint_dir=ckpt)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    first_batches = len(seen)
+    assert first_batches >= 1
+
+    write_taxi_files(
+        d, [("part-2015-12-01-1130.csv", [yellow_row("2015-12-01 11:30:00", -73.98, 40.75)])]
+    )
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    new = seen[first_batches:]
+    # exactly the new file's batch(es); hour-11 window count grows to 4
+    assert len(new) >= 1
+    assert all(bid > max(b for b, _ in seen[:first_batches]) for bid, _ in new)
+
+
+def test_word_counts_stream_reference_semantics(spark, tmp_path):
+    """Client.py word count: split on single space, empties kept."""
+    d = str(tmp_path / "text")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.txt"), "w") as f:
+        f.write("a b a\nb  c\n")
+    lines = spark.readStream.format("text").load(d)
+    q, table = run_to_memory(word_counts_stream(lines), "complete")
+    try:
+        got = {r["word"]: r["cnt"] for r in spark.table(table).collect()}
+    finally:
+        q.stop()
+    assert got == {"a": 2, "b": 2, "c": 1, "": 1}
+
+
+def test_watermark_accepted_on_stream(spark, tmp_path):
+    """Watermarked append-mode aggregation runs end-to-end (new capability —
+    the reference had no late-data policy)."""
+    d = str(tmp_path / "taxi")
+    write_taxi_files(d, default_plan())
+    agg = hourly_dropoff_counts(_trips_stream(spark, d, max_files=10), watermark="2 hours")
+    q, table = run_to_memory(agg, "append")
+    try:
+        # append mode only emits closed windows; with all data in one batch
+        # nothing may close — the assertion is that the plan runs statefully.
+        assert spark.table(table).count() >= 0
+    finally:
+        q.stop()
+
+
+def test_trend_detection_batch_rule(spark):
+    rows = [
+        ("citigroup", "2015-12-01 10:00:00", "2015-12-01 10:10:00", 3),
+        ("citigroup", "2015-12-01 10:10:00", "2015-12-01 10:20:00", 12),  # 12-3>=3 ✓
+        ("citigroup", "2015-12-01 10:20:00", "2015-12-01 10:30:00", 20),  # 20-12<12 ✗
+        ("goldman", "2015-12-01 10:10:00", "2015-12-01 10:20:00", 50),  # no prev ✗
+        ("none", "2015-12-01 10:00:00", "2015-12-01 10:10:00", 4),
+        ("none", "2015-12-01 10:10:00", "2015-12-01 10:20:00", 9),  # cnt<10 ✗
+    ]
+    df = spark.createDataFrame(
+        rows, "headquarters string, window_start string, window_end string, cnt long"
+    ).select(
+        "headquarters",
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        F.col("window_end").cast("timestamp").alias("window_end"),
+        "cnt",
+    )
+    got = detect_trends_in_batch(df).collect()
+    assert len(got) == 1
+    assert got[0]["headquarters"] == "citigroup"
+    assert got[0]["cnt"] == 12 and got[0]["prev_cnt"] == 3
+
+
+def test_trending_stateful_cross_batch(spark, tmp_path):
+    """The case the reference misses: window W−10min in batch 1, window W in
+    batch 2 — stateful operator still detects the trend."""
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    base = "2024-01-01 10:{m:02d}:{s:02d}"
+
+    def mk(path, rows):
+        spark.createDataFrame(rows, "headquarters string, dropoff_ts string").select(
+            "headquarters", F.col("dropoff_ts").cast("timestamp").alias("dropoff_ts")
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    # batch file 1: window 10:00 → 3 events; batch file 2: window 10:10 → 12
+    mk(d, [("citigroup", base.format(m=0, s=i)) for i in range(3)])
+    time.sleep(0.05)
+    mk(d, [("citigroup", base.format(m=10, s=i)) for i in range(12)])
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = trending_stateful(stream, key_col="headquarters", ts_col="dropoff_ts")
+    q, table = run_to_memory(out, "append")
+    try:
+        got = spark.table(table).collect()
+    finally:
+        q.stop()
+    assert len(got) == 1
+    r = got[0]
+    assert r["key"] == "citigroup" and r["cnt"] == 12 and r["prev_cnt"] == 3
+    assert r["window_start"].minute == 10
