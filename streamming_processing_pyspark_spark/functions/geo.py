@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
+
 Polygon = Sequence[Sequence[float]]  # [[lon, lat], ...]
 
 # Reference geofences (reference Task3.py:45-46, Task4.py:55-56).
@@ -113,7 +115,6 @@ def classify_points_pandas_udf(polygons: dict[str, Polygon] | None = None):
     Arrow batch is classified with numpy — no per-row Python, no per-row
     polygon construction (contrast reference Task3.py:58).
     """
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

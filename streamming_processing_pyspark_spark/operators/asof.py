@@ -1,0 +1,116 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+Implemented as cogrouped ``applyInPandas``: both sides hash-partition on the
+equi-key, and each key's group pair is merged with ``pd.merge_asof`` (sorted
+backward search) inside an Arrow batch. This is the scale-correct shape —
+one shuffle per side on the join key, then per-key linear merge; no range
+cross-product ever materializes. (Guide: "As-of / range join" pattern,
+/opt/skills/guides/pyspark_guide.md.)
+
+The DuckDB oracle uses its native ``ASOF JOIN``. To keep both engines
+deterministic the right side is first deduplicated to one row per
+(key, time) — max o_orderkey wins — since as-of tie-breaking between equal
+timestamps is otherwise engine-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Tables = dict[str, DataFrame]
+
+ASOF_OUTPUT_SCHEMA = (
+    "event_id bigint, user_id bigint, ts timestamp, "
+    "o_orderkey bigint, o_orderdate timestamp"
+)
+
+
+def _dedup_orders(orders: DataFrame) -> DataFrame:
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    schema: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` within the same key. Inner semantics
+    (unmatched left rows drop)."""
+
+    def merge(lpdf, rpdf):
+        import pandas as pd
+
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            cols = list(lpdf.columns) + right_cols
+            return pd.DataFrame(columns=cols)
+        lpdf = lpdf.sort_values(left_time)
+        rpdf = rpdf.sort_values(right_time)
+        lpdf[left_time] = lpdf[left_time].astype("datetime64[us]")
+        rpdf = rpdf.assign(**{right_time: rpdf[right_time].astype("datetime64[us]")})
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf[[right_time, *[c for c in right_cols if c != right_time]]],
+            left_on=left_time,
+            right_on=right_time,
+            direction="backward",
+        )
+        matched = merged.dropna(subset=[c for c in right_cols if c != right_time])
+        return matched[list(lpdf.columns) + right_cols]
+
+    return (
+        left.groupBy(left_key)
+        .cogroup(right.groupBy(right_key))
+        .applyInPandas(merge, schema=schema)
+    )
+
+
+def asof_latest_order(t: Tables) -> DataFrame:
+    """Each event joined to the user's most recent order at event time."""
+    ev = t["events"].select("event_id", "user_id", "ts")
+    orders = _dedup_orders(t["orders"]).withColumnRenamed("o_custkey", "user_id")
+    return asof_join(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        schema=ASOF_OUTPUT_SCHEMA,
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+
+
+ORACLES: dict[str, str] = {
+    "asof_latest_order": """
+        WITH o AS (
+          SELECT o_custkey, o_orderdate, o_orderkey FROM (
+            SELECT o_custkey, o_orderdate, o_orderkey,
+                   row_number() OVER (
+                     PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+                   ) AS rn
+            FROM orders
+          ) WHERE rn = 1
+        )
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+        FROM events e
+        ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+}
+
+QUERIES = {
+    "asof_latest_order": asof_latest_order,
+}

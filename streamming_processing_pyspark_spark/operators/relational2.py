@@ -1,0 +1,260 @@
+"""Advanced relational surface: JSON, sessionization, stats, quantiles,
+outer joins, range joins, grouping sets, analytic functions.
+
+Second tranche of the SURVEY.md §2.10 gap list. Everything Catalyst-only;
+DuckDB oracles mirror semantics exactly (types normalized per side where the
+engines' native widths differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Tables = dict[str, DataFrame]
+
+SESSION_GAP_SECONDS = 1800
+
+
+def json_extract_props(t: Tables) -> DataFrame:
+    """JSON path extraction over the events.props payload column."""
+    return t["events"].select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+def sessionize_events(t: Tables) -> DataFrame:
+    """Gap-based sessionization: a >30-min silence starts a new session.
+
+    lag → gap flag → running sum (the classic one-shuffle sessionizer;
+    at scale this is one hash-shuffle on user_id plus a per-key sort,
+    exactly what Catalyst plans for the window spec).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        > SESSION_GAP_SECONDS
+    )
+    ev = t["events"].withColumn(
+        "new_session", F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    )
+    ev = ev.withColumn("session_id", F.sum("new_session").over(frame))
+    return ev.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def stats_by_type(t: Tables) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation."""
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+            F.round(F.var_samp("value"), 4).alias("var_value"),
+            F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias(
+                "corr_value_user"
+            ),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
+
+
+def percentiles_by_type(t: Tables) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == quantile_cont)."""
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+        )
+    )
+
+
+def mode_value_by_type(t: Tables) -> DataFrame:
+    """Deterministic mode: most frequent value, smallest value wins ties
+    (built from count + rank so both engines agree bit-for-bit)."""
+    counts = t["events"].groupBy("event_type", "value").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("value"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("value").alias("mode_value"), F.col("n").alias("mode_n"))
+    )
+
+
+def full_outer_nation_counts(t: Tables) -> DataFrame:
+    """Full outer join of two aggregates (nations with customers and/or
+    suppliers), null-preserving."""
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_cust")
+    )
+    s = t["supplier"].groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select("nationkey", "n_cust", "n_supp")
+    )
+
+
+def range_join_value_buckets(t: Tables) -> DataFrame:
+    """Range (theta) join against a small bucket dimension — broadcast so
+    the fact side never shuffles; the predicate is lo <= v < hi."""
+    spark = t["events"].sparkSession
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 1e9)],
+        "bucket string, lo double, hi double",
+    )
+    return (
+        t["events"]
+        .join(
+            F.broadcast(buckets),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def grouping_sets_qty(t: Tables) -> DataFrame:
+    """GROUPING SETS via the SQL API."""
+    spark = t["lineitem"].sparkSession
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def analytic_functions_showcase(t: Tables) -> DataFrame:
+    """Ranking / distribution / frame-based window functions."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.first("o_orderkey").over(full).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "json_extract_props": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        FROM events
+    """,
+    "sessionize_events": f"""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SECONDS}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM numbered GROUP BY user_id, session_id
+    """,
+    "stats_by_type": """
+        SELECT event_type,
+               round(avg(value), 4) AS avg_value,
+               round(stddev_samp(value), 4) AS stddev_value,
+               round(var_samp(value), 4) AS var_value,
+               round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    "percentiles_by_type": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 4) AS p25,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.75), 4) AS p75
+        FROM events GROUP BY event_type
+    """,
+    "mode_value_by_type": """
+        SELECT event_type, value AS mode_value, n AS mode_n FROM (
+          SELECT event_type, value, count(*) AS n,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY count(*) DESC, value
+                 ) AS rn
+          FROM events GROUP BY event_type, value
+        ) WHERE rn = 1
+    """,
+    "full_outer_nation_counts": """
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+               c.n_cust AS n_cust, s.n_supp AS n_supp
+        FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+              FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+              FROM supplier GROUP BY 1) s
+        USING (nationkey)
+    """,
+    "range_join_value_buckets": """
+        WITH buckets(bucket, lo, hi) AS (
+          VALUES ('low', 0.0, 50.0), ('mid', 50.0, 120.0), ('high', 120.0, 1e9)
+        )
+        SELECT bucket, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events JOIN buckets ON value >= lo AND value < hi
+        GROUP BY bucket
+    """,
+    "grouping_sets_qty": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "analytic_functions_showcase": """
+        SELECT o_custkey, o_orderkey,
+               CAST(dense_rank() OVER w AS INTEGER) AS drank,
+               round(percent_rank() OVER w, 6) AS prank,
+               round(cume_dist() OVER w, 6) AS cdist,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(lead(o_totalprice) OVER w, 2) AS next_price,
+               first_value(o_orderkey) OVER wf AS first_order,
+               last_value(o_orderkey) OVER wf AS last_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+}
+
+QUERIES = {
+    "json_extract_props": json_extract_props,
+    "sessionize_events": sessionize_events,
+    "stats_by_type": stats_by_type,
+    "percentiles_by_type": percentiles_by_type,
+    "mode_value_by_type": mode_value_by_type,
+    "full_outer_nation_counts": full_outer_nation_counts,
+    "range_join_value_buckets": range_join_value_buckets,
+    "grouping_sets_qty": grouping_sets_qty,
+    "analytic_functions_showcase": analytic_functions_showcase,
+}

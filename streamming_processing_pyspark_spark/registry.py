@@ -16,7 +16,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.geo import classify_sql
-from .operators import dedup, multimodal, relational, similarity, text, windowed
+from .operators import (
+    asof,
+    dedup,
+    multimodal,
+    relational,
+    relational2,
+    similarity,
+    text,
+    windowed,
+)
 from .operators.windowed import LAT_SQL, LON_SQL
 from .tables import load_table, load_tables
 
@@ -71,7 +80,7 @@ _STREAMING_ORACLES: dict[str, str] = {
 }
 
 #: modules whose queries take the full tables dict
-_TABLE_MODULES = (relational, text, dedup, similarity, multimodal)
+_TABLE_MODULES = (relational, relational2, asof, text, dedup, similarity, multimodal)
 
 
 def _wrap_events(fn):

@@ -1,0 +1,76 @@
+"""Plan-quality gates: the 100 TB posture, asserted on the physical plan.
+
+Each test pins a property that matters at 1000-executor scale: filters
+reach the parquet scan, scans prune columns, dimension joins broadcast,
+relational pipelines stay JVM-side, aggregations combine map-side, global
+top-k avoids a full sort.
+"""
+
+from __future__ import annotations
+
+from streamming_processing_pyspark_spark.operators import relational, windowed
+from streamming_processing_pyspark_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_python_eval,
+    assert_partial_aggregation,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    assert_top_k_plan,
+    assert_whole_stage_codegen,
+)
+from streamming_processing_pyspark_spark.tables import load_table, load_tables
+
+from .conftest import SF_DIR
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    t = load_tables(spark, SF_DIR)
+    df = relational.q1_pricing_summary(t)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_read_schema_only(
+        df,
+        "lineitem",
+        {
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        },
+    )
+    assert_partial_aggregation(df)
+    assert_whole_stage_codegen(df)
+
+
+def test_q5_broadcasts_dimensions(spark):
+    t = load_tables(spark, SF_DIR)
+    df = relational.q5_nation_revenue(t)
+    # customer, supplier, nation, region all broadcast
+    assert_broadcast_join(df, min_count=4)
+
+
+def test_geofence_stays_jvm_side(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    df = windowed.geofence_hourly_counts(ev)
+    assert_no_python_eval(df)
+    assert_whole_stage_codegen(df)
+
+
+def test_hourly_counts_partial_agg_and_pruning(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    df = windowed.hourly_counts(ev)
+    assert_partial_aggregation(df)
+    assert_read_schema_only(df, "events", {"ts"})
+
+
+def test_orders_topk_avoids_full_sort(spark):
+    t = load_tables(spark, SF_DIR)
+    assert_top_k_plan(relational.orders_topk(t))
+
+
+def test_q3_broadcasts_customer(spark):
+    t = load_tables(spark, SF_DIR)
+    assert_broadcast_join(relational.q3_top_orders(t), min_count=1)
+    assert_pushed_filter(relational.q3_top_orders(t), "l_shipdate")
