@@ -138,6 +138,26 @@ def grouping_sets_qty(t: Tables) -> DataFrame:
     )
 
 
+def session_window_counts(t: Tables) -> DataFrame:
+    """Native session windows (gap-close semantics: end = last event + gap).
+
+    ``F.session_window`` works in batch and streaming alike; the oracle
+    reproduces the merge rule with a lag/cumsum sessionizer (new session
+    when the gap is ≥ the timeout).
+    """
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def analytic_functions_showcase(t: Tables) -> DataFrame:
     """Ranking / distribution / frame-based window functions."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -231,6 +251,26 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
+    "session_window_counts": """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) AS sid
+          FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM numbered GROUP BY user_id, sid
+    """,
     "analytic_functions_showcase": """
         SELECT o_custkey, o_orderkey,
                CAST(dense_rank() OVER w AS INTEGER) AS drank,
@@ -256,5 +296,6 @@ QUERIES = {
     "full_outer_nation_counts": full_outer_nation_counts,
     "range_join_value_buckets": range_join_value_buckets,
     "grouping_sets_qty": grouping_sets_qty,
+    "session_window_counts": session_window_counts,
     "analytic_functions_showcase": analytic_functions_showcase,
 }

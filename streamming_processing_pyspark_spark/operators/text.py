@@ -83,6 +83,23 @@ def doc_fingerprints(t: Tables) -> DataFrame:
     )
 
 
+def array_functions_showcase(t: Tables) -> DataFrame:
+    """Array function library parity: size/distinct/element_at/min/slice/
+    join/contains over the tokenized documents."""
+    ws = F.split(F.trim("text"), r"\s+")
+    d = t["documents"].select("doc_id", ws.alias("ws"))
+    return d.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct_words"),
+        F.element_at("ws", 1).alias("first_word"),
+        F.element_at("ws", -1).alias("last_word"),
+        F.array_min("ws").alias("min_word"),
+        F.array_join(F.slice("ws", 1, 3), " ").alias("first3"),
+        F.array_contains("ws", "the").alias("has_the"),
+    )
+
+
 def _stopword_hits_duck(lang: str) -> str:
     in_list = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
     return (
@@ -134,6 +151,21 @@ ORACLES: dict[str, str] = {
               {', '.join(_stopword_hits_duck(lang) for lang in LANG_STOPWORDS)}
               FROM documents)
     """,
+    "array_functions_showcase": """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(ws) AS INTEGER) AS n_words,
+               CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct_words,
+               ws[1] AS first_word,
+               ws[-1] AS last_word,
+               list_aggregate(ws, 'min') AS min_word,
+               array_to_string(ws[1:3], ' ') AS first3,
+               list_contains(ws, 'the') AS has_the
+        FROM w
+    """,
     "doc_fingerprints": f"""
         SELECT doc_id,
                CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
@@ -150,4 +182,5 @@ QUERIES = {
     "quality_scores": quality_scores,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
+    "array_functions_showcase": array_functions_showcase,
 }

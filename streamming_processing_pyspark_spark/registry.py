@@ -24,6 +24,7 @@ from .operators import (
     relational2,
     similarity,
     text,
+    udtf,
     windowed,
 )
 from .operators.windowed import LAT_SQL, LON_SQL
@@ -80,7 +81,16 @@ _STREAMING_ORACLES: dict[str, str] = {
 }
 
 #: modules whose queries take the full tables dict
-_TABLE_MODULES = (relational, relational2, asof, text, dedup, similarity, multimodal)
+_TABLE_MODULES = (
+    relational,
+    relational2,
+    asof,
+    text,
+    udtf,
+    dedup,
+    similarity,
+    multimodal,
+)
 
 
 def _wrap_events(fn):

@@ -198,6 +198,106 @@ def test_watermark_accepted_on_stream(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_dropduplicates(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicates) across micro-batches — the
+    stream-side of the dedup ladder (gap list §2.10)."""
+    d = str(tmp_path / "dups")
+    for i, ids in enumerate([[1, 2, 3], [2, 3, 4]]):
+        spark.createDataFrame(
+            [(j, f"payload{j}") for j in ids], "event_id long, payload string"
+        ).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(0.05)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    q, table = run_to_memory(stream.dropDuplicates(["event_id"]), "append")
+    try:
+        got = sorted(r["event_id"] for r in spark.table(table).collect())
+    finally:
+        q.stop()
+    assert got == [1, 2, 3, 4]
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream interval join (gap list §2.10)."""
+    imps_d, clicks_d = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:05:00")],
+        "ad_id long, imp_ts string",
+    ).select("ad_id", F.col("imp_ts").cast("timestamp").alias("imp_ts")).coalesce(
+        1
+    ).write.parquet(imps_d)
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:20:00"), (2, "2024-01-01 12:00:00")],  # 2 too late
+        "ad_id long, click_ts string",
+    ).select("ad_id", F.col("click_ts").cast("timestamp").alias("click_ts")).coalesce(
+        1
+    ).write.parquet(clicks_d)
+
+    imps = (
+        spark.readStream.schema(spark.read.parquet(imps_d).schema)
+        .parquet(imps_d)
+        .withWatermark("imp_ts", "1 hour")
+    )
+    clicks = (
+        spark.readStream.schema(spark.read.parquet(clicks_d).schema)
+        .parquet(clicks_d)
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = imps.join(
+        clicks,
+        (imps.ad_id == clicks.ad_id)
+        & (clicks.click_ts >= imps.imp_ts)
+        & (clicks.click_ts <= imps.imp_ts + F.expr("INTERVAL 1 HOUR")),
+    ).select(imps.ad_id, "imp_ts", "click_ts")
+    q, table = run_to_memory(joined, "append")
+    try:
+        got = [r["ad_id"] for r in spark.table(table).collect()]
+    finally:
+        q.stop()
+    assert got == [1]
+
+
+def test_socket_word_count_live(spark):
+    """Client.py end-to-end: a real TCP server feeding the socket source."""
+    import socket
+    import threading
+
+    from streamming_processing_pyspark_spark.sources.streams import socket_lines
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(b"spark streams words\nspark counts words\n")
+        stop.wait(timeout=30)
+        conn.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    lines = socket_lines(spark, host="127.0.0.1", port=port)
+    q, table = run_to_memory(word_counts_stream(lines), "complete")
+    try:
+        deadline = time.time() + 30
+        got = {}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {r["word"]: r["cnt"] for r in spark.table(table).collect()}
+            if got.get("words") == 2:
+                break
+            time.sleep(0.5)
+        assert got.get("spark") == 2 and got.get("words") == 2
+        assert got.get("streams") == 1 and got.get("counts") == 1
+    finally:
+        stop.set()
+        q.stop()
+        srv.close()
+
+
 def test_trend_detection_batch_rule(spark):
     rows = [
         ("citigroup", "2015-12-01 10:00:00", "2015-12-01 10:10:00", 3),
