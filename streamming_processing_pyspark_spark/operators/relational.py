@@ -100,6 +100,84 @@ def q5_nation_revenue(t: Tables) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(t: Tables) -> DataFrame:
+    """TPC-H Q6-style: pure scan-filter-sum — the pushdown stress test
+    (every predicate must reach the parquet scan; see tests/test_plans.py)."""
+    li = t["lineitem"]
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q10_returned_items(t: Tables) -> DataFrame:
+    """TPC-H Q10-style: revenue lost to returns per customer, top 20."""
+    return (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(t: Tables) -> DataFrame:
+    """TPC-H Q14-style: promo revenue share — conditional aggregation over a
+    broadcast part join."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .where(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .where(F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0))
+                / F.sum(disc_price),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def q18_large_orders(t: Tables) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds a threshold —
+    aggregate, semi-filter, re-join."""
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "sum_qty")
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
 def top_parts_per_brand(t: Tables) -> DataFrame:
     """Top-3 parts by retail price per brand — rank window + filter."""
     w = Window.partitionBy("p_brand").orderBy(
@@ -268,6 +346,10 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
     "top_parts_per_brand": top_parts_per_brand,
     "customers_with_orders": customers_with_orders,
     "customers_without_orders": customers_without_orders,
@@ -324,6 +406,47 @@ ORACLES: dict[str, str] = {
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY n_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q14_promo_revenue": """
+        SELECT round(100.0 *
+                 sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+                 sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+    "q18_large_orders": """
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, sum_qty
+        FROM (
+          SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150
+        ) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY sum_qty DESC, o_orderkey
+        LIMIT 20
     """,
     "top_parts_per_brand": """
         SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INTEGER) AS rn FROM (

