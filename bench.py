@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from streamming_processing_pyspark_spark.registry import build_queries
 from streamming_processing_pyspark_spark.session import get_spark
 from streamming_processing_pyspark_spark.tables import DEFAULT_SF_DIR, load_table
+from streamming_processing_pyspark_spark.taxi_datagen import generate_taxi_day
 
 HEADLINE = [
     # reference-surface queries
@@ -47,6 +48,47 @@ HEADLINE = [
 ]
 
 
+def taxi_replay_rows_per_sec() -> tuple[int, float]:
+    """The reference's own workload, end-to-end: streamed minute-file CSVs →
+    classify → 10-min windowed counts per geofence → per-batch trend detect
+    (Task4 pipeline). Directly comparable to BASELINE.md's ≈3,400 rows/s
+    (same batch size: maxFilesPerTrigger=60).
+    """
+    import shutil
+    import tempfile
+
+    from streamming_processing_pyspark_spark.sources.taxi_csv import (
+        normalize_trips,
+        stream_taxi_csv,
+    )
+    from streamming_processing_pyspark_spark.streaming.jobs import (
+        detect_trends_in_batch,
+        geofence_10min_counts,
+        run_foreach_batch,
+    )
+
+    spark = get_spark(app_name="bench")
+    work = tempfile.mkdtemp(prefix="taxi_bench_")
+    try:
+        data_dir = os.path.join(work, "data")
+        n_rows = generate_taxi_day(data_dir, rows_per_minute=300, minutes=120)
+        trips = normalize_trips(stream_taxi_csv(spark, data_dir, 60))
+        agg = geofence_10min_counts(trips)
+        alerts: list[int] = []
+
+        def sink(batch_df, _batch_id):
+            alerts.append(detect_trends_in_batch(batch_df).count())
+
+        t0 = time.perf_counter()
+        q = run_foreach_batch(agg, sink, "update")
+        q.processAllAvailable()
+        q.stop()
+        elapsed = time.perf_counter() - t0
+        return n_rows, round(n_rows / elapsed)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -66,6 +108,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     events_rows = load_table(spark, sf_dir, "events").count()
     pipeline_sec = timings["geofence_hourly_counts"]
+    taxi_rows, taxi_rps = taxi_replay_rows_per_sec()
     print(
         json.dumps(
             {
@@ -77,6 +120,9 @@ def main() -> None:
                 "events_rows_per_sec": round(events_rows / pipeline_sec)
                 if pipeline_sec
                 else None,
+                # reference-workload replay (BASELINE.md: ≈3,400 rows/s)
+                "taxi_replay_rows": taxi_rows,
+                "taxi_replay_rows_per_sec": taxi_rps,
             }
         )
     )

@@ -170,6 +170,86 @@ def lsh_bucketed_pairs(t: Tables, dim: int = 64) -> DataFrame:
     )
 
 
+IVF_CENTROIDS = 16
+IVF_PROBE = 6
+IVF_KMEANS_ITERS = 5
+
+
+def ivf_topk(t: Tables) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse k-means quantizer →
+    bucket assignment → probe the query's nearest buckets only.
+
+    The scale path for :func:`cosine_topk`: at 100 TB the quantizer is
+    trained offline on a sample (here: numpy k-means on a driver-side
+    sample, deterministic seeds), assignment is a map-only matmul per Arrow
+    batch, and each query scans ~n_probe/n_centroids of the data. Recall is
+    approximate; precision is exact (real cosines on probed rows).
+    Rows-only driver check; recall vs brute force pinned in tests.
+    """
+    import numpy as np
+
+    emb = t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    spark = emb.sparkSession
+
+    # deterministic sample → k-means quantizer (offline-trainable at scale)
+    sample = np.array(
+        emb.where(F.col("vec_id") % 7 == 0).limit(IVF_CENTROIDS * 20)
+        .toPandas()["vec"].tolist(),
+        dtype="float64",
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = sample[:IVF_CENTROIDS].copy()
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(IVF_CENTROIDS):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    def assign_buckets(batches):
+        import pandas as pd
+
+        cc = b_cents.value
+        for pdf in batches:
+            mat = np.array(pdf["vec"].tolist(), dtype="float64")
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "bucket": (mat @ cc.T).argmax(axis=1).astype("int32"),
+                }
+            )
+
+    buckets = emb.mapInPandas(assign_buckets, schema="vec_id bigint, bucket int")
+
+    qvec = np.array(
+        emb.where(F.col("vec_id") == QUERY_VEC_ID).toPandas()["vec"].tolist(),
+        dtype="float64",
+    )[0]
+    qvec = qvec / np.linalg.norm(qvec)
+    probe = [int(b) for b in np.argsort(-(cents @ qvec))[:IVF_PROBE]]
+
+    probed = emb.join(
+        buckets.where(F.col("bucket").isin(probe)).select("vec_id"), "vec_id", "left_semi"
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        probed.where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("vec"), qlit) / norm(F.col("vec")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )
+
+
 def label_centroid_sim(t: Tables) -> DataFrame:
     """Per-label mean vector and each vector's cosine to its label centroid —
     an aggregation-over-arrays exercise (posexplode → per-dim mean →
@@ -239,5 +319,6 @@ QUERIES = {
     "cosine_topk": cosine_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lsh_bucketed_pairs": lsh_bucketed_pairs,
+    "ivf_topk": ivf_topk,
     "label_centroid_sim": label_centroid_sim,
 }

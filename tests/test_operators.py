@@ -51,6 +51,38 @@ def test_embedding_lsh_subset(spark):
     assert approx <= exact
 
 
+def test_ivf_topk_recall(spark):
+    """IVF probes 6/16 buckets; recall vs brute force stays high and every
+    returned cosine is a true cosine (exact precision)."""
+    t = load_tables(spark, SF_DIR)
+    exact = [r["vec_id"] for r in similarity.cosine_topk(t).collect()]
+    ivf = similarity.ivf_topk(t).collect()
+    approx = [r["vec_id"] for r in ivf]
+    assert len(set(exact) & set(approx)) / len(exact) >= 0.6
+    # exact precision: IVF cosines must agree with the brute-force values
+    brute = {
+        r["vec_id"]: r["cos_sim"] for r in similarity.cosine_topk(t).collect()
+    }
+    for r in ivf:
+        if r["vec_id"] in brute:
+            assert r["cos_sim"] == brute[r["vec_id"]]
+
+
+def test_approx_aggregates_tolerance(spark):
+    """Sketch-based approximations land within documented error bounds of
+    the exact answers (can't hash-match an HLL across engines — tolerance
+    is the correctness statement)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey").alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] <= 0.05
+    assert abs(row["approx_p50"] - row["exact_p50"]) / row["exact_p50"] <= 0.05
+
+
 def test_geofence_sql_equals_pandas_udf(spark):
     """Two independent implementations (generated SQL ray-cast vs numpy
     pandas_udf) must classify identically."""

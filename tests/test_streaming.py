@@ -198,6 +198,40 @@ def test_watermark_accepted_on_stream(spark, tmp_path):
         q.stop()
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data policy (new vs reference): an event older than the
+    watermark arriving in a later batch is excluded from its (already
+    finalized) window."""
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+
+    def mk(rows):
+        spark.createDataFrame(rows, "dropoff_ts string").select(
+            F.col("dropoff_ts").cast("timestamp").alias("dropoff_ts")
+        ).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(0.05)
+
+    # batch 1: 3 events in [10:00,11:00) + one at 12:30 that pushes the
+    # watermark past 11:00 and closes the window
+    mk([("2024-01-01 10:10:00",), ("2024-01-01 10:20:00",),
+        ("2024-01-01 10:40:00",), ("2024-01-01 12:30:00",)])
+
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    agg = hourly_dropoff_counts(stream, watermark="10 minutes")
+    q, table = run_to_memory(agg, "append")
+    try:
+        # batch 2 (written only after batch 1 fully processed): a late
+        # 10:30 event — behind the watermark, must be dropped
+        mk([("2024-01-01 10:30:00",)])
+        q.processAllAvailable()
+        got = {r["hour_of_day"]: r["cnt"] for r in spark.table(table).collect()}
+    finally:
+        q.stop()
+    # window [10:00,11:00) finalized with 3 — the late row did not re-open it
+    assert got.get(11) == 3
+
+
 def test_streaming_dropduplicates(spark, tmp_path):
     """Streaming exact dedup (dropDuplicates) across micro-batches — the
     stream-side of the dedup ladder (gap list §2.10)."""
