@@ -355,6 +355,94 @@ def test_trend_detection_batch_rule(spark):
     assert got[0]["cnt"] == 12 and got[0]["prev_cnt"] == 3
 
 
+def test_trending_files_sink_shape(spark):
+    """Task4 sink naming/format: part-{sec_of_day*100} with
+    (hq, (count, sec, prevCount)) (reference Task4.py:136-142)."""
+    import tempfile
+
+    rows = [("citigroup", "2024-01-01 08:50:00", "2024-01-01 09:00:00", 12, 5)]
+    df = spark.createDataFrame(
+        rows,
+        "headquarters string, window_start string, window_end string, cnt long, prev_cnt long",
+    ).select(
+        "headquarters",
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        F.col("window_end").cast("timestamp").alias("window_end"),
+        "cnt",
+        "prev_cnt",
+    )
+    out = tempfile.mkdtemp()
+    from streamming_processing_pyspark_spark.streaming.jobs import (
+        write_trending_files,
+    )
+
+    write_trending_files(df, out)
+    sec = 9 * 3600
+    with open(os.path.join(out, f"part-{sec * 100}")) as f:
+        assert f.read() == f"(citigroup, (12, {sec}, 5))\n"
+
+
+def test_trending_stateful_checkpoint_recovery(spark, tmp_path):
+    """Stateful trend state survives a stop/restart via checkpoint: the
+    prev-window count from before the restart still triggers detection."""
+    d = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    sink_rows: list[tuple] = []
+    os.makedirs(d)
+
+    def mk(rows):
+        spark.createDataFrame(rows, "headquarters string, dropoff_ts string").select(
+            "headquarters", F.col("dropoff_ts").cast("timestamp").alias("dropoff_ts")
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    def start():
+        schema = spark.read.parquet(d).schema
+        stream = spark.readStream.schema(schema).parquet(d)
+        out = trending_stateful(stream, key_col="headquarters", ts_col="dropoff_ts")
+        return (
+            out.writeStream.foreachBatch(
+                lambda df, _id: sink_rows.extend(tuple(r) for r in df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    mk([("citigroup", f"2024-01-01 10:00:{i:02d}") for i in range(3)])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert sink_rows == []  # no trend yet — only the base window
+
+    mk([("citigroup", f"2024-01-01 10:10:{i:02d}") for i in range(12)])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(sink_rows) == 1
+    key, _ws, cnt, prev = sink_rows[0]
+    assert (key, cnt, prev) == ("citigroup", 12, 3)
+
+
+def test_connector_gating(spark):
+    """Kafka/Delta/Iceberg builders fail fast with actionable errors when
+    the connector jar is absent (this environment has none)."""
+    import pytest as _pytest
+
+    from streamming_processing_pyspark_spark.sources.connectors import (
+        ConnectorUnavailable,
+        read_delta,
+        read_iceberg,
+        read_kafka_stream,
+    )
+
+    with _pytest.raises(ConnectorUnavailable, match="spark-sql-kafka"):
+        read_kafka_stream(spark, "localhost:9092", "events")
+    with _pytest.raises(ConnectorUnavailable, match="delta"):
+        read_delta(spark, "/tmp/nope")
+    with _pytest.raises(ConnectorUnavailable, match="[Ii]ceberg"):
+        read_iceberg(spark, "cat.db.tbl")
+
+
 def test_trending_stateful_cross_batch(spark, tmp_path):
     """The case the reference misses: window W−10min in batch 1, window W in
     batch 2 — stateful operator still detects the trend."""
