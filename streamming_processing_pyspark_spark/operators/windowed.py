@@ -33,7 +33,10 @@ from ..functions.geo import classify_sql
 # citigroup lon≈-74.0121..-74.0099 lat≈40.7201..40.7217). Plain arithmetic so
 # Spark and the DuckDB oracle evaluate bit-identically.
 LON_SQL = "(-74.0150 + (value % 6.0) / 1000.0)"
-LAT_SQL = "(40.7130 + (user_id % 95) / 10000.0)"
+# CAST to DOUBLE before dividing: without it Spark routes bigint/literal
+# through decimal(20,0) arithmetic — measurably slower in the scan-side
+# expression (and pointless; DuckDB evaluates the same text as double math).
+LAT_SQL = "(40.7130 + CAST(user_id % 95 AS DOUBLE) / 10000.0)"
 
 
 def hourly_counts(events: DataFrame) -> DataFrame:
@@ -178,10 +181,15 @@ def geofence_hourly_counts(events: DataFrame) -> DataFrame:
     pts = with_coordinates(events).withColumn(
         "headquarters", F.expr(classify_sql("lon", "lat"))
     )
+    # filter 'none' AFTER the aggregation: a pre-agg filter makes Catalyst
+    # inline the whole classify CASE into the scan filter AND the group key
+    # (two evaluations per row); post-agg it runs once per row and the
+    # filter touches only the tiny aggregated frame. (Streaming variant
+    # keeps the pre-agg filter instead — there it bounds state size.)
     return (
-        pts.where(F.col("headquarters") != "none")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "headquarters")
+        pts.groupBy(F.window("ts", "1 hour").alias("w"), "headquarters")
         .agg(F.count("*").alias("cnt"))
+        .where(F.col("headquarters") != "none")
         .select(F.col("w.start").alias("window_start"), "headquarters", "cnt")
     )
 
