@@ -36,6 +36,8 @@ HEADLINE = [
     "q3_top_orders",
     "q5_nation_revenue",
     "running_order_totals",
+    "sessionize_events",
+    "asof_latest_order",
     # text / dedup / similarity
     "word_counts",
     "exact_dedup",
@@ -43,6 +45,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "cosine_topk",
+    "ivf_topk",
     "embedding_near_dup_pairs",
     "multimodal_features",
 ]
