@@ -190,21 +190,26 @@ def minhash_lsh_pairs(t: Tables) -> DataFrame:
     """
     sig = minhash_signatures(t)
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    bands = [
-        F.xxhash64(
-            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band{b}")
-        for b in range(MINHASH_BANDS)
-    ]
-    sig = sig.select("doc_id", *bands)
-
-    cands = None
-    for b in range(MINHASH_BANDS):
-        a = sig.select(F.col("doc_id").alias("id_a"), F.col(f"band{b}").alias("bk"))
-        bb = sig.select(F.col("doc_id").alias("id_b"), F.col(f"band{b}").alias("bk"))
-        pair = a.join(bb, "bk").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
+    # one row per (doc, band): a single equi-join on (band_id, band_hash)
+    # replaces MINHASH_BANDS separate self-joins — one shuffle, one dedupe
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bk"))
+    a = banded.select(F.col("doc_id").alias("id_a"), "bk")
+    b = banded.select(F.col("doc_id").alias("id_b"), "bk")
+    cands = (
+        a.join(b, "bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
     # Verification cost must be ∝ candidates, not ∝ all pairs: join each
     # candidate to the two shingle *arrays* and take the exact intersection

@@ -70,14 +70,32 @@ def streaming_geofence_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def streaming_counts_10min_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """counts_10min_by_key (Task4's aggregation grain) as a streaming query."""
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_to_memory
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+    q, table = run_to_memory(agg, "complete")
+    q.stop()
+    return spark.table(table)
+
+
 _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_geofence_hourly": streaming_geofence_hourly,
+    "streaming_counts_10min_by_key": streaming_counts_10min_by_key,
 }
 
 _STREAMING_ORACLES: dict[str, str] = {
     "streaming_hourly_counts": windowed.ORACLES["hourly_counts"],
     "streaming_geofence_hourly": windowed.ORACLES["geofence_hourly_counts"],
+    "streaming_counts_10min_by_key": windowed.ORACLES["counts_10min_by_key"],
 }
 
 #: modules whose queries take the full tables dict

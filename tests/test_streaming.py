@@ -251,6 +251,33 @@ def test_streaming_dropduplicates(spark, tmp_path):
     assert got == [1, 2, 3, 4]
 
 
+def test_streaming_dropduplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: dedup with bounded state — the
+    scale-safe streaming dedup (state evicted past the watermark)."""
+    d = str(tmp_path / "dupsw")
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:01:00"),  # dup within watermark window
+        (2, "2024-01-01 10:02:00"),
+    ]
+    spark.createDataFrame(rows, "event_id long, ts string").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    ).coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q, table = run_to_memory(stream, "append")
+    try:
+        got = sorted(r["event_id"] for r in spark.table(table).collect())
+    finally:
+        q.stop()
+    assert got == [1, 2]
+
+
 def test_stream_stream_join(spark, tmp_path):
     """Watermarked stream-stream interval join (gap list §2.10)."""
     imps_d, clicks_d = str(tmp_path / "imps"), str(tmp_path / "clicks")
