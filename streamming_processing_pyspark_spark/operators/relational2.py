@@ -138,6 +138,55 @@ def grouping_sets_qty(t: Tables) -> DataFrame:
     )
 
 
+def unpivot_order_metrics(t: Tables) -> DataFrame:
+    """Unpivot (melt): wide per-priority aggregates → long (metric, value).
+
+    Spark's ``unpivot``/``melt`` API; DuckDB's UNPIVOT as oracle.
+    """
+    wide = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["total_price", "avg_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def range_frame_rolling_spend(t: Tables) -> DataFrame:
+    """Time-range window frame: each order's customer spend over the
+    preceding 90 days (RANGE frame over epoch seconds — value-based, not
+    row-based, so it is correct under irregular order spacing)."""
+    # NTZ→long needs an intermediate timestamp cast (session TZ is pinned
+    # UTC, so this is plain epoch seconds — same as the oracle's epoch()).
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_90d"),
+        F.count("*").over(w).alias("n_orders_90d"),
+    )
+
+
+def bag_semantics_priorities(t: Tables) -> DataFrame:
+    """Bag (multiset) set ops: INTERSECT ALL of order priorities seen in
+    1996 vs 1997 — duplicates preserved per multiset semantics."""
+    a = t["orders"].where(F.year("o_orderdate") == 1996).select("o_orderpriority")
+    b = t["orders"].where(F.year("o_orderdate") == 1997).select("o_orderpriority")
+    return a.intersectAll(b)
+
+
 def session_window_counts(t: Tables) -> DataFrame:
     """Native session windows (gap-close semantics: end = last event + gap).
 
@@ -251,6 +300,29 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
+    "unpivot_order_metrics": """
+        SELECT o_orderpriority, metric, value FROM (
+          SELECT o_orderpriority,
+                 round(sum(o_totalprice), 2) AS total_price,
+                 round(avg(o_totalprice), 2) AS avg_price
+          FROM orders GROUP BY o_orderpriority
+        ) UNPIVOT (value FOR metric IN (total_price, avg_price))
+    """,
+    "range_frame_rolling_spend": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER w, 2) AS spend_90d,
+               count(*) OVER w AS n_orders_90d
+        FROM orders
+        WINDOW w AS (
+          PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+          RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+        )
+    """,
+    "bag_semantics_priorities": """
+        SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996
+        INTERSECT ALL
+        SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997
+    """,
     "session_window_counts": """
         WITH flagged AS (
           SELECT user_id, event_id, ts,
@@ -296,6 +368,9 @@ QUERIES = {
     "full_outer_nation_counts": full_outer_nation_counts,
     "range_join_value_buckets": range_join_value_buckets,
     "grouping_sets_qty": grouping_sets_qty,
+    "unpivot_order_metrics": unpivot_order_metrics,
+    "range_frame_rolling_spend": range_frame_rolling_spend,
+    "bag_semantics_priorities": bag_semantics_priorities,
     "session_window_counts": session_window_counts,
     "analytic_functions_showcase": analytic_functions_showcase,
 }
