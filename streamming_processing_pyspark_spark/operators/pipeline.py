@@ -1,0 +1,328 @@
+"""Training-data-pipeline operators over the ``documents`` table.
+
+The corpus-curation surface a large-scale LLM-pretraining pipeline needs
+beyond dedup/similarity (see ``dedup.py`` / ``similarity.py``): Gopher-style
+repetition filtering, deterministic stratified sampling, sequence packing
+(concat-and-chunk bin assignment), exact heavy-hitter n-grams, regex
+scrub/redaction, and connected-components clustering of near-duplicate
+pairs. The reference has no document pipeline (it is a taxi-stream demo:
+``Task1.py``–``Task4.py``, ``Client.py``); these are the north-star
+extensions from BASELINE.json, designed Spark-first:
+
+- every scalar stage is Catalyst-only (no Python in the hot path);
+- the two shuffling ops (repetition filter, heavy hitters) are plain
+  groupBy aggregations with map-side partial combine;
+- packing is windowed *per shard*, so at 100 TB each shard's running sum
+  is an independent partition — no global sort, no single-task window;
+- clustering is iterative min-label propagation over DataFrames (the
+  standard large-graph connected-components formulation; GraphFrames-free).
+
+Every op but the iterative one has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import words
+from .dedup import JACCARD_THRESHOLD, _SHINGLE_DUCK, ngram_jaccard_pairs
+
+Tables = dict[str, DataFrame]
+
+#: languages get an explicit keep-rate (percent of 97 hash buckets); the
+#: rest fall through to the default — the usual "rebalance the language
+#: mix" curation step.
+SAMPLE_RATES = {"en": 80, "de": 50, "zh": 25}
+SAMPLE_DEFAULT = 10
+
+#: concat-and-chunk sequence length (tokens) and shard fan-out for packing.
+PACK_SEQ_LEN = 512
+PACK_SHARDS = 8
+
+#: regex scrub pattern — stands in for the usual PII patterns (emails,
+#: phone numbers); the synthetic corpus has none, so a content-word class
+#: keeps the op observable end-to-end.
+SCRUB_PATTERN = r"\b(table|value|key)\b"
+
+CC_MAX_ITERS = 50
+
+
+def repetition_filter(t: Tables) -> DataFrame:
+    """Gopher-style repetition metrics + keep/drop flag per document.
+
+    ``dup_token_ratio`` (1 − distinct/total) and ``top_token_ratio``
+    (most-frequent token share) are the token-level analogues of the
+    duplicate-line / top-n-gram fractions in Rae et al. 2021 (Gopher,
+    §A1.1). Two groupBy stages, both with map-side combine; the second
+    groups on ``doc_id`` so it re-uses the first's hash partitioning
+    (no extra exchange under AQE).
+    """
+    tok = t["documents"].select("doc_id", F.explode(words("text")).alias("w"))
+    per_word = tok.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    m = per_word.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    dup = F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 4)
+    top = F.round(F.col("top_cnt") / F.col("n_tokens"), 4)
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        dup.alias("dup_token_ratio"),
+        top.alias("top_token_ratio"),
+        ((dup <= 0.8) & (top <= 0.2)).alias("keep"),
+    )
+
+
+def _sample_bucket(doc_id: Column) -> Column:
+    # Deterministic affine hash → bucket in [0, 97). Production would use
+    # xxhash64 (not SQL-portable); the affine form lets DuckDB reproduce
+    # the exact bucket so the sample itself is oracle-checkable.
+    return (doc_id * 1000003 + 12345) % 97
+
+
+def stratified_sample(t: Tables) -> DataFrame:
+    """Deterministic per-language downsampling (language-mix rebalance).
+
+    Keep a document iff its hash bucket < the language's rate. Hash-based
+    (not ``df.sample``) so the sample is reproducible run-to-run and
+    join-stable across tables — at 100 TB you must be able to re-derive
+    exactly which docs were kept. Pure map stage: no shuffle, no state.
+    """
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in SAMPLE_RATES.items() for x in kv]
+    )
+    rate = F.coalesce(rate_map[F.col("lang")], F.lit(SAMPLE_DEFAULT))
+    return (
+        t["documents"]
+        .withColumn("bucket", _sample_bucket(F.col("doc_id")))
+        .where(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+def token_pack_bins(t: Tables) -> DataFrame:
+    """Sequence packing: concat-and-chunk bin assignment per shard.
+
+    Documents are concatenated in ``doc_id`` order within a hash shard and
+    chunked every ``PACK_SEQ_LEN`` tokens; each doc's bin is the chunk its
+    first token lands in — the standard pretraining packing layout. The
+    running sum is windowed **per shard** (``partitionBy(shard)``), so the
+    window never degenerates to a single global-sort task: shards scale
+    with the cluster, and ``PACK_SHARDS`` would be O(executors) at 100 TB.
+    """
+    d = t["documents"].select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(words("text")).alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        offset.alias("offset"),
+        F.floor(offset / PACK_SEQ_LEN).alias("bin_id"),
+    )
+
+
+def heavy_hitter_bigrams(t: Tables) -> DataFrame:
+    """Exact corpus-wide top-20 word bigrams (tie-broken lexically).
+
+    ``zip_with`` over two slices builds bigrams JVM-side with zero Python;
+    explode → groupBy → count is one shuffle with partial aggregation, and
+    the top-k is a ``TakeOrderedAndProject`` (no full sort). The exact
+    baseline for frequency-based boilerplate detection; at 100 TB swap in
+    a count-min sketch or pre-aggregate per partition before the take.
+    """
+    bi = F.expr(
+        "zip_with(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    return (
+        t["documents"]
+        .select(words("text").alias("ws"))
+        .select(F.explode(bi).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(20)
+    )
+
+
+def regex_scrub(t: Tables) -> DataFrame:
+    """Regex redaction: match count + hash of the scrubbed text.
+
+    The PII-scrub shape (swap ``SCRUB_PATTERN`` for email/phone/SSN
+    classes in production). ``regexp_count`` / ``regexp_replace`` are
+    codegen'd JVM regex — a map-only pass; the md5 keeps the oracle
+    comparison on a short column instead of shipping full scrubbed text.
+    """
+    pat = SCRUB_PATTERN
+    return t["documents"].select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).alias("n_matches"),
+        F.md5(F.regexp_replace("text", pat, "<TOK>")).alias("scrubbed_md5"),
+    )
+
+
+def dedup_clusters(t: Tables) -> DataFrame:
+    """Connected components over near-duplicate pairs → cluster labels.
+
+    Turns :func:`dedup.ngram_jaccard_pairs` (a pair list) into the thing a
+    pipeline actually consumes: one canonical component id (= min doc_id
+    reachable) per clustered document. Iterative min-label propagation on
+    DataFrames — each round is one join + one groupBy(min), converging in
+    O(component diameter) rounds; ``localCheckpoint`` truncates lineage so
+    plans don't grow exponentially (on a cluster: ``checkpoint`` to a
+    reliable dir). This is the scalable GraphFrames-free formulation.
+
+    Oracle: DuckDB recursive CTE computing min reachable id.
+    """
+    pairs = ngram_jaccard_pairs(t).select("id_a", "id_b")
+    edges = (
+        pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - safety net for pathological chains
+        raise RuntimeError("dedup_clusters did not converge")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+_RATE_CASE = " ".join(
+    f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items()
+)
+
+ORACLES: dict[str, str] = {
+    "repetition_filter": """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents
+        ),
+        pw AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        m AS (SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                     count(*) AS n_distinct,
+                     CAST(max(cnt) AS BIGINT) AS top_cnt
+              FROM pw GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_distinct,
+               round(1 - n_distinct * 1.0 / n_tokens, 4) AS dup_token_ratio,
+               round(top_cnt * 1.0 / n_tokens, 4) AS top_token_ratio,
+               (round(1 - n_distinct * 1.0 / n_tokens, 4) <= 0.8
+                AND round(top_cnt * 1.0 / n_tokens, 4) <= 0.2) AS keep
+        FROM m
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, lang, (doc_id * 1000003 + 12345) % 97 AS bucket
+        FROM documents
+        WHERE (doc_id * 1000003 + 12345) % 97 <
+              (CASE lang {_RATE_CASE} ELSE {SAMPLE_DEFAULT} END)
+    """,
+    "token_pack_bins": f"""
+        WITH d AS (
+          SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                   AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER w, 0) AS BIGINT) AS offset,
+               CAST(floor(coalesce(sum(n_tokens) OVER w, 0)
+                          / {PACK_SEQ_LEN}.0) AS BIGINT) AS bin_id
+        FROM d
+        WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+    "heavy_hitter_bigrams": """
+        WITH w AS (
+          SELECT string_split_regex(trim(text), '\\s+') AS ws FROM documents
+        ),
+        b AS (
+          SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                       i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+          FROM w
+        )
+        SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
+        ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+    "regex_scrub": rf"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{SCRUB_PATTERN}')) AS INTEGER)
+                 AS n_matches,
+               md5(regexp_replace(text, '{SCRUB_PATTERN}', '<TOK>', 'g'))
+                 AS scrubbed_md5
+        FROM documents
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_SHINGLE_DUCK},
+        jp AS (
+          SELECT id_a, id_b
+          FROM p JOIN n na ON p.id_a = na.doc_id
+                 JOIN n nb ON p.id_b = nb.doc_id
+          WHERE round(common * 1.0 / (na.n + nb.n - common), 4)
+                >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (SELECT id_a AS s, id_b AS d FROM jp
+                  UNION SELECT id_b, id_a FROM jp),
+        reach(node, lab) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+        )
+        SELECT node AS doc_id, min(lab) AS component
+        FROM reach GROUP BY node
+    """,
+}
+
+QUERIES = {
+    "repetition_filter": repetition_filter,
+    "stratified_sample": stratified_sample,
+    "token_pack_bins": token_pack_bins,
+    "heavy_hitter_bigrams": heavy_hitter_bigrams,
+    "regex_scrub": regex_scrub,
+    "dedup_clusters": dedup_clusters,
+}

@@ -20,6 +20,7 @@ from .operators import (
     asof,
     dedup,
     multimodal,
+    pipeline,
     relational,
     relational2,
     similarity,
@@ -108,6 +109,7 @@ _TABLE_MODULES = (
     dedup,
     similarity,
     multimodal,
+    pipeline,
 )
 
 

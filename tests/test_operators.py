@@ -11,7 +11,7 @@ from streamming_processing_pyspark_spark.functions.geo import (
     classify_points_pandas_udf,
     classify_sql,
 )
-from streamming_processing_pyspark_spark.operators import dedup, similarity, windowed
+from streamming_processing_pyspark_spark.operators import dedup, pipeline, similarity, windowed
 from streamming_processing_pyspark_spark.operators.multimodal import decode_media_stub
 from streamming_processing_pyspark_spark.operators.windowed import with_coordinates
 from streamming_processing_pyspark_spark.tables import load_table, load_tables
@@ -133,3 +133,45 @@ def test_simhash_locality(spark):
 
     assert hamming(fps[0], fps[1]) < hamming(fps[0], fps[2])
     assert hamming(fps[0], fps[1]) <= 16
+
+
+def test_dedup_clusters_transitive(spark):
+    """a~b and b~c must land in ONE component labeled min(doc_id), even if
+    a~c alone is below threshold; isolated docs stay out of the output."""
+    y = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (10, y + " aa bb"),
+            (11, y + " aa cc"),
+            (12, y + " dd cc"),
+            (99, "totally unrelated words that share no shingles at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["component"]
+        for r in pipeline.dedup_clusters({"documents": docs}).collect()
+    }
+    assert out == {10: 10, 11: 10, 12: 10}
+
+
+def test_token_pack_bins_invariants(spark):
+    t = load_tables(spark, SF_DIR)
+    rows = pipeline.token_pack_bins(t).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in shard_rows:
+            assert r["offset"] == run
+            assert r["bin_id"] == run // pipeline.PACK_SEQ_LEN
+            run += r["n_tokens"]
+
+
+def test_stratified_sample_deterministic(spark):
+    t = load_tables(spark, SF_DIR)
+    a = {r["doc_id"] for r in pipeline.stratified_sample(t).collect()}
+    b = {r["doc_id"] for r in pipeline.stratified_sample(t).collect()}
+    assert a == b and a

@@ -8,7 +8,7 @@ top-k avoids a full sort.
 
 from __future__ import annotations
 
-from streamming_processing_pyspark_spark.operators import relational, windowed
+from streamming_processing_pyspark_spark.operators import pipeline, relational, windowed
 from streamming_processing_pyspark_spark.plans.explain import (
     assert_broadcast_join,
     assert_no_python_eval,
@@ -17,6 +17,7 @@ from streamming_processing_pyspark_spark.plans.explain import (
     assert_read_schema_only,
     assert_top_k_plan,
     assert_whole_stage_codegen,
+    plan_string,
 )
 from streamming_processing_pyspark_spark.tables import load_table, load_tables
 
@@ -74,3 +75,19 @@ def test_q3_broadcasts_customer(spark):
     t = load_tables(spark, SF_DIR)
     assert_broadcast_join(relational.q3_top_orders(t), min_count=1)
     assert_pushed_filter(relational.q3_top_orders(t), "l_shipdate")
+
+
+def test_heavy_hitter_bigrams_topk_plan(spark):
+    t = load_tables(spark, SF_DIR)
+    df = pipeline.heavy_hitter_bigrams(t)
+    assert_top_k_plan(df)
+    assert_partial_aggregation(df)
+    assert_no_python_eval(df)
+
+
+def test_stratified_sample_map_only(spark):
+    t = load_tables(spark, SF_DIR)
+    df = pipeline.stratified_sample(t)
+    assert_no_python_eval(df)
+    assert_read_schema_only(df, "documents", {"doc_id", "lang"})
+    assert "Exchange" not in plan_string(df)
