@@ -87,16 +87,30 @@ def streaming_counts_10min_by_key(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(table)
 
 
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window_counts as a REAL streaming query: stateful session
+    windows (merging state across micro-batches) drained in complete mode."""
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_to_memory, sessionize_stream
+
+    sess = sessionize_stream(stream_events(spark, sf_dir))
+    q, table = run_to_memory(sess, "complete")
+    q.stop()
+    return spark.table(table)
+
+
 _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_geofence_hourly": streaming_geofence_hourly,
     "streaming_counts_10min_by_key": streaming_counts_10min_by_key,
+    "streaming_session_counts": streaming_session_counts,
 }
 
 _STREAMING_ORACLES: dict[str, str] = {
     "streaming_hourly_counts": windowed.ORACLES["hourly_counts"],
     "streaming_geofence_hourly": windowed.ORACLES["geofence_hourly_counts"],
     "streaming_counts_10min_by_key": windowed.ORACLES["counts_10min_by_key"],
+    "streaming_session_counts": relational2.ORACLES["session_window_counts"],
 }
 
 #: modules whose queries take the full tables dict

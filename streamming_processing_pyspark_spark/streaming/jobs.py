@@ -223,3 +223,31 @@ def run_foreach_batch(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Streaming session windows over the events stream.
+
+    ``F.session_window`` is the stateful sessionizer (same call as the
+    batch query in ``relational2.session_window_counts``, so stream/batch
+    parity is by construction). Session aggregations stream in append or
+    complete mode only (Spark rejects update): production runs append +
+    a minutes-scale watermark, emitting each session once finalized and
+    bounding state to the active-session horizon; bounded historical
+    replay (our harness) runs complete with no watermark so the final
+    table includes sessions the watermark would still be holding open.
+    """
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

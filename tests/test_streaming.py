@@ -33,6 +33,9 @@ from streamming_processing_pyspark_spark.streaming.jobs import (
     write_hourly_files,
 )
 from streamming_processing_pyspark_spark.streaming.trend import trending_stateful
+from streamming_processing_pyspark_spark.tables import load_table
+
+from .conftest import SF_DIR
 
 from .taxi_fixture import (
     CITIGROUP_INSIDE,
@@ -501,3 +504,37 @@ def test_trending_stateful_cross_batch(spark, tmp_path):
     r = got[0]
     assert r["key"] == "citigroup" and r["cnt"] == 12 and r["prev_cnt"] == 3
     assert r["window_start"].minute == 10
+
+
+def test_streaming_sessions_multibatch_upsert(spark, tmp_path):
+    """Streaming sessionization must converge to the batch result even
+    when a user's session arrives split across micro-batches (the state
+    store merges/extends open sessions between batches)."""
+    from streamming_processing_pyspark_spark.operators.relational2 import (
+        session_window_counts,
+    )
+    from streamming_processing_pyspark_spark.streaming.jobs import (
+        run_to_memory,
+        sessionize_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    d = str(tmp_path / "events_split")
+    ev.repartition(6).write.parquet(d)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q, table = run_to_memory(sessionize_stream(stream), "complete")
+    q.stop()
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table(table).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_window_counts({"events": ev}).collect()
+    )
+    assert got == want
