@@ -48,6 +48,11 @@ HEADLINE = [
     "ivf_topk",
     "embedding_near_dup_pairs",
     "multimodal_features",
+    # training-data pipeline
+    "repetition_filter",
+    "token_pack_bins",
+    "heavy_hitter_bigrams",
+    "dedup_clusters",
 ]
 
 
