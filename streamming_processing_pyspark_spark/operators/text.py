@@ -22,6 +22,7 @@ from ..functions.text import (
     lang_pick_expr,
     lang_scores,
     raw_tokens,
+    stopword_hits,
     token_count,
 )
 
@@ -73,6 +74,33 @@ def lang_id(t: Tables) -> DataFrame:
         "doc_id",
         *[F.col(f"hits_{lang}") for lang in LANG_STOPWORDS],
         lang_pick_expr().alias("lang_guess"),
+    )
+
+
+SENTIMENT_POS = ("fast", "small", "merge")
+SENTIMENT_NEG = ("slow", "big", "batch")
+
+
+def sentiment_scores(t: Tables) -> DataFrame:
+    """Lexicon-based sentiment (SURVEY.md §7 Phase 4): normalized
+    positive-minus-negative hit score with a three-way label.
+
+    The lexicon is a stand-in wired to the synthetic vocabulary; swap in
+    AFINN/VADER word lists for real corpora. Higher-order ``filter`` counts
+    hits JVM-side — map-only, zero shuffle, same shape as ``lang_id``.
+    """
+    pos = stopword_hits("text", SENTIMENT_POS)
+    neg = stopword_hits("text", SENTIMENT_NEG)
+    score = F.round((pos - neg) / token_count("text"), 4)
+    return t["documents"].select(
+        "doc_id",
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+        score.alias("sentiment"),
+        F.when(score > 0, "positive")
+        .when(score < 0, "negative")
+        .otherwise("neutral")
+        .alias("sentiment_label"),
     )
 
 
@@ -151,6 +179,16 @@ ORACLES: dict[str, str] = {
               {', '.join(_stopword_hits_duck(lang) for lang in LANG_STOPWORDS)}
               FROM documents)
     """,
+    "sentiment_scores": """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('fast', 'small', 'merge'))) AS INTEGER) AS pos_hits,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('slow', 'big', 'batch'))) AS INTEGER) AS neg_hits,
+               round((CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('fast', 'small', 'merge'))) AS INTEGER) - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('slow', 'big', 'batch'))) AS INTEGER)) * 1.0 / CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER), 4) AS sentiment,
+               CASE WHEN round((CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('fast', 'small', 'merge'))) AS INTEGER) - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('slow', 'big', 'batch'))) AS INTEGER)) * 1.0 / CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER), 4) > 0 THEN 'positive'
+                    WHEN round((CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('fast', 'small', 'merge'))) AS INTEGER) - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('slow', 'big', 'batch'))) AS INTEGER)) * 1.0 / CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER), 4) < 0 THEN 'negative'
+                    ELSE 'neutral' END AS sentiment_label
+        FROM documents
+    """,
     "array_functions_showcase": """
         WITH w AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
@@ -182,5 +220,6 @@ QUERIES = {
     "quality_scores": quality_scores,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
+    "sentiment_scores": sentiment_scores,
     "array_functions_showcase": array_functions_showcase,
 }

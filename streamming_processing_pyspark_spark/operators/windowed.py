@@ -66,6 +66,24 @@ def counts_10min_by_key(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_hourly_counts(events: DataFrame) -> DataFrame:
+    """Sliding windows: 1-hour windows advancing every 15 minutes.
+
+    Each event lands in duration/slide = 4 overlapping windows —
+    ``F.window(ts, "1 hour", "15 minutes")`` expands to those windows
+    JVM-side (no self-join, no explode in user code). Works identically
+    as a streaming aggregation. The oracle reproduces the expansion with
+    a 0..3 offset cross join off the 15-minute bucket.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
 def hour_of_day_counts(events: DataFrame) -> DataFrame:
     """Counts keyed by hour-of-day — the reference's output-file key
     (``hour(window.end)``, reference Task2.py:51,60)."""
@@ -228,6 +246,13 @@ ORACLES: dict[str, str] = {
     "hourly_counts": _oracle_windowed_counts("1 hour", None),
     "hourly_counts_by_key": _oracle_windowed_counts("1 hour", "event_type"),
     "counts_10min_by_key": _oracle_windowed_counts("10 minutes", "event_type"),
+    "sliding_hourly_counts": """
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - k * INTERVAL '15 minutes' AS window_start,
+               event_type, count(*) AS cnt
+        FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+        GROUP BY ALL
+    """,
     "hour_of_day_counts": (
         "SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, count(*) AS cnt "
         "FROM events GROUP BY ALL"
@@ -251,6 +276,7 @@ QUERIES = {
     "hourly_counts": hourly_counts,
     "hourly_counts_by_key": hourly_counts_by_key,
     "counts_10min_by_key": counts_10min_by_key,
+    "sliding_hourly_counts": sliding_hourly_counts,
     "hour_of_day_counts": hour_of_day_counts,
     "trending": trending,
     "trending_selfjoin": trending_selfjoin,
