@@ -538,3 +538,53 @@ def test_streaming_sessions_multibatch_upsert(spark, tmp_path):
         for r in session_window_counts({"events": ev}).collect()
     )
     assert got == want
+
+
+def test_trending_stateful_tws_matches_applyinpandas(spark, tmp_path):
+    """The transformWithStateInPandas variant must detect the same
+    cross-batch trend as the applyInPandasWithState one — or, when the
+    protobuf dependency is absent (this container), fail fast with the
+    actionable gating error."""
+    from streamming_processing_pyspark_spark.streaming.trend import (
+        StatefulApiUnavailable,
+        trending_stateful_tws,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(StatefulApiUnavailable, match="protobuf"):
+            trending_stateful_tws(
+                spark.readStream.format("rate").load(),
+                key_col="value",
+                ts_col="timestamp",
+            )
+        return
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    base = "2024-01-01 10:{m:02d}:{s:02d}"
+
+    def mk(path, rows):
+        spark.createDataFrame(rows, "headquarters string, dropoff_ts string").select(
+            "headquarters", F.col("dropoff_ts").cast("timestamp").alias("dropoff_ts")
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    mk(d, [("citigroup", base.format(m=0, s=i)) for i in range(3)])
+    time.sleep(0.05)
+    mk(d, [("citigroup", base.format(m=10, s=i)) for i in range(12)])
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = trending_stateful_tws(stream, key_col="headquarters", ts_col="dropoff_ts")
+    q, table = run_to_memory(out, "append")
+    try:
+        got = spark.table(table).collect()
+    finally:
+        q.stop()
+    assert len(got) == 1
+    r = got[0]
+    assert r["key"] == "citigroup" and r["cnt"] == 12 and r["prev_cnt"] == 3
+    assert r["window_start"].minute == 10
