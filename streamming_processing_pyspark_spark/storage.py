@@ -77,3 +77,34 @@ def salted_aggregate(
     return partial.groupBy(key).agg(
         *[_combiner(name).alias(name) for name in aggs]
     )
+
+
+#: batch file formats bundled with Spark (no extra jars). Avro/Delta/Iceberg
+#: need their connector on the classpath — see sources/connectors.py gating.
+SUPPORTED_BATCH_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options
+) -> None:
+    """Write ``df`` at ``path`` in any bundled batch format.
+
+    CSV defaults to header=true so files are self-describing; parquet/orc
+    carry their schema natively. Column-oriented formats (parquet, orc)
+    are the only sane choice at 100 TB — json/csv exist for interchange.
+    """
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    df.write.mode(mode).options(**options).format(fmt).save(path)
+
+
+def read_table_fmt(spark, path: str, fmt: str = "parquet", schema=None, **options):
+    """Read ``path`` back; pass ``schema`` for text formats (json/csv infer
+    strings/doubles otherwise — at scale, inference is also a full extra
+    pass over the data, so production readers always declare the schema)."""
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    r = spark.read.options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.format(fmt).load(path)

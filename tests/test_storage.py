@@ -98,3 +98,21 @@ def test_salted_aggregate_matches_plain(spark):
     a = {r["event_type"]: (r["n"], round(r["sum_value"], 6), r["min_value"], r["max_value"]) for r in salted.collect()}
     b = {r["event_type"]: (r["n"], round(r["sum_value"], 6), r["min_value"], r["max_value"]) for r in plain.collect()}
     assert a == b
+
+
+def test_format_roundtrips(spark, tmp_path):
+    """orders survives a write/read round-trip in every bundled format
+    (schema supplied on read for the text formats)."""
+    from streamming_processing_pyspark_spark.storage import (
+        SUPPORTED_BATCH_FORMATS,
+        read_table_fmt,
+        write_table,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").limit(200)
+    want = sorted(map(tuple, orders.collect()))
+    for fmt in SUPPORTED_BATCH_FORMATS:
+        p = str(tmp_path / f"rt_{fmt}")
+        write_table(orders, p, fmt)
+        got = read_table_fmt(spark, p, fmt, schema=orders.schema)
+        assert sorted(map(tuple, got.collect())) == want, fmt
