@@ -342,6 +342,100 @@ def scalar_functions_showcase(t: Tables) -> DataFrame:
     )
 
 
+def q4_priority_late_ship(t: Tables) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS decorrelated to a left-semi join.
+
+    Orders in a quarter with at least one line item shipped after the
+    order date (the l_commitdate/l_receiptdate columns don't exist in this
+    dataset; l_shipdate > o_orderdate keeps the correlated-EXISTS shape).
+    Catalyst plans the semi join with the compound (equi + theta)
+    condition as a hash join on l_orderkey — at 100 TB the filter on
+    orders prunes the probe side before the shuffle.
+    """
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q13_customer_distribution(t: Tables) -> DataFrame:
+    """TPC-H Q13 — distribution of customers by order count, zeros kept.
+
+    Left outer join so order-less customers survive with c_count = 0,
+    then a second (tiny) aggregation over the distribution. The first
+    groupBy carries the weight; the second re-aggregates ~hundreds of
+    rows.
+    """
+    c = t["customer"].select("c_custkey")
+    o = t["orders"].select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q17_small_quantity_revenue(t: Tables) -> DataFrame:
+    """TPC-H Q17 — correlated scalar subquery decorrelated to an agg+join.
+
+    Average yearly revenue from small-quantity (below 20% of the part's
+    mean) orders of one brand. The per-part average is a broadcast-able
+    aggregate (one row per part), so the correlated subquery costs one
+    map-side join instead of a per-row rescan.
+    """
+    li = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
+    brand_parts = t["part"].where(F.col("p_brand") == "Brand#13").select("p_partkey")
+    li_brand = li.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li_brand.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    return (
+        li_brand.join(F.broadcast(avg_qty), "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q22_idle_wealthy_customers(t: Tables) -> DataFrame:
+    """TPC-H Q22 — global scalar subquery + anti join.
+
+    Customers with above-average (positive) balance and no orders, per
+    market segment. The global average is a 1-row broadcast cross join;
+    "no orders" is a left-anti join (NOT EXISTS decorrelated).
+    """
+    c = t["customer"]
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t["orders"].select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -350,6 +444,10 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
+    "q4_priority_late_ship": q4_priority_late_ship,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q22_idle_wealthy_customers": q22_idle_wealthy_customers,
     "top_parts_per_brand": top_parts_per_brand,
     "customers_with_orders": customers_with_orders,
     "customers_without_orders": customers_without_orders,
@@ -367,6 +465,37 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "q4_priority_late_ship": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "q13_customer_distribution": """
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        ) GROUP BY c_count
+    """,
+    "q17_small_quantity_revenue": """
+        SELECT round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                               WHERE l2.l_partkey = l1.l_partkey)
+    """,
+    "q22_idle_wealthy_customers": """
+        SELECT c_mktsegment, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -91,3 +91,20 @@ def test_stratified_sample_map_only(spark):
     assert_no_python_eval(df)
     assert_read_schema_only(df, "documents", {"doc_id", "lang"})
     assert "Exchange" not in plan_string(df)
+
+
+def test_q4_semi_join_shape(spark):
+    t = load_tables(spark, SF_DIR)
+    df = relational.q4_priority_late_ship(t)
+    p = plan_string(df)
+    assert "LeftSemi" in p
+    assert_pushed_filter(df, "o_orderdate")
+    assert_no_python_eval(df)
+
+
+def test_q22_anti_join_broadcast(spark):
+    t = load_tables(spark, SF_DIR)
+    df = relational.q22_idle_wealthy_customers(t)
+    p = plan_string(df)
+    assert "LeftAnti" in p
+    assert_broadcast_join(df, min_count=1)
