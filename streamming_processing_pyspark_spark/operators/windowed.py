@@ -172,6 +172,67 @@ def trending_selfjoin(events: DataFrame) -> DataFrame:
     )
 
 
+def funnel_view_click_purchase(events: DataFrame) -> DataFrame:
+    """Ordered funnel: view → click (after the view) → purchase (after the
+    click), counted per stage.
+
+    The three stage timestamps are conditional window minima over the SAME
+    partitioning (user_id), so the sequential Window nodes share one hash
+    shuffle (executed plan: 2 exchanges total, the second being the final
+    single-row agg) — no self-joins, no per-stage passes. The funnel
+    enforces strict event ordering per user, not mere co-occurrence.
+    """
+    w = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    e = (
+        events.select("user_id", "ts", "event_type")
+        .withColumn("t_view", F.min(F.when(et == "view", ts)).over(w))
+    )
+    e = e.withColumn(
+        "t_click",
+        F.min(F.when((et == "click") & (ts > F.col("t_view")), ts)).over(w),
+    )
+    e = e.withColumn(
+        "t_purchase",
+        F.min(F.when((et == "purchase") & (ts > F.col("t_click")), ts)).over(w),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view_users"),
+        F.count("t_click").alias("n_click_users"),
+        F.count("t_purchase").alias("n_purchase_users"),
+    )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct actives
+    per day offset (0..7).
+
+    First-seen is one groupBy(user); the join back is on the same key, so
+    with AQE the second shuffle reuses the first's partitioning. The
+    offset cap bounds output width regardless of the time span.
+    """
+    e = events.select("user_id", F.to_date("ts").alias("d"))
+    first_seen = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        e.join(first_seen, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_day"))
+        .where(F.col("day_offset") <= 7)
+        .groupBy(
+            # as yyyy-MM-dd text: Spark DateType and DuckDB DATE reach
+            # pandas as different dtypes, so the comparable form is the
+            # ISO string (also the natural partition-directory key).
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def with_coordinates(events: DataFrame) -> DataFrame:
     """Attach the deterministic synthetic (lon, lat) used by geofence queries."""
     return events.withColumn("lon", F.expr(LON_SQL)).withColumn("lat", F.expr(LAT_SQL))
@@ -257,6 +318,42 @@ ORACLES: dict[str, str] = {
         "SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, count(*) AS cnt "
         "FROM events GROUP BY ALL"
     ),
+    "funnel_view_click_purchase": """
+        WITH e AS (
+          SELECT user_id, ts, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+          FROM events
+        ), e2 AS (
+          SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view
+                             THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_click
+          FROM e
+        ), e3 AS (
+          SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                             THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_purchase
+          FROM e2
+        ), per_user AS (
+          SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+                 max(t_purchase) AS t_purchase
+          FROM e3 GROUP BY user_id
+        )
+        SELECT count(t_view) AS n_view_users,
+               count(t_click) AS n_click_users,
+               count(t_purchase) AS n_purchase_users
+        FROM per_user
+    """,
+    "retention_cohorts": """
+        WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        fs AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+               CAST(date_diff('day', cohort_day, d) AS INTEGER) AS day_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM e JOIN fs ON e.user_id = fs.user_id
+        WHERE date_diff('day', cohort_day, d) <= 7
+        GROUP BY ALL
+    """,
     "trending": _TREND_ORACLE,
     "trending_selfjoin": _TREND_ORACLE,
     "geofence_counts": (
@@ -277,6 +374,8 @@ QUERIES = {
     "hourly_counts_by_key": hourly_counts_by_key,
     "counts_10min_by_key": counts_10min_by_key,
     "sliding_hourly_counts": sliding_hourly_counts,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "retention_cohorts": retention_cohorts,
     "hour_of_day_counts": hour_of_day_counts,
     "trending": trending,
     "trending_selfjoin": trending_selfjoin,
