@@ -55,6 +55,38 @@ def cosine_topk(t: Tables) -> DataFrame:
     )
 
 
+FILTER_LABEL = 3
+
+
+def filtered_cosine_topk(t: Tables) -> DataFrame:
+    """Metadata-filtered vector search: top-k among rows matching a
+    predicate (label = FILTER_LABEL), ranked by cosine to the query vector.
+
+    The filtered-ANN shape every retrieval stack needs (filter + rank in
+    one plan). Pre-filtering is the right order at scale: the predicate
+    prunes before any distance math, reaches the parquet scan as a pushed
+    filter, and the top-k is a TakeOrderedAndProject. With an IVF/LSH
+    index the same predicate gates the candidate set instead.
+    """
+    emb = t["embeddings"].select(
+        "vec_id", "label", as_double("embedding").alias("vec")
+    )
+    qvec = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec").alias("qvec")
+    )
+    return (
+        emb.where((F.col("label") == FILTER_LABEL) & (F.col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )
+
+
 def embedding_near_dup_pairs(t: Tables) -> DataFrame:
     """All embedding pairs with cosine ≥ 0.95 — blocked BLAS matmul.
 
@@ -292,6 +324,15 @@ ORACLES: dict[str, str] = {
         ORDER BY cos_sim DESC, a.vec_id
         LIMIT {TOPK}
     """,
+    "filtered_cosine_topk": f"""
+        SELECT a.vec_id AS vec_id, a.label AS label,
+               {_COS_DUCK.replace('b.embedding', 'q.embedding')} AS cos_sim
+        FROM embeddings a,
+             (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE a.label = {FILTER_LABEL} AND a.vec_id != {QUERY_VEC_ID}
+        ORDER BY cos_sim DESC, a.vec_id
+        LIMIT {TOPK}
+    """,
     "embedding_near_dup_pairs": f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_DUCK} AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -317,6 +358,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "cosine_topk": cosine_topk,
+    "filtered_cosine_topk": filtered_cosine_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lsh_bucketed_pairs": lsh_bucketed_pairs,
     "ivf_topk": ivf_topk,
