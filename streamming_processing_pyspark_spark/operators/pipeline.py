@@ -233,6 +233,27 @@ def dedup_clusters(t: Tables) -> DataFrame:
     )
 
 
+def dedup_canonical_docs(t: Tables) -> DataFrame:
+    """The dedup pipeline's OUTPUT: doc_ids that survive near-dup removal.
+
+    A document survives iff it is not in any near-dup cluster, or it is
+    its cluster's representative (the min doc_id — the component label
+    from :func:`dedup_clusters`). This is the set a training pipeline
+    feeds downstream; at 100 TB the cluster map is a small fraction of
+    the corpus, so the final filter is a broadcast-able left join.
+    """
+    clusters = dedup_clusters(t)
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(F.broadcast(clusters), "doc_id", "left")
+        .where(
+            F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+        )
+        .select("doc_id")
+    )
+
+
 _RATE_CASE = " ".join(
     f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items()
 )
@@ -316,6 +337,26 @@ ORACLES: dict[str, str] = {
         SELECT node AS doc_id, min(lab) AS component
         FROM reach GROUP BY node
     """,
+    "dedup_canonical_docs": f"""
+        WITH RECURSIVE {_SHINGLE_DUCK},
+        jp AS (
+          SELECT id_a, id_b
+          FROM p JOIN n na ON p.id_a = na.doc_id
+                 JOIN n nb ON p.id_b = nb.doc_id
+          WHERE round(common * 1.0 / (na.n + nb.n - common), 4)
+                >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (SELECT id_a AS s, id_b AS d FROM jp
+                  UNION SELECT id_b, id_a FROM jp),
+        reach(node, lab) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+        ),
+        comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+        SELECT doc_id FROM documents LEFT JOIN comp ON doc_id = comp.node
+        WHERE component IS NULL OR component = doc_id
+    """,
 }
 
 QUERIES = {
@@ -325,4 +366,5 @@ QUERIES = {
     "heavy_hitter_bigrams": heavy_hitter_bigrams,
     "regex_scrub": regex_scrub,
     "dedup_clusters": dedup_clusters,
+    "dedup_canonical_docs": dedup_canonical_docs,
 }
