@@ -54,9 +54,9 @@ def repetition_filter(t: Tables) -> DataFrame:
     ``dup_token_ratio`` (1 − distinct/total) and ``top_token_ratio``
     (most-frequent token share) are the token-level analogues of the
     duplicate-line / top-n-gram fractions in Rae et al. 2021 (Gopher,
-    §A1.1). Two groupBy stages, both with map-side combine; the second
-    groups on ``doc_id`` so it re-uses the first's hash partitioning
-    (no extra exchange under AQE).
+    §A1.1). Two groupBy stages, both with map-side combine; the first
+    exchange carries the exploded tokens, the second only the already
+    reduced per-(doc, word) counts (PLANS.md: 2 shuffles, 3 codegen spans).
     """
     tok = t["documents"].select("doc_id", F.explode(words("text")).alias("w"))
     per_word = tok.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))

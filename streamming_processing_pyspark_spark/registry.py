@@ -87,6 +87,23 @@ def streaming_counts_10min_by_key(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(table)
 
 
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sliding_hourly_counts as a streaming query: overlapping-window
+    stateful aggregation (each event updates 4 window states)."""
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_to_memory
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+    q, table = run_to_memory(agg, "complete")
+    q.stop()
+    return spark.table(table)
+
+
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window_counts as a REAL streaming query: stateful session
     windows (merging state across micro-batches) drained in complete mode."""
@@ -104,9 +121,11 @@ _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_geofence_hourly": streaming_geofence_hourly,
     "streaming_counts_10min_by_key": streaming_counts_10min_by_key,
     "streaming_session_counts": streaming_session_counts,
+    "streaming_sliding_counts": streaming_sliding_counts,
 }
 
 _STREAMING_ORACLES: dict[str, str] = {
+    "streaming_sliding_counts": windowed.ORACLES["sliding_hourly_counts"],
     "streaming_hourly_counts": windowed.ORACLES["hourly_counts"],
     "streaming_geofence_hourly": windowed.ORACLES["geofence_hourly_counts"],
     "streaming_counts_10min_by_key": windowed.ORACLES["counts_10min_by_key"],
