@@ -1,0 +1,298 @@
+"""TPC-H breadth, part 3 — multi-nation joins, market share, scalar-max
+subquery, and disjunctive predicate pushdown (Q7/Q8/Q9/Q15/Q19 analogues).
+
+Like ``relational.py``/``relational2.py``, every query is declared through
+the DataFrame API so Catalyst handles join ordering, broadcast selection,
+and pushdown; the DuckDB oracle is the ANSI-SQL statement of the same
+semantics. Schema deltas vs. real TPC-H (no partsupp table, no
+l_commitdate/l_receiptdate/l_shipmode columns in the driver's testdata)
+mean Q2/Q11/Q12/Q16/Q20/Q21 are not expressible; Q9's profit term drops
+the ps_supplycost subtraction for the same reason.
+
+Reference scope note: the reference (SURVEY.md §2.4) has exactly one join —
+the Task4 self-join (`Task4.py:126-132`); everything here is §2.10 gap-list
+surface a relational engine is expected to provide.
+
+Scale notes inline per query. All dimension tables here (region, nation,
+customer, supplier, part at these SFs' relative sizes) broadcast so the
+lineitem scan joins shuffle-free except the unavoidable
+lineitem↔orders orderkey shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Tables = dict[str, DataFrame]
+
+
+def q7_volume_shipping(t: Tables) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between two nations per year.
+
+    lineitem→supplier→nation gives the shipping nation; orders→customer→
+    nation gives the receiving nation. Both nation paths broadcast; the
+    only shuffles are lineitem↔orders (orderkey) and the final 4-group
+    aggregate. The symmetric nation-pair filter ((A,B) or (B,A)) is a
+    residual predicate on broadcast-joined columns — no extra pass.
+    """
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        t["lineitem"]
+        .where(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .where(F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair | rpair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q8_market_share(t: Tables) -> DataFrame:
+    """TPC-H Q8-style: NATION_3's share of ECONOMY-part revenue inside
+    region ASIA, per order year.
+
+    Conditional aggregation (share = sum(when nation)/sum(all)) replaces
+    Q8's correlated subquery — one aggregate pass, no second scan. part is
+    filtered before broadcast so the hash table ships only matching keys.
+    """
+    asia_cust = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].where(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_product_profit(t: Tables) -> DataFrame:
+    """TPC-H Q9-style: profit per supplier-nation per year for parts whose
+    name contains a color word (here: p_name LIKE '%red%').
+
+    Adapted: testdata has no partsupp, so profit omits the
+    ps_supplycost*l_quantity term and is revenue = extprice*(1-disc).
+    Exercises the Q9 plan shape regardless: part-name LIKE filter pushed
+    into the broadcast build side, two broadcast dims on the fact scan,
+    group by (nation, year).
+    """
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].where(F.col("p_name").like("%red%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_profit")
+        )
+    )
+
+
+def q15_top_supplier(t: Tables) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with maximum revenue in a quarter.
+
+    The view + scalar-max subquery becomes: aggregate once, then join the
+    per-supplier aggregate to its own broadcast global max (one scalar row)
+    — no single-partition window, no second lineitem scan. Ties surface
+    naturally (no arbitrary pick).
+    """
+    rev = (
+        t["lineitem"]
+        .where(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .where(F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.join(
+        F.broadcast(rev.agg(F.max("total_revenue").alias("max_rev")))
+    ).where(F.col("total_revenue") == F.col("max_rev"))
+    return top.join(
+        F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+def q19_discounted_revenue(t: Tables) -> DataFrame:
+    """TPC-H Q19-style: disjunction of brand×quantity-band conjunctions.
+
+    The classic OR-of-ANDs predicate: Catalyst extracts the common
+    ``l_partkey = p_partkey`` equi-key so this still plans as a hash join
+    (broadcast on the filtered part side), with the disjunction left as a
+    post-join residual; the quantity bounds are pushed to the lineitem scan
+    as ``l_quantity >= 1 AND l_quantity <= 30`` (the disjunction's hull).
+    """
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """,
+    "q8_market_share": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'ECONOMY'
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    "q9_product_profit": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """,
+    "q15_top_supplier": """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    "q19_discounted_revenue": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#12' AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 20 AND 30)
+    """,
+}
+
+QUERIES = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q15_top_supplier": q15_top_supplier,
+    "q19_discounted_revenue": q19_discounted_revenue,
+}

@@ -23,6 +23,7 @@ from .operators import (
     pipeline,
     relational,
     relational2,
+    relational3,
     similarity,
     text,
     udtf,
@@ -136,6 +137,7 @@ _STREAMING_ORACLES: dict[str, str] = {
 _TABLE_MODULES = (
     relational,
     relational2,
+    relational3,
     asof,
     text,
     udtf,
