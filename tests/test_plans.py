@@ -108,3 +108,40 @@ def test_q22_anti_join_broadcast(spark):
     p = plan_string(df)
     assert "LeftAnti" in p
     assert_broadcast_join(df, min_count=1)
+
+
+def test_q7_broadcasts_all_dims(spark):
+    from streamming_processing_pyspark_spark.operators import relational3
+
+    t = load_tables(spark, SF_DIR)
+    df = relational3.q7_volume_shipping(t)
+    # supplier, customer, nation×2 all broadcast
+    assert_broadcast_join(df, min_count=4)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_no_python_eval(df)
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    from streamming_processing_pyspark_spark.operators import relational3
+
+    t = load_tables(spark, SF_DIR)
+    df = relational3.q19_discounted_revenue(t)
+    # the OR-of-ANDs must not force a nested-loop join: the common
+    # l_partkey = p_partkey equi-key keeps it a broadcast hash join
+    assert_broadcast_join(df, min_count=1)
+    s = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in s, s
+    assert "CartesianProduct" not in s, s
+
+
+def test_q15_single_lineitem_scan(spark):
+    from streamming_processing_pyspark_spark.operators import relational3
+
+    t = load_tables(spark, SF_DIR)
+    df = relational3.q15_top_supplier(t)
+    s = plan_string(df)
+    # scalar-max via broadcast of the reused aggregate: lineitem is scanned
+    # per branch of the self-join of `rev`, never more (2 scans max — AQE
+    # may dedupe via exchange reuse at runtime)
+    assert s.count("lineitem.parquet") <= 2, s
+    assert_pushed_filter(df, "l_shipdate")
