@@ -1,0 +1,185 @@
+"""Training-data-pipeline operators, part 2: chunking, quantization,
+decontamination.
+
+Three more corpus-curation stages a pretraining pipeline runs at 100 TB
+(continuing ``pipeline.py``; the reference has no document pipeline — these
+are BASELINE.json north-star extensions, designed Spark-first):
+
+- :func:`doc_chunks` — fixed-length token windows with overlap (the
+  "split long documents into training sequences" step). Pure Catalyst:
+  ``posexplode(sequence(...))`` + ``slice`` keeps the whole expansion
+  JVM-side and map-only — each input row expands independently, no
+  shuffle at all.
+- :func:`embedding_quantize` — per-vector symmetric int8 quantization
+  (max-abs scale), plus reconstruction-error audit. Higher-order
+  ``aggregate``/``transform`` over the ``array<float>`` column — map-only,
+  no Python. The audit columns (checksum + max error) are what you ship to
+  a data-quality dashboard when you quantize a 10B-vector corpus.
+- :func:`benchmark_contamination` — n-gram-overlap decontamination: flag
+  corpus documents sharing any word-3-gram shingle with a held-out
+  benchmark set (stand-in: ``doc_id % 50 == 0``). The benchmark side is
+  tiny by construction, so its distinct shingle set **broadcasts** and the
+  corpus-side probe is map-side — one groupBy(doc_id) shuffle of
+  already-matched rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _SHINGLE_DUCK, _exploded_shingles, _shingles
+
+Tables = dict[str, DataFrame]
+
+#: token-window chunking: 64-token chunks starting every 48 tokens
+#: (16-token overlap between consecutive chunks).
+CHUNK_LEN = 64
+CHUNK_STRIDE = 48
+
+#: every 50th doc_id plays the held-out benchmark set.
+CONTAM_BENCH_MOD = 50
+
+
+def doc_chunks(t: Tables) -> DataFrame:
+    """Overlapping fixed-length token chunks per document.
+
+    One chunk starts every ``CHUNK_STRIDE`` tokens; each spans up to
+    ``CHUNK_LEN``. ``chunk_md5`` stands in for the chunk payload so the
+    oracle compares fixed-width values instead of shipping token arrays.
+    Map-only (PLANS.md: 0 shuffles) — the expansion factor is
+    ~n_tokens/stride per row, amortized by Spark's per-partition pipelining.
+    """
+    ws = F.split(F.trim("text"), r"\s+")
+    d = t["documents"].select("doc_id", ws.alias("ws"))
+    starts = F.sequence(F.lit(1), F.size("ws"), F.lit(CHUNK_STRIDE))
+    chunk = F.slice(F.col("ws"), F.col("start"), CHUNK_LEN)
+    return d.select(
+        "doc_id", "ws", F.posexplode(starts).alias("chunk_id", "start")
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+def embedding_quantize(t: Tables) -> DataFrame:
+    """Symmetric int8 quantization audit per embedding vector.
+
+    ``scale`` = max |x|; each element quantizes to
+    ``floor(127·x/scale + 0.5)`` (floor(x+0.5) — identical IEEE semantics
+    in Spark and DuckDB, unlike engine-specific ``round``). ``q_sum``
+    checksums the quantized vector; ``max_abs_err`` is the worst
+    reconstruction error — the quality bound you'd monitor corpus-wide.
+    """
+    e = t["embeddings"]
+    scale = F.expr(
+        "aggregate(embedding, cast(0 as double),"
+        " (acc, x) -> greatest(acc, abs(cast(x as double))))"
+    )
+    d = e.select("vec_id", "embedding", scale.alias("scale"))
+    q = (
+        "floor(127 * cast(x as double) / scale + 0.5)"
+    )
+    q_sum = F.expr(
+        f"aggregate(embedding, cast(0 as bigint), (acc, x) -> acc + cast({q} as bigint))"
+    )
+    max_err = F.expr(
+        "aggregate(embedding, cast(0 as double), (acc, x) -> "
+        f"greatest(acc, abs(cast(x as double) - {q} * scale / 127)))"
+    )
+    return d.where(F.col("scale") > 0).select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        q_sum.alias("q_sum"),
+        F.round(max_err, 6).alias("max_abs_err"),
+    )
+
+
+def benchmark_contamination(t: Tables) -> DataFrame:
+    """Benchmark-overlap contamination scores for corpus documents.
+
+    Returns every non-benchmark document with ≥3 tokens: its distinct
+    3-gram count, how many of those appear in any benchmark document, and
+    the contamination flag. At 100 TB the benchmark shingle set stays
+    KB–MB-sized → broadcast; only matched rows reach the count shuffle.
+    """
+    docs = t["documents"]
+    is_bench = (F.col("doc_id") % CONTAM_BENCH_MOD) == 0
+    bench_sh = (
+        _exploded_shingles(docs.where(is_bench))
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = _shingles(docs.where(~is_bench)).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    return (
+        corpus.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_shared"),
+        )
+        .withColumn("contaminated", F.col("n_shared") > 0)
+    )
+
+
+ORACLES: dict[str, str] = {
+    "doc_chunks": f"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST((start - 1) / {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+               CAST(start AS INTEGER) AS start,
+               CAST(len(list_slice(ws, start, start + {CHUNK_LEN} - 1)) AS INTEGER)
+                 AS n_chunk_tokens,
+               md5(array_to_string(
+                 list_slice(ws, start, start + {CHUNK_LEN} - 1), ' ')) AS chunk_md5
+        FROM w, unnest(generate_series(1, len(ws), {CHUNK_STRIDE})) AS u(start)
+    """,
+    "embedding_quantize": """
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   AS scale
+          FROM embeddings
+        )
+        SELECT vec_id,
+               round(scale, 6) AS scale_r,
+               CAST(list_sum(list_transform(embedding,
+                 x -> CAST(floor(127 * CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))
+                 AS BIGINT) AS q_sum,
+               round(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)
+                          - floor(127 * CAST(x AS DOUBLE) / scale + 0.5)
+                            * scale / 127))), 6) AS max_abs_err
+        FROM s WHERE scale > 0
+    """,
+    "benchmark_contamination": f"""
+        WITH {_SHINGLE_DUCK},
+        bench AS (
+          SELECT DISTINCT sh FROM e WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+        )
+        SELECT e.doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared,
+               sum(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END) > 0
+                 AS contaminated
+        FROM e LEFT JOIN bench ON e.sh = bench.sh
+        WHERE e.doc_id % {CONTAM_BENCH_MOD} != 0
+        GROUP BY e.doc_id
+    """,
+}
+
+QUERIES = {
+    "doc_chunks": doc_chunks,
+    "embedding_quantize": embedding_quantize,
+    "benchmark_contamination": benchmark_contamination,
+}

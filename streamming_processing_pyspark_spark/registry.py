@@ -21,6 +21,7 @@ from .operators import (
     dedup,
     multimodal,
     pipeline,
+    pipeline2,
     relational,
     relational2,
     relational3,
@@ -138,6 +139,7 @@ _TABLE_MODULES = (
     relational,
     relational2,
     relational3,
+    pipeline2,
     asof,
     text,
     udtf,
