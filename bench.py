@@ -53,6 +53,9 @@ HEADLINE = [
     "token_pack_bins",
     "heavy_hitter_bigrams",
     "dedup_clusters",
+    "doc_chunks",
+    "benchmark_contamination",
+    "q7_volume_shipping",
 ]
 
 

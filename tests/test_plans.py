@@ -145,3 +145,34 @@ def test_q15_single_lineitem_scan(spark):
     # may dedupe via exchange reuse at runtime)
     assert s.count("lineitem.parquet") <= 2, s
     assert_pushed_filter(df, "l_shipdate")
+
+
+def test_doc_chunks_map_only(spark):
+    from streamming_processing_pyspark_spark.operators import pipeline2
+
+    t = load_tables(spark, SF_DIR)
+    df = pipeline2.doc_chunks(t)
+    s = plan_string(df)
+    assert "Exchange" not in s, s  # chunk expansion must not shuffle
+    assert_no_python_eval(df)
+    assert_read_schema_only(df, "documents", {"doc_id", "text"})
+
+
+def test_embedding_quantize_map_only(spark):
+    from streamming_processing_pyspark_spark.operators import pipeline2
+
+    t = load_tables(spark, SF_DIR)
+    df = pipeline2.embedding_quantize(t)
+    s = plan_string(df)
+    assert "Exchange" not in s, s
+    assert_no_python_eval(df)
+
+
+def test_benchmark_contamination_broadcasts_bench(spark):
+    from streamming_processing_pyspark_spark.operators import pipeline2
+
+    t = load_tables(spark, SF_DIR)
+    df = pipeline2.benchmark_contamination(t)
+    assert_broadcast_join(df, min_count=1)
+    s = plan_string(df)
+    assert "SortMergeJoin" not in s, s  # probe side must stay map-side
