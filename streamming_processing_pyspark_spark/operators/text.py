@@ -24,6 +24,7 @@ from ..functions.text import (
     raw_tokens,
     stopword_hits,
     token_count,
+    words,
 )
 
 Tables = dict[str, DataFrame]
@@ -128,6 +129,64 @@ def array_functions_showcase(t: Tables) -> DataFrame:
     )
 
 
+def tfidf_top_terms(t: Tables) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    ``score = (cnt · N) / (n_tokens · df)`` — raw-ratio idf instead of the
+    usual ``ln(N/df)`` so both engines compute the identical IEEE double
+    (one division of exact integer products; ``ln`` differs in the last ulp
+    across libms and would make rank order engine-dependent). Plan shape:
+    per-(doc, term) counts (one shuffle), document-frequency vocabulary
+    (second aggregate — vocabulary-sized, broadcast back), per-doc top-k via
+    rank window partitioned by doc_id — each stage partial-aggregates
+    map-side, and the vocab join never shuffles the corpus side again.
+    """
+    from pyspark.sql.window import Window
+
+    docs = t["documents"]
+    n_docs = docs.count()  # scalar; at 100 TB read from table stats instead
+    tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    per_doc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    doc_len = per_doc.groupBy("doc_id").agg(F.sum("cnt").alias("n_tokens"))
+    df_tbl = per_doc.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    score = (F.col("cnt") * F.lit(n_docs)) / (F.col("n_tokens") * F.col("doc_freq"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        per_doc.join(doc_len, "doc_id")
+        .join(F.broadcast(df_tbl), "term")
+        .withColumn("tfidf", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_N)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf_r"), "rank")
+    )
+
+
+def source_quality_rollup(t: Tables) -> DataFrame:
+    """Per-source corpus health rollup (the "drop bad domains" input).
+
+    One groupBy over per-document scalars — every metric is computed
+    inline (no joins), so the only shuffle carries one row per document.
+    """
+    d = t["documents"]
+    n_tok = F.size(words("text"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(n_tok), 2).alias("avg_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(
+                F.avg((F.length("text") / n_tok)), 4
+            ).alias("avg_token_len"),
+        )
+    )
+
+
 def _stopword_hits_duck(lang: str) -> str:
     in_list = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
     return (
@@ -148,11 +207,41 @@ def _lang_case_duck() -> str:
 
 
 _NTOK_DUCK = "CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)"
+
+TFIDF_TOP_N = 3
 _ALPHA_DUCK = (
     "round(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text), 4)"
 )
 
 ORACLES: dict[str, str] = {
+    "tfidf_top_terms": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+          FROM documents
+        ),
+        pd AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(cnt) AS n_tokens FROM pd GROUP BY 1),
+        dfq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM pd GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        sc AS (
+          SELECT pd.doc_id, pd.term,
+                 (pd.cnt * nd.n_docs) / (dl.n_tokens * dfq.doc_freq) AS tfidf
+          FROM pd JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN nd
+        )
+        SELECT doc_id, term, round(tfidf, 6) AS tfidf_r,
+               CAST(row_number() OVER (
+                 PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+               ) AS INTEGER) AS rank
+        FROM sc QUALIFY rank <= {TFIDF_TOP_N}
+    """,
+    "source_quality_rollup": f"""
+        SELECT source, count(*) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars,
+               round(avg({_NTOK_DUCK}), 2) AS avg_tokens,
+               count(DISTINCT lang) AS n_langs,
+               round(avg(length(text) * 1.0 / {_NTOK_DUCK}), 4) AS avg_token_len
+        FROM documents GROUP BY source
+    """,
     "word_counts": """
         SELECT word, count(*) AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -218,6 +307,8 @@ QUERIES = {
     "word_counts": word_counts,
     "token_stats": token_stats,
     "quality_scores": quality_scores,
+    "tfidf_top_terms": tfidf_top_terms,
+    "source_quality_rollup": source_quality_rollup,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
     "sentiment_scores": sentiment_scores,
