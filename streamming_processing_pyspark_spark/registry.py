@@ -118,12 +118,39 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def streaming_trending_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful trend detection (applyInPandasWithState) driven
+    end-to-end as a streaming query. Emission is first-time-true per
+    (key, window); at sf the events table is one parquet file → one
+    micro-batch, so the final emitted set equals batch ``trending``
+    semantics and shares its oracle."""
+    from .operators.windowed import TREND_MIN_COUNT, TREND_WINDOW_SECONDS
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_to_memory
+    from .streaming.trend import trending_stateful
+
+    ev = stream_events(spark, sf_dir)
+    out = trending_stateful(
+        ev,
+        key_col="event_type",
+        ts_col="ts",
+        window_seconds=TREND_WINDOW_SECONDS,
+        min_count=TREND_MIN_COUNT,
+    )
+    q, table = run_to_memory(out, "append")
+    q.stop()
+    return spark.table(table).select(
+        F.col("key").alias("event_type"), "window_start", "cnt", "prev_cnt"
+    )
+
+
 _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_geofence_hourly": streaming_geofence_hourly,
     "streaming_counts_10min_by_key": streaming_counts_10min_by_key,
     "streaming_session_counts": streaming_session_counts,
     "streaming_sliding_counts": streaming_sliding_counts,
+    "streaming_trending_stateful": streaming_trending_stateful,
 }
 
 _STREAMING_ORACLES: dict[str, str] = {
@@ -132,6 +159,7 @@ _STREAMING_ORACLES: dict[str, str] = {
     "streaming_geofence_hourly": windowed.ORACLES["geofence_hourly_counts"],
     "streaming_counts_10min_by_key": windowed.ORACLES["counts_10min_by_key"],
     "streaming_session_counts": relational2.ORACLES["session_window_counts"],
+    "streaming_trending_stateful": windowed.ORACLES["trending"],
 }
 
 #: modules whose queries take the full tables dict
