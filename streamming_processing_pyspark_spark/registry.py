@@ -144,6 +144,52 @@ def streaming_trending_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: each view event joined to
+    the same user's purchase events within the following 10 minutes. Inner
+    join → every match emits exactly once; at sf the single-file source
+    makes one micro-batch, so the drained result is the complete join and
+    the plain-SQL oracle applies."""
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_to_memory
+
+    views = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+    )
+    q, table = run_to_memory(joined, "append")
+    q.stop()
+    return spark.table(table)
+
+
 _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_geofence_hourly": streaming_geofence_hourly,
@@ -151,6 +197,7 @@ _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_session_counts": streaming_session_counts,
     "streaming_sliding_counts": streaming_sliding_counts,
     "streaming_trending_stateful": streaming_trending_stateful,
+    "streaming_interval_join": streaming_interval_join,
 }
 
 _STREAMING_ORACLES: dict[str, str] = {
@@ -160,6 +207,15 @@ _STREAMING_ORACLES: dict[str, str] = {
     "streaming_counts_10min_by_key": windowed.ORACLES["counts_10min_by_key"],
     "streaming_session_counts": relational2.ORACLES["session_window_counts"],
     "streaming_trending_stateful": windowed.ORACLES["trending"],
+    "streaming_interval_join": """
+        SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+               v.user_id, v.ts AS view_ts, p.ts AS purchase_ts
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 10 MINUTE
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
 }
 
 #: modules whose queries take the full tables dict
