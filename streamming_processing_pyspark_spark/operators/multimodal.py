@@ -97,7 +97,71 @@ def decode_media_stub(t: Tables) -> DataFrame:
     )
 
 
+FRAME_SAMPLE_EVERY = 4
+
+FRAME_SCHEMA = "doc_id bigint, frame_id int, frame_len int, frame_checksum int"
+
+
+def frame_sample(t: Tables) -> DataFrame:
+    """Frame sampling over the binary payload: keep every k-th frame.
+
+    The video-pipeline shape — payload is segmented into fixed
+    ``FRAME_BYTES`` frames and only every ``FRAME_SAMPLE_EVERY``-th frame
+    survives (the "sample 1 fps" step). Arrow-batched ``mapInPandas``
+    expansion, map-only: each doc emits its kept frames independently, no
+    shuffle. Locally the per-frame features are integer checksums so the
+    oracle can recompute them from the source text.
+    """
+
+    def _frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fids, flens, fsums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fid in range(0, (len(payload) - 1) // FRAME_BYTES + 1):
+                    if fid % FRAME_SAMPLE_EVERY:
+                        continue
+                    frame = payload[fid * FRAME_BYTES : (fid + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    fids.append(fid)
+                    flens.append(len(frame))
+                    fsums.append(sum(frame) % CHECKSUM_MOD)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_id": pd.Series(fids, dtype="int32"),
+                    "frame_len": pd.Series(flens, dtype="int32"),
+                    "frame_checksum": pd.Series(fsums, dtype="int32"),
+                }
+            )
+
+    payload = with_binary_payload(t["documents"])
+    return payload.select("doc_id", "payload").mapInPandas(
+        _frames, schema=FRAME_SCHEMA
+    )
+
+
 ORACLES: dict[str, str] = {
+    "frame_sample": f"""
+        WITH f AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(0, (length(text) - 1) // {FRAME_BYTES}))
+                   AS frame_id
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(frame_id AS INTEGER) AS frame_id,
+               CAST(length(substring(text, frame_id * {FRAME_BYTES} + 1,
+                    {FRAME_BYTES})) AS INTEGER) AS frame_len,
+               CAST(list_sum(list_transform(
+                    generate_series(1, length(substring(text,
+                      frame_id * {FRAME_BYTES} + 1, {FRAME_BYTES}))),
+                    i -> ascii(substring(substring(text,
+                      frame_id * {FRAME_BYTES} + 1, {FRAME_BYTES}), i, 1))))
+                    % {CHECKSUM_MOD} AS INTEGER) AS frame_checksum
+        FROM f WHERE frame_id % {FRAME_SAMPLE_EVERY} = 0
+    """,
     "multimodal_features": f"""
         SELECT doc_id,
                CAST(length(text) AS INTEGER) AS byte_len,
@@ -111,4 +175,5 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "multimodal_features": multimodal_features,
+    "frame_sample": frame_sample,
 }
