@@ -1,0 +1,217 @@
+"""Event-stream path analytics over the ``events`` table.
+
+Extends the reference's windowed-count surface (``Task2-4`` — SURVEY.md
+§2.5-2.6) with the sequence-shaped analytics a production event pipeline
+runs next: transition matrices, conversion latency, anomaly flags, and
+sketch-based distinct counts.
+
+Scale posture (100 TB): every query here makes exactly ONE input-sized
+shuffle — the ``Window.partitionBy("user_id")`` sort or the groupBy hash
+exchange — and every later step operates on the already-reduced frame
+(transition matrix ≤ |types|², hourly frame ≤ hours-in-range rows).
+``hll_user_sketches`` is the mergeable-sketch path: per-partition HLL
+sketches combine associatively, so the same query runs map-side-partial
+on 1000 executors with a constant-size shuffle payload per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Consecutive-event ordering: (ts, event_id) — event_id breaks timestamp
+# ties deterministically (both engines sort identically on the pair).
+_BY_TIME = ["ts", "event_id"]
+
+
+def event_transitions(tables: dict[str, DataFrame]) -> DataFrame:
+    """Per-user consecutive event-type transition counts (Markov matrix).
+
+    One sort-shuffle on ``user_id`` for the lag; the transition matrix
+    itself is ≤ |event_types|² rows, so the final groupBy is a no-op
+    shuffle of a tiny frame.
+    """
+    ev = tables["events"]
+    w = Window.partitionBy("user_id").orderBy(*_BY_TIME)
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+def event_path_trigrams(tables: dict[str, DataFrame]) -> DataFrame:
+    """Counts of consecutive event-type trigrams per user stream.
+
+    Same single sort-shuffle as :func:`event_transitions`; two stacked
+    ``lag`` calls reuse one window sort (Catalyst plans a single
+    ``WindowExec`` for same-spec functions).
+    """
+    ev = tables["events"]
+    w = Window.partitionBy("user_id").orderBy(*_BY_TIME)
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t1", F.lag("event_type", 2).over(w))
+        .withColumn("t2", F.lag("event_type", 1).over(w))
+        .where(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", F.col("event_type").alias("t3"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def conversion_latency(tables: dict[str, DataFrame]) -> DataFrame:
+    """Seconds from each user's first ``view`` to the first ``purchase``
+    after it.
+
+    Two-phase: a per-user window computes the first view timestamp, then a
+    plain groupBy finds the earliest later purchase — both land on the same
+    ``user_id`` hash/sort partitioning, so AQE reuses one exchange. Latency
+    is computed on integer epoch seconds (``cast(ts as long)`` floors, and
+    DuckDB's ``date_diff('second', …)`` counts the same boundary crossings)
+    so the result is bit-exact across engines.
+    """
+    ev = tables["events"]
+    w = Window.partitionBy("user_id")
+    with_view = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    per_user = (
+        with_view.groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+        )
+        .where(F.col("t_purchase").isNotNull())
+    )
+    return per_user.select(
+        "user_id",
+        (
+            F.col("t_purchase").cast("long") - F.col("t_view").cast("long")
+        ).alias("latency_sec"),
+    )
+
+
+def hourly_count_anomalies(tables: dict[str, DataFrame]) -> DataFrame:
+    """Hours whose event count deviates > 2 standard deviations from the
+    all-hours mean.
+
+    The z-score test is evaluated ENTIRELY in int64 arithmetic —
+    ``(cnt·n − T)²·(n−1) > 4·n·(n·Σx² − T²)`` is ``|cnt − mean| > 2·σ``
+    cleared of divisions and sqrt — so Spark and the DuckDB oracle agree
+    bit-for-bit (no float rounding at the threshold boundary). The global
+    stats run over the already-aggregated hourly frame (≤ hours-in-range
+    rows), not the input.
+    """
+    ev = tables["events"]
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+    g = Window.partitionBy()
+    stats = (
+        hourly.withColumn("n", F.count("*").over(g))
+        .withColumn("total", F.sum("cnt").over(g))
+        .withColumn("sumsq", F.sum(F.col("cnt") * F.col("cnt")).over(g))
+    )
+    dev = F.col("cnt") * F.col("n") - F.col("total")
+    var_n2 = F.col("n") * F.col("sumsq") - F.col("total") * F.col("total")
+    return (
+        stats.where(dev * dev * (F.col("n") - F.lit(1)) > F.lit(4) * F.col("n") * var_n2)
+        .select("window_start", "cnt")
+    )
+
+
+def hll_user_sketches(tables: dict[str, DataFrame]) -> DataFrame:
+    """Approximate distinct users per event type via Apache DataSketches
+    HLL (``hll_sketch_agg``, Spark 3.5+).
+
+    The sketch (not the raw values) is what crosses the shuffle: constant
+    bytes per (group, partition) regardless of input size, and sketches
+    merge associatively (``hll_union_agg``) across partitions, days, or
+    clusters — the canonical 100 TB distinct-count pattern. No SQL oracle
+    (estimates are engine-specific); tests bound the error vs the exact
+    count instead.
+    """
+    ev = tables["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+            ).alias("approx_users")
+        )
+    )
+
+
+QUERIES = {
+    "event_transitions": event_transitions,
+    "event_path_trigrams": event_path_trigrams,
+    "conversion_latency": conversion_latency,
+    "hourly_count_anomalies": hourly_count_anomalies,
+    "hll_user_sketches": hll_user_sketches,
+}
+
+ORACLES: dict[str, str] = {
+    "event_transitions": """
+        WITH t AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type
+          FROM events
+        )
+        SELECT from_type, event_type AS to_type, count(*) AS n_transitions
+        FROM t WHERE from_type IS NOT NULL GROUP BY ALL
+    """,
+    "event_path_trigrams": """
+        WITH t AS (
+          SELECT user_id, event_type AS t3,
+                 lag(event_type, 2) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS t1,
+                 lag(event_type, 1) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS t2
+          FROM events
+        )
+        SELECT t1, t2, t3, count(*) AS n
+        FROM t WHERE t1 IS NOT NULL GROUP BY ALL
+    """,
+    "conversion_latency": """
+        WITH e AS (
+          SELECT user_id, ts, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+          FROM events
+        ), per_user AS (
+          SELECT user_id, max(t_view) AS t_view,
+                 min(CASE WHEN event_type = 'purchase' AND ts > t_view
+                          THEN ts END) AS t_purchase
+          FROM e GROUP BY user_id
+        )
+        SELECT user_id,
+               date_diff('second', t_view, t_purchase) AS latency_sec
+        FROM per_user WHERE t_purchase IS NOT NULL
+    """,
+    "hourly_count_anomalies": """
+        WITH hourly AS (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                 count(*) AS cnt
+          FROM events GROUP BY ALL
+        ), s AS (
+          SELECT *, count(*) OVER () AS n, sum(cnt) OVER () AS total,
+                 sum(cnt * cnt) OVER () AS sumsq
+          FROM hourly
+        )
+        SELECT window_start, cnt FROM s
+        WHERE (cnt * n - total) * (cnt * n - total) * (n - 1)
+              > 4 * n * (n * sumsq - total * total)
+    """,
+}

@@ -19,6 +19,7 @@ from .functions.geo import classify_sql
 from .operators import (
     asof,
     dedup,
+    events_analytics,
     multimodal,
     pipeline,
     pipeline2,
@@ -224,6 +225,7 @@ _TABLE_MODULES = (
     relational2,
     relational3,
     pipeline2,
+    events_analytics,
     asof,
     text,
     udtf,

@@ -175,3 +175,25 @@ def test_stratified_sample_deterministic(spark):
     a = {r["doc_id"] for r in pipeline.stratified_sample(t).collect()}
     b = {r["doc_id"] for r in pipeline.stratified_sample(t).collect()}
     assert a == b and a
+
+
+def test_hll_sketch_error_bound(spark):
+    """DataSketches HLL estimate must sit within 5% of the exact distinct
+    count (precision 12 ⇒ RSE ≈ 1.6%; 5% is a safe CI bound)."""
+    from streamming_processing_pyspark_spark.operators import events_analytics
+
+    t = load_tables(spark, SF_DIR)
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in events_analytics.hll_user_sketches(t).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= 0.05 * exact[k], (k, est, exact[k])

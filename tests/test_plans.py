@@ -176,3 +176,32 @@ def test_benchmark_contamination_broadcasts_bench(spark):
     assert_broadcast_join(df, min_count=1)
     s = plan_string(df)
     assert "SortMergeJoin" not in s, s  # probe side must stay map-side
+
+
+def test_event_trigrams_single_window_sort(spark):
+    """Both lag() calls share one window spec — the plan must contain
+    exactly ONE Window node (one user_id sort-shuffle), and stay JVM-side."""
+    import re
+
+    from streamming_processing_pyspark_spark.operators import events_analytics
+
+    t = load_tables(spark, SF_DIR)
+    df = events_analytics.event_path_trigrams(t)
+    plan = plan_string(df)
+    windows = re.findall(r"\(\d+\) Window\b", plan)
+    assert len(windows) == 1, plan
+    assert_no_python_eval(df)
+    assert_read_schema_only(
+        df, "events", {"user_id", "ts", "event_id", "event_type"}
+    )
+
+
+def test_hourly_anomalies_aggregate_before_stats(spark):
+    """Global stats must run over the aggregated hourly frame — the plan
+    keeps partial aggregation on the input and no Python eval anywhere."""
+    from streamming_processing_pyspark_spark.operators import events_analytics
+
+    t = load_tables(spark, SF_DIR)
+    df = events_analytics.hourly_count_anomalies(t)
+    assert_partial_aggregation(df)
+    assert_no_python_eval(df)
