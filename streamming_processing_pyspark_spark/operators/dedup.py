@@ -112,6 +112,47 @@ def dedup_keep_first(t: Tables) -> DataFrame:
     )
 
 
+def name_near_dup_pairs(t: Tables) -> DataFrame:
+    """Edit-distance near-duplicate name pairs over ``part``, blocked.
+
+    The classic blocked string-dedup shape: collapse to DISTINCT names
+    first (vocabulary-sized, not row-sized), block on the trailing token,
+    and compare only within blocks — a broadcast self-join of a tiny frame
+    instead of an O(n²) cross product over rows. ``n_pairs`` recovers the
+    row-level pair count from the per-name multiplicities, so the output is
+    equivalent to (but ~|rows/vocab|² cheaper than) comparing raw rows.
+    At 100 TB the same plan holds: the distinct-name frame stays small
+    relative to input and still broadcasts.
+    """
+    names = (
+        t["part"]
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n"))
+        .withColumn("block", F.split("p_name", " ").getItem(1))
+    )
+    a, b = names.alias("a"), F.broadcast(names.alias("b"))
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, F.col("a.block") == F.col("b.block"))
+        .where(F.col("a.p_name") <= F.col("b.p_name"))
+        .where(dist <= NAME_EDIT_MAX)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("edit_dist"),
+            F.when(
+                F.col("a.p_name") == F.col("b.p_name"),
+                (F.col("a.n") * (F.col("a.n") - 1) / 2).cast("long"),
+            )
+            .otherwise(F.col("a.n") * F.col("b.n"))
+            .alias("n_pairs"),
+        )
+    )
+
+
+NAME_EDIT_MAX = 3
+
+
 def _jaccard_from_common(common, na, nb):
     return F.round(common / (na + nb - common), 4)
 
@@ -308,6 +349,21 @@ ORACLES: dict[str, str] = {
     "dedup_keep_first": """
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
     """,
+    "name_near_dup_pairs": """
+        WITH names AS (
+          SELECT p_name, count(*) AS n,
+                 split_part(p_name, ' ', 2) AS block
+          FROM part GROUP BY p_name
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
+               CASE WHEN a.p_name = b.p_name
+                    THEN CAST(a.n * (a.n - 1) / 2 AS BIGINT)
+                    ELSE a.n * b.n END AS n_pairs
+        FROM names a JOIN names b ON a.block = b.block
+        WHERE a.p_name <= b.p_name
+          AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
     "ngram_jaccard_pairs": f"""
         WITH {_SHINGLE_DUCK}
         SELECT id_a, id_b,
@@ -323,6 +379,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "exact_dedup": exact_dedup,
     "dedup_keep_first": dedup_keep_first,
+    "name_near_dup_pairs": name_near_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_fingerprints": simhash_fingerprints,

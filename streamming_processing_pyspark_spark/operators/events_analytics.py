@@ -153,12 +153,46 @@ def hll_user_sketches(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def value_trend_by_type(tables: dict[str, DataFrame]) -> DataFrame:
+    """Least-squares slope of ``value`` vs hour-of-day, per event type.
+
+    Equivalent to ``regr_slope(value, hour(ts))`` but computed from EXACT
+    int64 moment sums (value scaled ×100 to an integer, hour already
+    integral): ``slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)`` with a single
+    float division at the end, so Spark and DuckDB agree bit-for-bit —
+    engine-native ``regr_slope`` differs in float summation order. One
+    map-side-combined shuffle on ``event_type``; the moment sums are the
+    only state, so the same query runs as a streaming aggregation.
+    """
+    ev = tables["events"]
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("v")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        (num / (den * F.lit(100.0))).alias("slope_per_hour"),
+    )
+
+
 QUERIES = {
     "event_transitions": event_transitions,
     "event_path_trigrams": event_path_trigrams,
     "conversion_latency": conversion_latency,
     "hourly_count_anomalies": hourly_count_anomalies,
     "hll_user_sketches": hll_user_sketches,
+    "value_trend_by_type": value_trend_by_type,
 }
 
 ORACLES: dict[str, str] = {
@@ -199,6 +233,22 @@ ORACLES: dict[str, str] = {
         SELECT user_id,
                date_diff('second', t_view, t_purchase) AS latency_sec
         FROM per_user WHERE t_purchase IS NOT NULL
+    """,
+    "value_trend_by_type": """
+        WITH base AS (
+          SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+                 CAST(round(value * 100, 0) AS BIGINT) AS v
+          FROM events
+        ), s AS (
+          SELECT event_type, count(*) AS n, sum(x) AS sx, sum(v) AS sy,
+                 sum(x * x) AS sxx, sum(x * v) AS sxy
+          FROM base GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0)
+                 AS slope_per_hour
+        FROM s
     """,
     "hourly_count_anomalies": """
         WITH hourly AS (
