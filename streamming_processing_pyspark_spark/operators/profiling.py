@@ -1,0 +1,170 @@
+"""Data-profiling operators: single-pass column statistics and mergeable
+per-key argmax.
+
+The data-quality layer a 100 TB ingest runs before anything else. The
+reference has no profiling surface at all (SURVEY.md §2.10); these fill
+that gap with shapes that stay cheap at scale:
+
+- ``events_column_profile`` — null counts, distinct counts, min/max for
+  every column of ``events`` in ONE scan (a single multi-aggregate pass,
+  unpivoted to one row per column via ``stack``). At 100 TB this is the
+  difference between one job and |columns| jobs.
+- ``top_event_by_value_per_user`` — per-key argmax via ``max_by`` over a
+  composite integer rank: a plain map-side-combinable aggregation (one
+  shuffle of one row per key), NOT a sort window. Ties break on event_id
+  so the winner is unique and both engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: value in cents ≤ ~50k, event_id < 1e6 at any test SF → composite fits
+#: int64 with room to spare (cents * 1e9 + id < 5e13, double-exact too).
+_RANK_SCALE = 1_000_000_000
+
+
+def events_column_profile(tables: dict[str, DataFrame]) -> DataFrame:
+    """Per-column profile of ``events`` — one row per column with row
+    count, null count, exact distinct count, and min/max.
+
+    Min/max are computed on the NATIVE type (numeric order, not string
+    order) and rendered afterwards to engine-neutral strings: integers
+    plainly, ``value`` as integer cents, timestamps as ISO seconds.
+    Single pass: one ``agg`` computes every statistic (Catalyst plans the
+    multi-distinct via one Expand — the same strategy DuckDB uses), then
+    the 1-row frame is unpivoted driver-free with ``stack``. The scan is
+    the only input-sized stage regardless of column count.
+    """
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    specs = {
+        "event_id": (F.col("event_id"), lambda c: c.cast("string")),
+        "user_id": (F.col("user_id"), lambda c: c.cast("string")),
+        "event_type": (F.col("event_type"), lambda c: c),
+        "value_cents": (cents, lambda c: c.cast("string")),
+        "ts": (F.col("ts"), lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")),
+    }
+    aggs = [F.count("*").alias("n_rows")]
+    for name, (col, render) in specs.items():
+        aggs += [
+            F.count(col).alias(f"{name}__nn"),
+            F.count_distinct(col).alias(f"{name}__nd"),
+            render(F.min(col)).alias(f"{name}__min"),
+            render(F.max(col)).alias(f"{name}__max"),
+        ]
+    one = tables["events"].agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__nn, {name}__nd, {name}__min, {name}__max"
+        for name in specs
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(specs)}, {stack_args}) AS "
+            "(column, n_non_null, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "column",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_non_null")).alias("n_nulls"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )
+
+
+def top_event_by_value_per_user(tables: dict[str, DataFrame]) -> DataFrame:
+    """Each user's highest-value event (type + value in cents) via
+    ``max_by`` over a composite integer rank (cents ⊕ event_id).
+
+    The aggregation-based argmax: one map-side-combinable shuffle carrying
+    one row per key — contrast with the window-rank form
+    (``relational.top_parts_per_brand``) which must sort every row. At
+    100 TB the agg form wins whenever k=1 per key. The composite rank
+    makes the winner unique (event_id tiebreak), so results are
+    deterministic and engine-portable.
+    """
+    ev = tables["events"]
+    rank = (
+        F.round(F.col("value") * 100, 0).cast("long") * F.lit(_RANK_SCALE)
+        + F.col("event_id")
+    )
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", rank).alias("top_event_type"),
+        (F.max(rank) / F.lit(_RANK_SCALE)).cast("long").alias("top_value_cents"),
+    )
+
+
+def _profile_row(col: str, nn: str, nd: str, mn: str, mx: str) -> str:
+    return f"""
+          SELECT '{col}' AS "column", n_rows, n_rows - {nn} AS n_nulls,
+                 {nd} AS n_distinct, {mn} AS min_value, {mx} AS max_value
+          FROM one"""
+
+
+QUERIES = {
+    "events_column_profile": events_column_profile,
+    "top_event_by_value_per_user": top_event_by_value_per_user,
+}
+
+ORACLES: dict[str, str] = {
+    "events_column_profile": """
+        WITH rendered AS (
+          SELECT event_id, user_id, event_type, ts,
+                 CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+          FROM events
+        ), one AS (
+          SELECT count(*) AS n_rows,
+            count(event_id) AS event_id__nn, count(DISTINCT event_id) AS event_id__nd,
+            CAST(min(event_id) AS VARCHAR) AS event_id__min,
+            CAST(max(event_id) AS VARCHAR) AS event_id__max,
+            count(user_id) AS user_id__nn, count(DISTINCT user_id) AS user_id__nd,
+            CAST(min(user_id) AS VARCHAR) AS user_id__min,
+            CAST(max(user_id) AS VARCHAR) AS user_id__max,
+            count(event_type) AS event_type__nn,
+            count(DISTINCT event_type) AS event_type__nd,
+            min(event_type) AS event_type__min, max(event_type) AS event_type__max,
+            count(value_cents) AS value_cents__nn,
+            count(DISTINCT value_cents) AS value_cents__nd,
+            CAST(min(value_cents) AS VARCHAR) AS value_cents__min,
+            CAST(max(value_cents) AS VARCHAR) AS value_cents__max,
+            count(ts) AS ts__nn, count(DISTINCT ts) AS ts__nd,
+            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts__min,
+            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts__max
+          FROM rendered
+        )
+    """
+    + " UNION ALL ".join(
+        [
+            _profile_row(
+                "event_id", "event_id__nn", "event_id__nd",
+                "event_id__min", "event_id__max",
+            ),
+            _profile_row(
+                "user_id", "user_id__nn", "user_id__nd",
+                "user_id__min", "user_id__max",
+            ),
+            _profile_row(
+                "event_type", "event_type__nn", "event_type__nd",
+                "event_type__min", "event_type__max",
+            ),
+            _profile_row(
+                "value_cents", "value_cents__nn", "value_cents__nd",
+                "value_cents__min", "value_cents__max",
+            ),
+            _profile_row("ts", "ts__nn", "ts__nd", "ts__min", "ts__max"),
+        ]
+    ),
+    "top_event_by_value_per_user": """
+        WITH ranked AS (
+          SELECT user_id, event_type,
+                 CAST(round(value * 100, 0) AS BIGINT) * 1000000000
+                   + event_id AS rank
+          FROM events
+        )
+        SELECT user_id, arg_max(event_type, rank) AS top_event_type,
+               CAST(max(rank) // 1000000000 AS BIGINT) AS top_value_cents
+        FROM ranked GROUP BY user_id
+    """,
+}

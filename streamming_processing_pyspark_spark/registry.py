@@ -17,12 +17,14 @@ from pyspark.sql import functions as F
 
 from .functions.geo import classify_sql
 from .operators import (
+    analytics2,
     asof,
     dedup,
     events_analytics,
     multimodal,
     pipeline,
     pipeline2,
+    profiling,
     relational,
     relational2,
     relational3,
@@ -226,6 +228,8 @@ _TABLE_MODULES = (
     relational3,
     pipeline2,
     events_analytics,
+    analytics2,
+    profiling,
     asof,
     text,
     udtf,
