@@ -84,7 +84,9 @@ def _shingles(df: DataFrame) -> DataFrame:
                 out_sh.append(list(grams))
             yield pd.DataFrame({"doc_id": out_ids, "shingles": out_sh})
 
-    return df.select("doc_id", "text").mapInPandas(
+    from ..tables import fan_out
+
+    return fan_out(df.select("doc_id", "text")).mapInPandas(
         shingle_batches, schema="doc_id bigint, shingles array<string>"
     )
 

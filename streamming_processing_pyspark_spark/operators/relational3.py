@@ -31,28 +31,44 @@ def q7_volume_shipping(t: Tables) -> DataFrame:
     """TPC-H Q7-style: shipping volume between two nations per year.
 
     lineitem→supplier→nation gives the shipping nation; orders→customer→
-    nation gives the receiving nation. Both nation paths broadcast; the
-    only shuffles are lineitem↔orders (orderkey) and the final 4-group
-    aggregate. The symmetric nation-pair filter ((A,B) or (B,A)) is a
-    residual predicate on broadcast-joined columns — no extra pass.
+    nation gives the receiving nation. Both nation paths broadcast. The
+    nation-pair disjunction ((A,B) or (B,A)) implies ``supp_nation IN
+    (A,B)`` and ``cust_nation IN (A,B)`` — Catalyst does not factor that
+    out of the OR, so we push both IN-filters below the lineitem↔orders
+    shuffle join ourselves: each side broadcast-joins its (2-nation
+    filtered) dimension path FIRST, shrinking the shuffled sides by
+    |pair|/|nations| (~12× on uniform keys) before the only
+    input-sized shuffle. The exact pair filter stays as a residual
+    predicate after the join.
     """
-    n1 = t["nation"].select(
-        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    nations = ("NATION_1", "NATION_2")
+    n1 = (
+        t["nation"]
+        .where(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
     )
-    n2 = t["nation"].select(
-        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        t["nation"]
+        .where(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
     )
     pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
-    return (
+    ship_side = (
         t["lineitem"]
         .where(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         .where(F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    cust_side = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    return (
+        ship_side.join(cust_side, F.col("l_orderkey") == F.col("o_orderkey"))
         .where(pair | rpair)
         .groupBy(
             "supp_nation",

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine, dot, norm
+from ..tables import fan_out
 
 Tables = dict[str, DataFrame]
 
@@ -34,7 +35,11 @@ NEAR_DUP_THRESHOLD = 0.95
 
 
 def _with_cosine_to_query(t: Tables) -> DataFrame:
-    emb = t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    # fan_out: the interpreted higher-order cosine is the per-row cost here;
+    # spread the one-file local input across cores (no-op on real clusters)
+    emb = fan_out(
+        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    )
     qvec = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("vec").alias("qvec")
     )
@@ -75,7 +80,11 @@ def filtered_cosine_topk(t: Tables) -> DataFrame:
         F.col("vec").alias("qvec")
     )
     return (
-        emb.where((F.col("label") == FILTER_LABEL) & (F.col("vec_id") != QUERY_VEC_ID))
+        fan_out(
+            emb.where(
+                (F.col("label") == FILTER_LABEL) & (F.col("vec_id") != QUERY_VEC_ID)
+            )
+        )
         .crossJoin(F.broadcast(qvec))
         .select(
             "vec_id",
@@ -100,7 +109,9 @@ def embedding_near_dup_pairs(t: Tables) -> DataFrame:
     """
     import numpy as np
 
-    emb = t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    emb = fan_out(
+        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    )
     spark = emb.sparkSession
     pdf = emb.toPandas()
     ids = pdf["vec_id"].to_numpy()
@@ -154,7 +165,9 @@ N_BANDS = 4  # 4 bands × 4 bits
 def lsh_bucketed_pairs(t: Tables, dim: int = 64) -> DataFrame:
     """Random-hyperplane LSH near-dup: candidates per band-bucket, verified
     with exact cosine. The scale path for `embedding_near_dup_pairs`."""
-    emb = t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    emb = fan_out(
+        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    )
     planes = _hyperplanes(dim, N_PLANES)
     bits = [
         F.when(dot(F.col("vec"), F.array(*[F.lit(v) for v in p])) >= 0, 1).otherwise(0)
@@ -220,7 +233,9 @@ def ivf_topk(t: Tables) -> DataFrame:
     """
     import numpy as np
 
-    emb = t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    emb = fan_out(
+        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    )
     spark = emb.sparkSession
 
     # deterministic sample → k-means quantizer (offline-trainable at scale)

@@ -1,0 +1,155 @@
+"""Time-series resampling operators: gap filling and last-observation-
+carried-forward (LOCF) over the ``events`` table.
+
+The reference's windowed counts (SURVEY.md §2.5 A1-A3) silently DROP empty
+windows — `groupBy(window(...))` emits nothing for an hour with no rows.
+Real dashboards and downstream ML features need a dense time spine. These
+operators close that gap with pure-Catalyst plans:
+
+- ``hourly_counts_gapfilled`` — dense (hour × event_type) grid with zero
+  counts for missing hours. The spine is generated with
+  ``sequence(min_hour, max_hour)`` + ``explode`` — a few thousand rows for
+  any time range, built from a 1-row global-bounds aggregate — so the only
+  input-sized stage is the counts aggregation itself; the spine join is a
+  broadcast of the aggregated (small) side against the spine.
+- ``hourly_avg_value_locf`` — hourly average value per type (exact: integer
+  cent sums, one float division), gap-filled then forward-filled with
+  ``last(..., ignorenulls=True)`` over an unbounded-preceding frame. The
+  LOCF copy moves doubles without arithmetic, so Spark and DuckDB agree
+  bit-for-bit.
+
+At 100 TB the shape holds: the raw scan reduces to per-hour partials
+map-side; everything after operates on ≤ hours × types rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hour_spine(ev: DataFrame) -> DataFrame:
+    """Dense hour × event_type grid spanning the table's time range.
+
+    One global min/max aggregate (1 row), one distinct event_type frame
+    (|types| rows), sequence+explode for the hours — no input-sized data
+    ever crosses this path.
+    """
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    return hours.crossJoin(F.broadcast(types))
+
+
+def hourly_counts_gapfilled(tables: dict[str, DataFrame]) -> DataFrame:
+    """Hourly event counts per type with empty hours present as zero."""
+    ev = tables["events"]
+    counts = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        ).agg(F.count("*").alias("cnt"))
+    )
+    spine = _hour_spine(ev)
+    return (
+        spine.join(F.broadcast(counts), ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+
+
+def hourly_avg_value_locf(tables: dict[str, DataFrame]) -> DataFrame:
+    """Hourly average event value per type, forward-filled across gaps.
+
+    The average is exact-by-construction (integer cent sum / count — one
+    IEEE division both engines perform identically); hours with no events
+    carry the last observed hour's average forward (NULL until the first
+    observation). Output: hour, event_type, avg_value_cents, filled flag.
+    """
+    ev = tables["events"]
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            (F.col("s").cast("double") / F.col("c").cast("double")).alias("avg_raw"),
+        )
+    )
+    spine = _hour_spine(ev)
+    dense = spine.join(F.broadcast(hourly), ["hour", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        "hour",
+        "event_type",
+        F.last("avg_raw", ignorenulls=True).over(w).alias("avg_value_cents"),
+        F.col("avg_raw").isNull().alias("filled"),
+    )
+
+
+QUERIES = {
+    "hourly_counts_gapfilled": hourly_counts_gapfilled,
+    "hourly_avg_value_locf": hourly_avg_value_locf,
+}
+
+ORACLES: dict[str, str] = {
+    "hourly_counts_gapfilled": """
+        WITH bounds AS (
+          SELECT date_trunc('hour', min(ts)) AS h0,
+                 date_trunc('hour', max(ts)) AS h1
+          FROM events
+        ), spine AS (
+          SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds
+        ), grid AS (
+          SELECT hour, event_type
+          FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)
+        ), counts AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
+          FROM events GROUP BY ALL
+        )
+        SELECT g.hour, g.event_type, coalesce(c.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN counts c USING (hour, event_type)
+    """,
+    "hourly_avg_value_locf": """
+        WITH bounds AS (
+          SELECT date_trunc('hour', min(ts)) AS h0,
+                 date_trunc('hour', max(ts)) AS h1
+          FROM events
+        ), spine AS (
+          SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds
+        ), grid AS (
+          SELECT hour, event_type
+          FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)
+        ), hourly AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_raw
+          FROM events GROUP BY ALL
+        ), dense AS (
+          SELECT g.hour, g.event_type, h.avg_raw
+          FROM grid g LEFT JOIN hourly h USING (hour, event_type)
+        )
+        SELECT hour, event_type,
+               last_value(avg_raw IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS avg_value_cents,
+               avg_raw IS NULL AS filled
+        FROM dense
+    """,
+}

@@ -27,6 +27,7 @@ from .operators import (
     profiling,
     relational,
     relational2,
+    timeseries,
     relational3,
     similarity,
     text,
@@ -193,7 +194,26 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def streaming_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication, demonstrated on a stream that
+    REALLY contains duplicates: the events stream unioned with itself
+    (every row arrives twice), deduplicated on event_id with
+    ``dropDuplicates`` under a watermark. The drained append output is
+    exactly one row per original event — the exactly-once recovery pattern
+    for at-least-once sources (Kafka redelivery, file re-ingest)."""
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_to_memory
+
+    ev = stream_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    doubled = ev.unionAll(ev)
+    deduped = doubled.dropDuplicates(["event_id"])
+    q, table = run_to_memory(deduped, "append")
+    q.stop()
+    return spark.table(table)
+
+
 _STREAMING_QUERIES: dict[str, QueryFn] = {
+    "streaming_union_dedup": streaming_union_dedup,
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_geofence_hourly": streaming_geofence_hourly,
     "streaming_counts_10min_by_key": streaming_counts_10min_by_key,
@@ -204,6 +224,9 @@ _STREAMING_QUERIES: dict[str, QueryFn] = {
 }
 
 _STREAMING_ORACLES: dict[str, str] = {
+    "streaming_union_dedup": """
+        SELECT event_id, user_id, event_type FROM events
+    """,
     "streaming_sliding_counts": windowed.ORACLES["sliding_hourly_counts"],
     "streaming_hourly_counts": windowed.ORACLES["hourly_counts"],
     "streaming_geofence_hourly": windowed.ORACLES["geofence_hourly_counts"],
@@ -230,6 +253,7 @@ _TABLE_MODULES = (
     events_analytics,
     analytics2,
     profiling,
+    timeseries,
     asof,
     text,
     udtf,

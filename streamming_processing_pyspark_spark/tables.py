@@ -64,3 +64,21 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition an UNDER-partitioned frame so per-partition Python
+    stages (mapInPandas / pandas UDFs) use every core.
+
+    The test tables are one parquet file each → one input partition → one
+    Python worker doing all the work serially. On a real cluster the input
+    is already split across many files and this is a no-op (we only
+    repartition when below the session's default parallelism), so no
+    gratuitous shuffle is added at scale — the shuffle that IS added
+    locally moves a tiny frame and buys core-count speedup of the Python
+    stage behind it.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
