@@ -1,16 +1,26 @@
-"""Vector math over ``array<float>`` embedding columns — Catalyst-only.
+"""Vector math over ``array<float>`` embedding columns.
 
-Dot products / norms / cosine via ``zip_with`` + ``aggregate`` higher-order
-functions: JVM-side, sequential left-to-right accumulation (bit-identical to
-the DuckDB oracle's ``list_dot_product`` on the same doubles). For very wide
-vectors a Pandas-UDF BLAS path would win; at 64 dims the codegen'd
-expression avoids the Arrow transfer entirely.
+Two tiers:
+
+- Expression form (``dot``/``norm``/``cosine``): ``zip_with`` +
+  ``aggregate`` higher-order functions. JVM-side but *interpreted* per
+  element (higher-order functions do not participate in whole-stage
+  codegen), sequential left-to-right accumulation — bit-identical to the
+  DuckDB oracle's ``list_dot_product`` on the same doubles. This is the
+  oracle-shared definition.
+- ``cosine_pudf``: Arrow-batched pandas UDF — the whole batch becomes one
+  numpy matrix and the cosine is a vectorized multiply/sum (BLAS-backed).
+  The fast path for hot scoring loops; tests pin equality (to 6 dp)
+  against the expression form.
 """
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 
 def as_double(vec: Column | str) -> Column:
@@ -35,3 +45,19 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_cols(a: Column | str, b: Column | str) -> Column:
     return cosine(as_double(a), as_double(b))
+
+
+# DataType object, not the DDL string "double": the string form parses via
+# the active SparkContext, which breaks plain module import.
+@F.pandas_udf(DoubleType())
+def cosine_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched cosine: one numpy matmul per Arrow batch instead of
+    interpreted per-element expression eval. Rounding stays with callers so
+    the signature matches :func:`cosine`."""
+    import numpy as np
+
+    av = np.array(a.tolist(), dtype="float64")
+    bv = np.array(b.tolist(), dtype="float64")
+    num = (av * bv).sum(axis=1)
+    den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+    return pd.Series(num / den)

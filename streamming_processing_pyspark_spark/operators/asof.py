@@ -4,8 +4,7 @@ Implemented as cogrouped ``applyInPandas``: both sides hash-partition on the
 equi-key, and each key's group pair is merged with ``pd.merge_asof`` (sorted
 backward search) inside an Arrow batch. This is the scale-correct shape —
 one shuffle per side on the join key, then per-key linear merge; no range
-cross-product ever materializes. (Guide: "As-of / range join" pattern,
-/opt/skills/guides/pyspark_guide.md.)
+cross-product ever materializes.
 
 The DuckDB oracle uses its native ``ASOF JOIN``. To keep both engines
 deterministic the right side is first deduplicated to one row per

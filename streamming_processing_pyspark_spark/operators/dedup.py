@@ -159,20 +159,41 @@ def _jaccard_from_common(common, na, nb):
     return F.round(common / (na + nb - common), 4)
 
 
-def ngram_jaccard_pairs(t: Tables) -> DataFrame:
+def ngram_jaccard_pairs(t: Tables, max_shingle_df: int | None = None) -> DataFrame:
     """Exact word-3-gram Jaccard pairs with similarity ≥ threshold.
 
     The equi-join runs on xxhash64(shingle) — an 8-byte shuffle key instead
     of a ~20-char string (~2× shuffle bytes saved; cross-doc collision odds
-    at 64 bits are ~1e-9 for millions of shingles). At 100 TB, additionally
-    drop ultra-frequent "stopword shingles" before the join (changes
-    semantics → kept out of the oracle-matched baseline) or switch to
-    :func:`minhash_lsh_pairs`, whose cost is candidate-proportional.
+    at 64 bits are ~1e-9 for millions of shingles).
+
+    ``max_shingle_df``: the hot-shingle cap for 100 TB runs. Shingles whose
+    document frequency exceeds the cap ("stopword shingles" — boilerplate,
+    headers) are dropped before the self-join, removing the per-shingle
+    quadratic blow-up that skewed keys cause. Capping only shrinks the
+    intersection count while set sizes stay exact, so every emitted pair is
+    a true pair with an under-estimated score: flagged output ⊆ exact output
+    (pinned in tests). The oracle-matched baseline runs uncapped; the other
+    scale path is :func:`minhash_lsh_pairs`, whose cost is
+    candidate-proportional.
     """
-    e = _exploded_shingles(t["documents"]).select(
-        "doc_id", F.xxhash64("sh").alias("shh")
+    # persist: this frame feeds three subtrees (sizes + both self-join
+    # sides); without the cache the mapInPandas shingle stage — the
+    # measured dominant cost — runs three times per action.
+    e = (
+        _exploded_shingles(t["documents"])
+        .select("doc_id", F.xxhash64("sh").alias("shh"))
+        .persist()
     )
     sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if max_shingle_df is not None:
+        hot = (
+            e.groupBy("shh")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shh")
+        )
+        # anti-join, broadcast: the hot set is tiny by construction
+        e = e.join(F.broadcast(hot), "shh", "left_anti")
     ea = e.select(F.col("doc_id").alias("id_a"), "shh")
     eb = e.select(F.col("doc_id").alias("id_b"), "shh")
     common = (
@@ -198,7 +219,12 @@ def ngram_jaccard_pairs(t: Tables) -> DataFrame:
 
 
 def minhash_signatures(t: Tables) -> DataFrame:
-    """k MinHash values per doc from one xxhash64 pass over shingles.
+    """k MinHash values per doc from one xxhash64 pass over shingles."""
+    return _signatures_from_shingles(_shingles(t["documents"]))
+
+
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """k MinHash values per doc from one xxhash64 pass over a shingle frame.
 
     Computed with higher-order functions over the shingle *array* —
     ``array_min(transform(...))`` per hash function — so signature
@@ -206,7 +232,6 @@ def minhash_signatures(t: Tables) -> DataFrame:
     At 100 TB this is the difference between a map-only pass and shuffling
     billions of (doc, shingle) rows.
     """
-    sh = _shingles(t["documents"])
     hashed = sh.select(
         "doc_id",
         F.transform(
@@ -230,8 +255,16 @@ def minhash_lsh_pairs(t: Tables) -> DataFrame:
     Banding: k/bands rows per band; docs sharing a band signature become
     candidates. Verification re-computes exact Jaccard so every emitted pair
     is a true ≥-threshold pair (output ⊆ ngram_jaccard_pairs).
+
+    The shingle frame (the measured dominant cost) is computed ONCE and
+    ``persist()``-ed, shared by the signature pass and the verification
+    pass — Spark's CacheManager matches both subtrees to the cached plan.
+    The cached blocks are released by the ContextCleaner once the returned
+    plan is garbage-collected (no explicit unpersist would be safe here:
+    the caller collects lazily).
     """
-    sig = minhash_signatures(t)
+    sh = _shingles(t["documents"]).persist()
+    sig = _signatures_from_shingles(sh)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     # one row per (doc, band): a single equi-join on (band_id, band_hash)
     # replaces MINHASH_BANDS separate self-joins — one shuffle, one dedupe
@@ -255,9 +288,9 @@ def minhash_lsh_pairs(t: Tables) -> DataFrame:
     )
 
     # Verification cost must be ∝ candidates, not ∝ all pairs: join each
-    # candidate to the two shingle *arrays* and take the exact intersection
-    # size — no quadratic shingle self-join.
-    sets_ = _shingles(t["documents"])
+    # candidate to the two shingle *arrays* (reusing the cached frame) and
+    # take the exact intersection size — no quadratic shingle self-join.
+    sets_ = sh
     sa = sets_.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sets_.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (

@@ -182,10 +182,14 @@ def dedup_clusters(t: Tables) -> DataFrame:
     Turns :func:`dedup.ngram_jaccard_pairs` (a pair list) into the thing a
     pipeline actually consumes: one canonical component id (= min doc_id
     reachable) per clustered document. Iterative min-label propagation on
-    DataFrames — each round is one join + one groupBy(min), converging in
-    O(component diameter) rounds; ``localCheckpoint`` truncates lineage so
-    plans don't grow exponentially (on a cluster: ``checkpoint`` to a
-    reliable dir). This is the scalable GraphFrames-free formulation.
+    DataFrames — each round is one neighbor-min join + one pointer-doubling
+    self-join (label ← label[label]). Plain neighbor-min alone needs
+    O(component diameter) rounds; the doubling step halves the distance to
+    the component minimum every round, so chain-shaped clusters converge in
+    O(log diameter) — the same round bound as star-contraction CC.
+    ``localCheckpoint`` truncates lineage so plans don't grow exponentially
+    (on a cluster: ``checkpoint`` to a reliable dir). This is the scalable
+    GraphFrames-free formulation.
 
     Oracle: DuckDB recursive CTE computing min reachable id.
     """
@@ -214,11 +218,21 @@ def dedup_clusters(t: Tables) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
+        propagated = labels.join(nbr_min, labels.node == nbr_min.dst, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        # pointer doubling: label values are themselves node ids, so one
+        # self-join rewrites each label to its label's label — labels only
+        # decrease, correctness is unchanged, rounds drop to O(log d)
+        parent = propagated.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            propagated.join(parent, propagated.label == parent.p_node, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
+                F.least(F.col("label"), F.coalesce("p_label", "label")).alias(
                     "label"
                 ),
             )

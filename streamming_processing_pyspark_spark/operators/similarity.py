@@ -3,10 +3,10 @@
 Two tiers, per the scale brief:
 
 - :func:`cosine_topk` — brute-force cosine top-k against a query vector.
-  The query vector is a 1-row broadcast; the scan is a single pass with the
-  cosine computed in codegen (functions.vectors), and the top-k is
-  ``TakeOrderedAndProject`` (per-partition heaps, no global sort). This is
-  the exact baseline an IVF/LSH path must match.
+  The query vector is a 1-row broadcast; the scan is a single pass scored by
+  the Arrow-batched BLAS pandas UDF (functions.vectors.cosine_pudf), and the
+  top-k is ``TakeOrderedAndProject`` (per-partition heaps, no global sort).
+  This is the exact baseline an IVF/LSH path must match.
 - :func:`embedding_near_dup_pairs` — all pairs with cosine ≥ threshold.
   Locally a broadcast self-join; at 100 TB the same query runs over
   LSH-bucketed candidates (see :func:`lsh_bucketed_pairs`), which prunes the
@@ -24,7 +24,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, dot, norm
+from ..functions.vectors import as_double, cosine_pudf, dot
 from ..tables import fan_out
 
 Tables = dict[str, DataFrame]
@@ -35,18 +35,20 @@ NEAR_DUP_THRESHOLD = 0.95
 
 
 def _with_cosine_to_query(t: Tables) -> DataFrame:
-    # fan_out: the interpreted higher-order cosine is the per-row cost here;
-    # spread the one-file local input across cores (no-op on real clusters)
+    # fan_out: spread the one-file local input across cores so the Arrow
+    # scoring batches parallelize (no-op on real clusters)
     emb = fan_out(
         t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
     )
     qvec = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("vec").alias("qvec")
     )
-    # 1-row dimension → broadcast cross join, no shuffle of the big side
+    # 1-row dimension → broadcast cross join, no shuffle of the big side;
+    # scoring via the BLAS pandas UDF (equality to the expression form
+    # pinned in tests)
     return emb.crossJoin(F.broadcast(qvec)).select(
         "vec_id",
-        F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"),
+        F.round(cosine_pudf(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"),
     )
 
 
@@ -89,7 +91,7 @@ def filtered_cosine_topk(t: Tables) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"),
+            F.round(cosine_pudf(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(TOPK)
@@ -97,50 +99,70 @@ def filtered_cosine_topk(t: Tables) -> DataFrame:
 
 
 def embedding_near_dup_pairs(t: Tables) -> DataFrame:
-    """All embedding pairs with cosine ≥ 0.95 — blocked BLAS matmul.
+    """All embedding pairs with cosine ≥ 0.95 — distributed blocked matmul.
 
-    O(n²·d) work belongs in a matrix engine, not per-pair expression eval:
-    the right side is L2-normalized, collected once and broadcast (n×d
-    doubles — the same "broadcast the small side" rule as a dimension
-    table); each task then computes `A_block @ B.T` with numpy over its
-    Arrow batches and emits only pairs above threshold. ~50× faster than the
-    per-pair higher-order-function form. At true 100 TB scale all-pairs is
-    replaced by :func:`lsh_bucketed_pairs`; this is the exact baseline.
+    O(n²·d) work belongs in a matrix engine, not per-pair expression eval —
+    but the matrix must never land on the driver. Rows are hash-assigned to
+    NB blocks; every unordered block pair (i ≤ j) becomes one cogroup key,
+    with block i's rows shuffled in as the left side and block j's as the
+    right (each row is replicated to the ~NB/2 pairs it participates in).
+    Inside each cogroup a single numpy `A @ B.T` scores the block pair and
+    only pairs above threshold are emitted. Executor memory per task is two
+    blocks (n/NB × d doubles), independent of total table size; NB grows
+    with the cluster so block-pair tasks saturate it. At true 100 TB scale
+    all-pairs is replaced by :func:`lsh_bucketed_pairs`; this is the exact
+    baseline.
     """
-    import numpy as np
-
-    emb = fan_out(
-        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
-    )
+    emb = t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
     spark = emb.sparkSession
-    pdf = emb.toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.array(pdf["vec"].tolist(), dtype="float64")
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids, b_mat = spark.sparkContext.broadcast(ids), spark.sparkContext.broadcast(mat)
+    # NB(NB+1)/2 block-pair tasks ≥ cluster parallelism
+    nb = max(2, math.isqrt(2 * spark.sparkContext.defaultParallelism) + 1)
+    blk = F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int")
+    others = F.sequence(F.lit(0), F.lit(nb - 1))
 
-    def block_pairs(batches):
+    left = (
+        emb.withColumn("bi", blk)
+        .withColumn("bj", F.explode(others))
+        .where(F.col("bi") <= F.col("bj"))
+    )
+    right = (
+        emb.withColumn("bj", blk)
+        .withColumn("bi", F.explode(others))
+        .where(F.col("bi") <= F.col("bj"))
+    )
+
+    def score_block_pair(key, a_pdf, b_pdf):
+        import numpy as np
         import pandas as pd
 
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for chunk in batches:
-            a_ids = chunk["vec_id"].to_numpy()
-            a_mat = np.array(chunk["vec"].tolist(), dtype="float64")
-            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = np.round(a_mat @ all_mat.T, 6)
-            ai, bi = np.nonzero(
-                (sims >= NEAR_DUP_THRESHOLD) & (a_ids[:, None] < all_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ai],
-                    "id_b": all_ids[bi],
-                    "cos_sim": sims[ai, bi],
-                }
-            )
+        if not len(a_pdf) or not len(b_pdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        a_ids = a_pdf["vec_id"].to_numpy()
+        b_ids = b_pdf["vec_id"].to_numpy()
+        a_mat = np.array(a_pdf["vec"].tolist(), dtype="float64")
+        b_mat = np.array(b_pdf["vec"].tolist(), dtype="float64")
+        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        sims = np.round(a_mat @ b_mat.T, 6)
+        mask = sims >= NEAR_DUP_THRESHOLD
+        if key[0] == key[1]:
+            # diagonal block: both sides are the same rows — a strict
+            # ordering keeps each unordered pair once
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(mask)
+        # off-diagonal: every unordered pair appears under exactly one
+        # (i, j) key, but either element may carry the smaller id —
+        # normalize to (min, max)
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims[ai, bi]})
 
-    return emb.mapInPandas(
-        block_pairs, schema="id_a bigint, id_b bigint, cos_sim double"
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(
+            score_block_pair, schema="id_a bigint, id_b bigint, cos_sim double"
+        )
     )
 
 
@@ -209,7 +231,7 @@ def lsh_bucketed_pairs(t: Tables, dim: int = 64) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+            F.round(cosine_pudf(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
     )
@@ -283,14 +305,14 @@ def ivf_topk(t: Tables) -> DataFrame:
     probed = emb.join(
         buckets.where(F.col("bucket").isin(probe)).select("vec_id"), "vec_id", "left_semi"
     )
+    # query side already L2-normalized → cosine == dot/|vec|; score with
+    # the BLAS pandas UDF against the constant query array
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
     return (
         probed.where(F.col("vec_id") != QUERY_VEC_ID)
         .select(
             "vec_id",
-            F.round(
-                dot(F.col("vec"), qlit) / norm(F.col("vec")), 6
-            ).alias("cos_sim"),
+            F.round(cosine_pudf(F.col("vec"), qlit), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(TOPK)

@@ -4,7 +4,8 @@ The reference has no UDTF (SURVEY.md §2.8: "No UDAF, no UDTF"); this
 closes that gap with a lateral-join bigram expander — one input row fans
 out to (pos, bigram) rows. UDTFs run arrow-batched in the Python worker;
 for pure string ops like this the built-in ``posexplode(transform(...))``
-composition is faster (and is what the internal shingle code uses) — the
+composition is faster (and is what the shingle code in
+``operators/dedup.py`` uses) — the
 UDTF exists to prove the extension point with oracle-checked semantics.
 """
 

@@ -12,13 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table, table_path
+from ..tables import _normalize_ts, load_table, table_path
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file stream (one-file directory; real deployments point
     this at an arriving-files directory or Kafka)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     df = (
         spark.readStream.schema(raw_schema)
@@ -27,9 +28,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_ts(df)
 
 
 def stream_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -43,15 +43,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps are UTC-naive, so pin the session timezone (runtime-settable).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default; read the raw int64 nanos and floor to micros — exactly
-        # what DuckDB's ns→µs truncation does, so the oracle agrees.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (Spark
+        # rejects by default → read raw int64 nanos, floor to micros) and
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as
+        # timestamp_ntz). Normalize either to a session-timezone TIMESTAMP
+        # (the session is pinned UTC above, so the instant is unchanged and
+        # DuckDB's naive timestamps agree) so downstream epoch arithmetic
+        # (cast to bigint, unix_timestamp) stays legal.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _normalize_ts(df)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(
@@ -79,6 +90,16 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     stage behind it.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Partition-count probe WITHOUT df.rdd (which forces a full plan→RDD
+    # physical translation per call): the source file count bounds the scan
+    # parallelism for file-based plans. Many files → the scan already fans
+    # out and this is a no-op; few/zero files (local single-file testdata,
+    # or a non-file source we can't cheaply inspect) → repartition, which
+    # moves a frame that is small precisely because it came from few files.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target)

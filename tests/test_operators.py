@@ -39,6 +39,43 @@ def test_minhash_lsh_subset_and_recall(spark):
         assert len(approx) / len(exact) >= 0.8, (len(approx), len(exact))
 
 
+def test_ngram_jaccard_hot_shingle_cap_subset(spark):
+    """Capped path ⊆ exact pairs: dropping hot shingles only shrinks the
+    intersection count, never invents a pair."""
+    t = load_tables(spark, SF_DIR)
+    exact = {
+        (r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(t).collect()
+    }
+    capped = dedup.ngram_jaccard_pairs(t, max_shingle_df=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} <= exact
+
+
+def test_cosine_pudf_equals_expression(spark):
+    """BLAS pandas-UDF cosine must agree with the interpreted higher-order
+    expression form (the oracle-shared definition) to 6 dp."""
+    from streamming_processing_pyspark_spark.functions.vectors import (
+        as_double,
+        cosine,
+        cosine_pudf,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", as_double("embedding").alias("vec")
+    )
+    qvec = emb.where(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    both = (
+        emb.crossJoin(F.broadcast(qvec))
+        .select(
+            F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("expr_cos"),
+            F.round(cosine_pudf(F.col("vec"), F.col("qvec")), 6).alias("blas_cos"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        assert abs(r["expr_cos"] - r["blas_cos"]) <= 1e-6, r
+
+
 def test_embedding_lsh_subset(spark):
     t = load_tables(spark, SF_DIR)
     exact = {
