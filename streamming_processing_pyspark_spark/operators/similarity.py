@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -186,38 +188,47 @@ N_BANDS = 4  # 4 bands × 4 bits
 
 def lsh_bucketed_pairs(t: Tables, dim: int = 64) -> DataFrame:
     """Random-hyperplane LSH near-dup: candidates per band-bucket, verified
-    with exact cosine. The scale path for `embedding_near_dup_pairs`."""
+    with exact cosine. The scale path for `embedding_near_dup_pairs`.
+
+    Signatures come from ONE BLAS pass (batch × plane-matrix matmul in a
+    pandas UDF → sign bits → packed per-band keys), replacing 16
+    interpreted higher-order dot products per row. Banding is a single
+    equi-join on (band_id, band_key) — posexplode of the key array — so
+    candidate generation is one shuffle instead of N_BANDS unioned joins.
+    """
+    import numpy as np
+
     emb = fan_out(
         t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
     )
-    planes = _hyperplanes(dim, N_PLANES)
-    bits = [
-        F.when(dot(F.col("vec"), F.array(*[F.lit(v) for v in p])) >= 0, 1).otherwise(0)
-        for p in planes
-    ]
-    sig = emb.select("vec_id", "vec", F.array(*bits).alias("bits"))
+    planes = np.array(_hyperplanes(dim, N_PLANES), dtype="float64")
     bits_per_band = N_PLANES // N_BANDS
-    band_cols = []
-    for band in range(N_BANDS):
-        terms = None
-        for j in range(bits_per_band):
-            bit = F.col("bits")[band * bits_per_band + j] * (2**j)
-            terms = bit if terms is None else terms + bit
-        band_cols.append(terms.alias(f"band{band}"))
-    sig = sig.select("vec_id", "vec", *band_cols)
+    weights = (1 << np.arange(bits_per_band, dtype="int64")).reshape(1, -1)
 
-    # candidates: same value in any band → union of per-band equi-joins
-    cands = None
-    for band in range(N_BANDS):
-        a = sig.select(
-            F.col("vec_id").alias("id_a"),
-            F.col("vec").alias("vec_a"),
-            F.col(f"band{band}").alias("bk"),
-        )
-        b = sig.select(F.col("vec_id").alias("id_b"), F.col(f"band{band}").alias("bk"))
-        pair = a.join(b, ["bk"]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "vec_a")
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.dropDuplicates(["id_a", "id_b"]).drop("vec_a")
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype="float64")
+        bits = (mat @ planes.T >= 0).astype("int64")  # n × N_PLANES
+        keys = [
+            bits[:, b * bits_per_band : (b + 1) * bits_per_band] @ weights.T
+            for b in range(N_BANDS)
+        ]
+        packed = np.concatenate(keys, axis=1)  # n × N_BANDS
+        return pd.Series(list(packed))
+
+    banded = emb.select(
+        "vec_id", F.posexplode(band_keys("vec")).alias("band_id", "band_key")
+    )
+    a = banded.select(F.col("vec_id").alias("id_a"), "band_id", "band_key")
+    b = banded.select(F.col("vec_id").alias("id_b"), "band_id", "band_key")
+    cands = (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
     emb_a = t["embeddings"].select(
         F.col("vec_id").alias("id_a"), as_double("embedding").alias("vec_a")

@@ -155,11 +155,33 @@ def write_hourly_files(batch_df: DataFrame, out_dir: str) -> None:
             f.write(f"{row[1]}\n")
 
 
-def write_geofence_files(batch_df: DataFrame, out_dir: str) -> None:
+def write_geofence_files(
+    batch_df: DataFrame, out_dir: str, reference_compat: bool = False
+) -> None:
     """Task3 sink: output3-{hour*360000} with ('citigroup', n)\\n('goldman', m)
-    — per-window-correct (fixes reference Task3.py:102-103)."""
+    — per-window-correct (fixes reference Task3.py:102-103).
+
+    ``reference_compat=True`` reproduces the reference's sink byte-for-byte
+    for artifact diffing, including its bug: Task3.py:102-103 takes
+    ``collect()[0][0]`` of the *whole batch* per headquarters, so every
+    hour's file carries the batch's first citigroup/goldman counts (and no
+    trailing newline). Off by default — the fixed per-window contents are
+    what a user actually wants.
+    """
     os.makedirs(out_dir, exist_ok=True)
     rows = batch_df.select("hour_of_day", "headquarters", "cnt").collect()
+    if reference_compat:
+        first: dict[str, int] = {}
+        for _hour, hq, cnt in rows:
+            first.setdefault(hq, cnt)
+        for hour, _hq, _cnt in rows:
+            h = 24 if hour == 0 else hour
+            with open(os.path.join(out_dir, f"output3-{h * 360000}"), "w") as f:
+                f.write(
+                    f"('citigroup', {first['citigroup']})\n"
+                    f"('goldman', {first['goldman']})"
+                )
+        return
     by_hour: dict[int, dict[str, int]] = {}
     for hour, hq, cnt in rows:
         by_hour.setdefault(hour, {})[hq] = cnt

@@ -138,6 +138,35 @@ def test_geofence_file_sink_per_window_correct(spark, tmp_path):
         assert f.read() == "('citigroup', 1)\n('goldman', 0)\n"
 
 
+def test_geofence_file_sink_reference_compat_mode(spark, tmp_path):
+    """reference_compat=True reproduces Task3.py:102-103 byte-for-byte:
+    every hourly file carries the batch's FIRST citigroup/goldman counts,
+    no trailing newline."""
+    d = str(tmp_path / "taxi")
+    out = str(tmp_path / "out3c")
+    write_taxi_files(d, default_plan())
+    agg = geofence_hourly(_trips_stream(spark, d, max_files=10))
+    q = run_foreach_batch(
+        agg,
+        lambda df, _id: write_geofence_files(df, out, reference_compat=True),
+        "update",
+    )
+    q.processAllAvailable()
+    q.stop()
+    files = sorted(os.listdir(out))
+    assert len(files) >= 2
+    contents = {fn: open(os.path.join(out, fn)).read() for fn in files}
+    # all files identical (the bug), shaped ('citigroup', n)\n('goldman', m)
+    vals = set(contents.values())
+    assert len(vals) == 1
+    body = vals.pop()
+    assert not body.endswith("\n")
+    lines = body.split("\n")
+    assert lines[0].startswith("('citigroup', ") and lines[1].startswith(
+        "('goldman', "
+    )
+
+
 def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
     """Stop → add file → restart from checkpoint: old files not re-counted,
     new file processed exactly once (reference K6 semantics)."""
