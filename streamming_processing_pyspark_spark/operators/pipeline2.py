@@ -128,7 +128,101 @@ def benchmark_contamination(t: Tables) -> DataFrame:
     )
 
 
+#: span dedup: fixed 8-token spans; a span occurring in ≥2 documents is
+#: "boilerplate" and removed from every document carrying it.
+SPAN_WORDS = 8
+DUP_SPAN_MIN_DOCS = 2
+
+
+def span_dedup(t: Tables) -> DataFrame:
+    """Cross-corpus duplicated-span removal — the C4/CCNet "drop duplicated
+    lines" curation step at fixed span granularity (exact-substring dedup
+    à la deduplicating-training-data, approximated on 8-token spans since
+    this corpus has no newlines).
+
+    Shape at 100 TB: span extraction is map-only; the hot-span set (spans
+    in ≥ ``DUP_SPAN_MIN_DOCS`` docs) is a groupBy on md5(span) — an 8-byte-
+    class shuffle key — and is tiny relative to the corpus (boilerplate by
+    definition repeats), so the removal pass is a broadcast left join plus
+    one groupBy(doc_id). Outputs per document: span counts, how many were
+    boilerplate, and the md5 of the cleaned (kept-spans) text for
+    downstream verification.
+    """
+    ws = F.split(F.trim("text"), r"\s+")
+    n_spans = F.ceil(F.size("ws") / F.lit(SPAN_WORDS)).cast("int")
+    spans = (
+        t["documents"]
+        .select("doc_id", ws.alias("ws"))
+        .select("doc_id", "ws", F.explode(F.sequence(F.lit(1), n_spans)).alias("i"))
+        .select(
+            "doc_id",
+            "i",
+            F.array_join(
+                F.slice("ws", (F.col("i") - 1) * SPAN_WORDS + 1, SPAN_WORDS), " "
+            ).alias("span"),
+        )
+        .withColumn("k", F.md5("span"))
+        .persist()  # feeds the hot-set aggregation AND the removal join
+    )
+    hot = (
+        spans.groupBy("k")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= DUP_SPAN_MIN_DOCS)
+        .select("k", F.lit(1).alias("hot"))
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("hot").isNull(), F.struct("i", "span"))
+            )
+        ),
+        lambda s: s["span"],
+    )
+    return (
+        spans.join(F.broadcast(hot), "k", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce("hot", F.lit(0))).alias("n_dup_spans"),
+            F.md5(F.array_join(kept_sorted, " ")).alias("cleaned_md5"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "span_dedup": f"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, sp['i'] AS i, sp['span'] AS span,
+                 md5(sp['span']) AS k
+          FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, CAST(ceil(len(ws) / {SPAN_WORDS}.0) AS BIGINT)),
+                     i -> {{'i': i,
+                           'span': array_to_string(
+                             ws[(i - 1) * {SPAN_WORDS} + 1 : i * {SPAN_WORDS}], ' ')}}
+                   )) AS sp
+            FROM w
+          )
+        ),
+        hot AS (
+          SELECT k FROM s GROUP BY k
+          HAVING count(DISTINCT doc_id) >= {DUP_SPAN_MIN_DOCS}
+        )
+        SELECT s.doc_id,
+               count(*) AS n_spans,
+               CAST(sum(CASE WHEN hot.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_spans,
+               md5(coalesce(
+                 string_agg(CASE WHEN hot.k IS NULL THEN s.span END, ' '
+                            ORDER BY s.i), '')) AS cleaned_md5
+        FROM s LEFT JOIN hot ON s.k = hot.k
+        GROUP BY s.doc_id
+    """,
     "doc_chunks": f"""
         WITH w AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
@@ -182,4 +276,5 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "embedding_quantize": embedding_quantize,
     "benchmark_contamination": benchmark_contamination,
+    "span_dedup": span_dedup,
 }

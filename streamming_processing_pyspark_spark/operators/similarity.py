@@ -23,7 +23,7 @@ import math
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine_pudf, dot
@@ -165,6 +165,89 @@ def embedding_near_dup_pairs(t: Tables) -> DataFrame:
         .applyInPandas(
             score_block_pair, schema="id_a bigint, id_b bigint, cos_sim double"
         )
+    )
+
+
+KNN_K = 5
+
+
+def knn_join_topk(t: Tables) -> DataFrame:
+    """kNN self-join: each vector's top-K cosine neighbors (excluding
+    itself) — the retrieval-evaluation / cluster-assignment primitive.
+
+    Same distributed blocked-matmul harness as
+    :func:`embedding_near_dup_pairs`, but each block pair emits BOTH
+    directions' per-row block-local top-K candidates (np.argpartition — no
+    full sort), so a row's global top-K is found among its NB·K candidates
+    by one groupBy window. Shuffle volume after the matmul stage is
+    O(n·NB·K), independent of pairwise count; executor memory stays two
+    blocks per task.
+    """
+    import numpy as np
+
+    emb = t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    spark = emb.sparkSession
+    nb = max(2, math.isqrt(2 * spark.sparkContext.defaultParallelism) + 1)
+    blk = F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int")
+    others = F.sequence(F.lit(0), F.lit(nb - 1))
+
+    left = (
+        emb.withColumn("bi", blk)
+        .withColumn("bj", F.explode(others))
+        .where(F.col("bi") <= F.col("bj"))
+    )
+    right = (
+        emb.withColumn("bj", blk)
+        .withColumn("bi", F.explode(others))
+        .where(F.col("bi") <= F.col("bj"))
+    )
+
+    def block_topk(key, a_pdf, b_pdf):
+        if not len(a_pdf) or not len(b_pdf):
+            return pd.DataFrame({"vec_id": [], "nbr_id": [], "cos_sim": []})
+        a_ids = a_pdf["vec_id"].to_numpy()
+        b_ids = b_pdf["vec_id"].to_numpy()
+        a_mat = np.array(a_pdf["vec"].tolist(), dtype="float64")
+        b_mat = np.array(b_pdf["vec"].tolist(), dtype="float64")
+        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        sims = np.round(a_mat @ b_mat.T, 6)
+        if key[0] == key[1]:
+            sims[a_ids[:, None] == b_ids[None, :]] = -np.inf  # mask self
+            views = [(a_ids, b_ids, sims)]
+        else:
+            # off-diagonal: serve a-rows (neighbors in block j) AND b-rows
+            # (neighbors in block i) from the one matmul
+            views = [(a_ids, b_ids, sims), (b_ids, a_ids, sims.T)]
+        frames = []
+        for q_ids, c_ids, m in views:
+            k = min(KNN_K, m.shape[1])
+            top = np.argpartition(-m, k - 1, axis=1)[:, :k]
+            rows = np.repeat(q_ids, k)
+            cols = c_ids[top.ravel()]
+            vals = np.take_along_axis(m, top, axis=1).ravel()
+            keep = np.isfinite(vals)
+            frames.append(
+                pd.DataFrame(
+                    {"vec_id": rows[keep], "nbr_id": cols[keep], "cos_sim": vals[keep]}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    cands = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(
+            block_topk, schema="vec_id bigint, nbr_id bigint, cos_sim double"
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id")
+    )
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KNN_K)
+        .select("vec_id", "nbr_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
     )
 
 
@@ -387,6 +470,20 @@ ORACLES: dict[str, str] = {
         WHERE {_COS_DUCK} >= {NEAR_DUP_THRESHOLD}
     """,
     # lsh_bucketed_pairs: approximate (recall < 1) — rows-only check by design.
+    "knn_join_topk": f"""
+        WITH sims AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, {_COS_DUCK} AS cos_sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        )
+        SELECT vec_id, nbr_id, cos_sim, CAST(rk AS INTEGER) AS rk
+        FROM (
+          SELECT vec_id, nbr_id, cos_sim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos_sim DESC, nbr_id) AS rk
+          FROM sims
+        )
+        WHERE rk <= {KNN_K}
+    """,
     "label_centroid_sim": """
         WITH e AS (
           SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
@@ -411,4 +508,5 @@ QUERIES = {
     "lsh_bucketed_pairs": lsh_bucketed_pairs,
     "ivf_topk": ivf_topk,
     "label_centroid_sim": label_centroid_sim,
+    "knn_join_topk": knn_join_topk,
 }

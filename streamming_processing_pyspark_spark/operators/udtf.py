@@ -1,17 +1,29 @@
-"""Python UDTF surface (Spark 4 arrow-optimized table functions).
+"""Python extension points: UDTF (table functions) and grouped-agg UDAF.
 
-The reference has no UDTF (SURVEY.md §2.8: "No UDAF, no UDTF"); this
-closes that gap with a lateral-join bigram expander — one input row fans
-out to (pos, bigram) rows. UDTFs run arrow-batched in the Python worker;
-for pure string ops like this the built-in ``posexplode(transform(...))``
-composition is faster (and is what the shingle code in
-``operators/dedup.py`` uses) — the
-UDTF exists to prove the extension point with oracle-checked semantics.
+The reference has no UDAF or UDTF (SURVEY.md §2.8: "No UDAF, no UDTF");
+this closes both gaps with oracle-checked semantics:
+
+- a lateral-join bigram expander UDTF — one input row fans out to
+  (pos, bigram) rows, arrow-batched in the Python worker. For pure string
+  ops the built-in ``posexplode(transform(...))`` composition is faster
+  (and is what the shingle code in ``operators/dedup.py`` uses) — the UDTF
+  exists to prove the extension point.
+- a grouped-aggregate pandas UDAF (``geomean_value_by_type``) — Series →
+  scalar per group, the Spark-4 UDAF surface. Each group's values arrive
+  as one Arrow batch; the numpy reduction runs post-shuffle, so the plan
+  shape is the same single groupBy exchange a built-in aggregate gets
+  (partial aggregation isn't available to grouped-agg UDFs — use built-ins
+  when the reduction is expressible; this is the escape hatch for when it
+  isn't).
 """
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 Tables = dict[str, DataFrame]
 
@@ -41,7 +53,34 @@ def bigrams_udtf(t: Tables) -> DataFrame:
     )
 
 
+@F.pandas_udf(DoubleType())
+def _geomean(v: pd.Series) -> float:
+    import numpy as np
+
+    pos = v[v > 0]
+    if not len(pos):
+        return None  # all-nonpositive group: NULL, matching SQL's FILTERed avg
+    return float(np.exp(np.log(pos.to_numpy(dtype="float64")).mean()))
+
+
+def geomean_value_by_type(t: Tables) -> DataFrame:
+    """Geometric mean of positive event values per event type — a custom
+    aggregate no built-in covers, as a grouped-agg pandas UDAF."""
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.round(_geomean("value"), 6).alias("geo_mean_value"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "geomean_value_by_type": """
+        SELECT event_type,
+               round(exp(avg(ln(value)) FILTER (WHERE value > 0)), 6)
+                 AS geo_mean_value
+        FROM events
+        GROUP BY event_type
+    """,
     "bigrams_udtf": """
         WITH w AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
@@ -58,4 +97,5 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "bigrams_udtf": bigrams_udtf,
+    "geomean_value_by_type": geomean_value_by_type,
 }
