@@ -36,7 +36,11 @@ def _dedup_orders(orders: DataFrame) -> DataFrame:
     )
 
 
-ASOF_BUCKETS = 64
+def _asof_buckets(df: DataFrame) -> int:
+    """Bucket count scales with the cluster (≈2 waves of cogroup tasks)
+    instead of a fixed constant: enough buckets to occupy every core, few
+    enough that each pandas invocation amortizes over a large merge."""
+    return max(16, 2 * df.sparkSession.sparkContext.defaultParallelism)
 
 
 def asof_join(
@@ -86,8 +90,9 @@ def asof_join(
         matched = merged.dropna(subset=[c for c in right_cols if c != right_time])
         return matched[list(lpdf.columns) + right_cols]
 
-    lb = left.withColumn("_bk", F.pmod(F.xxhash64(left_key), F.lit(ASOF_BUCKETS)))
-    rb = right.withColumn("_bk", F.pmod(F.xxhash64(right_key), F.lit(ASOF_BUCKETS)))
+    n_buckets = _asof_buckets(left)
+    lb = left.withColumn("_bk", F.pmod(F.xxhash64(left_key), F.lit(n_buckets)))
+    rb = right.withColumn("_bk", F.pmod(F.xxhash64(right_key), F.lit(n_buckets)))
 
     def merge_drop_bucket(lpdf, rpdf):
         out = merge(lpdf.drop(columns=["_bk"]), rpdf.drop(columns=["_bk"]))
