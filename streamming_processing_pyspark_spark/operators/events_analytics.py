@@ -108,8 +108,9 @@ def hourly_count_anomalies(tables: dict[str, DataFrame]) -> DataFrame:
     ``(cnt·n − T)²·(n−1) > 4·n·(n·Σx² − T²)`` is ``|cnt − mean| > 2·σ``
     cleared of divisions and sqrt — so Spark and the DuckDB oracle agree
     bit-for-bit (no float rounding at the threshold boundary). The global
-    stats run over the already-aggregated hourly frame (≤ hours-in-range
-    rows), not the input.
+    stats are a 1-row aggregate of the already-aggregated hourly frame,
+    broadcast back onto it — no single-partition global window, so the
+    plan stays parallel even if the hourly frame grows.
     """
     ev = tables["events"]
     hourly = (
@@ -117,12 +118,12 @@ def hourly_count_anomalies(tables: dict[str, DataFrame]) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "cnt")
     )
-    g = Window.partitionBy()
-    stats = (
-        hourly.withColumn("n", F.count("*").over(g))
-        .withColumn("total", F.sum("cnt").over(g))
-        .withColumn("sumsq", F.sum(F.col("cnt") * F.col("cnt")).over(g))
+    global_stats = hourly.agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
     )
+    stats = hourly.crossJoin(F.broadcast(global_stats))
     dev = F.col("cnt") * F.col("n") - F.col("total")
     var_n2 = F.col("n") * F.col("sumsq") - F.col("total") * F.col("total")
     return (
