@@ -65,6 +65,8 @@ HEADLINE = [
     "doc_chunks",
     "benchmark_contamination",
     "q7_volume_shipping",
+    "span_dedup",
+    "knn_join_topk",
 ]
 
 

@@ -198,10 +198,39 @@ def test_event_trigrams_single_window_sort(spark):
 
 def test_hourly_anomalies_aggregate_before_stats(spark):
     """Global stats must run over the aggregated hourly frame — the plan
-    keeps partial aggregation on the input and no Python eval anywhere."""
+    keeps partial aggregation on the input, broadcasts the 1-row stats
+    (no single-partition global window), and has no Python eval."""
     from streamming_processing_pyspark_spark.operators import events_analytics
 
     t = load_tables(spark, SF_DIR)
     df = events_analytics.hourly_count_anomalies(t)
     assert_partial_aggregation(df)
     assert_no_python_eval(df)
+    s = plan_string(df)
+    assert "windowspecdefinition()" not in s, s
+    assert_broadcast_join(df, min_count=1)
+
+
+def test_span_dedup_broadcasts_hot_set(spark):
+    """The hot-span removal join must broadcast (the boilerplate set is
+    tiny by construction); the span expansion itself must not shuffle."""
+    from streamming_processing_pyspark_spark.operators import pipeline2
+
+    t = load_tables(spark, SF_DIR)
+    df = pipeline2.span_dedup(t)
+    assert_broadcast_join(df, min_count=1)
+    s = plan_string(df)
+    assert "SortMergeJoin" not in s, s
+    assert_read_schema_only(df, "documents", {"doc_id", "text"})
+
+
+def test_knn_join_partial_topk(spark):
+    """Global per-vector top-K must push a partial WindowGroupLimit below
+    the shuffle — candidates are pruned map-side, not sorted globally."""
+    from streamming_processing_pyspark_spark.operators import similarity
+
+    t = load_tables(spark, SF_DIR)
+    df = similarity.knn_join_topk(t)
+    s = plan_string(df)
+    assert "WindowGroupLimit" in s, s
+    assert "Partial" in s, s
