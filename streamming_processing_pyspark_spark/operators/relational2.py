@@ -79,6 +79,25 @@ def percentiles_by_type(t: Tables) -> DataFrame:
     )
 
 
+def approx_percentiles_by_type(t: Tables) -> DataFrame:
+    """Approximate percentiles via ``approx_percentile`` (KLL-style sketch;
+    mergeable partial aggregates) — the 100 TB path where exact
+    ``percentile`` would buffer every group value. Accuracy is pinned
+    against the exact form in tests (bounded rank error); no SQL oracle
+    because sketch estimates are engine-specific → rows-only driver check.
+    """
+    acc = 10000  # 1/acc relative rank error
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.expr(f"approx_percentile(value, 0.25, {acc})").alias("p25"),
+            F.expr(f"approx_percentile(value, 0.5, {acc})").alias("p50"),
+            F.expr(f"approx_percentile(value, 0.75, {acc})").alias("p75"),
+        )
+    )
+
+
 def mode_value_by_type(t: Tables) -> DataFrame:
     """Deterministic mode: most frequent value, smallest value wins ties
     (built from count + rank so both engines agree bit-for-bit)."""
@@ -364,6 +383,7 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "stats_by_type": stats_by_type,
     "percentiles_by_type": percentiles_by_type,
+    "approx_percentiles_by_type": approx_percentiles_by_type,
     "mode_value_by_type": mode_value_by_type,
     "full_outer_nation_counts": full_outer_nation_counts,
     "range_join_value_buckets": range_join_value_buckets,

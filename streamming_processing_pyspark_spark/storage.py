@@ -10,6 +10,11 @@
   partial agg on (key, salt) → final agg on key. AQE's skew-join handling
   covers joins; this covers the pathological hot-key *aggregation* case
   where one key carries a large share of all rows.
+- :func:`write_range_clustered` — range-partition + sort-within-partitions
+  on a clustering column before writing: each parquet file covers a narrow,
+  non-overlapping value range, so min/max row-group statistics prune files
+  for range predicates (the single-column equivalent of Z-ordering; the
+  data-layout lever once directory-level partition pruning is exhausted).
 """
 
 from __future__ import annotations
@@ -41,6 +46,21 @@ def write_bucketed(
         .sortBy(key)
         .format("parquet")
         .saveAsTable(table)
+    )
+
+
+def write_range_clustered(
+    df: DataFrame, path: str, col: str, n_files: int = 8, mode: str = "overwrite"
+) -> None:
+    """Write parquet range-clustered on ``col``: repartitionByRange gives
+    each output file a disjoint value range and the within-partition sort
+    tightens row-group min/max stats, so scans with range predicates on
+    ``col`` skip whole files/row-groups at planning time."""
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode(mode)
+        .parquet(path)
     )
 
 

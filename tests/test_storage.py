@@ -13,6 +13,7 @@ from streamming_processing_pyspark_spark.storage import (
     salted_aggregate,
     write_bucketed,
     write_partitioned_by_date,
+    write_range_clustered,
 )
 from streamming_processing_pyspark_spark.tables import load_table
 
@@ -75,6 +76,48 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_range_clustered_layout_skips_files(spark, tmp_path):
+    """Range-clustered layout: files cover disjoint value ranges, so a
+    range predicate reads a strict subset of files (row-group/file skipping
+    via min-max stats) and results stay correct."""
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "events_by_user")
+    write_range_clustered(ev, path, "user_id", n_files=8)
+    back = spark.read.parquet(path)
+    # correctness: same rows
+    assert back.count() == ev.count()
+    # two adjacent key values can span at most 2 of the disjoint ranges
+    lo = back.where(F.col("user_id") < 2)
+    hit_files = {r[0] for r in lo.select(F.input_file_name()).distinct().collect()}
+    all_files = {
+        r[0] for r in back.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(all_files) >= 4
+    assert len(hit_files) <= 2, (len(hit_files), len(all_files))
+    assert lo.count() == ev.where(F.col("user_id") < 2).count()
+
+
+def test_approx_percentiles_accuracy(spark):
+    """Sketch percentiles must sit within tight rank error of the exact
+    interpolated ones (approx_percentile returns an actual data value, so
+    compare against exact at a generous-but-bounded tolerance)."""
+    from streamming_processing_pyspark_spark.operators.relational2 import (
+        approx_percentiles_by_type,
+        percentiles_by_type,
+    )
+    from streamming_processing_pyspark_spark.tables import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    exact = {r["event_type"]: r for r in percentiles_by_type(t).collect()}
+    approx = {r["event_type"]: r for r in approx_percentiles_by_type(t).collect()}
+    assert set(exact) == set(approx)
+    for et, er in exact.items():
+        ar = approx[et]
+        spread = max(abs(er["p75"]), abs(er["p25"]), 1.0)
+        for q in ("p25", "p50", "p75"):
+            assert abs(er[q] - ar[q]) <= 0.05 * spread, (et, q, er[q], ar[q])
 
 
 def test_salted_aggregate_matches_plain(spark):
