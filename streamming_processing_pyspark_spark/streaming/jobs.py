@@ -247,6 +247,34 @@ def run_foreach_batch(
     return writer.start()
 
 
+def upsert_partition_overwrite(
+    batch_df: DataFrame, out_dir: str, partition_cols: list[str]
+) -> None:
+    """Exactly-once parquet upsert for an UPDATE-mode aggregation stream:
+    each micro-batch dynamically overwrites ONLY the partitions it carries
+    (``partitionOverwriteMode=dynamic``), replacing stale aggregates for
+    re-emitted keys and leaving untouched partitions in place.
+
+    With checkpointing this gives end-to-end exactly-once on a plain
+    parquet table: a replayed batch rewrites the same partitions with the
+    same content (idempotent), and a crashed write is replaced wholesale on
+    retry. This is the production fan-out of the reference's per-window
+    file sinks — same per-window-replacement contract, but distributed,
+    columnar, and readable as one table.
+    """
+    spark = batch_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(out_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def sessionize_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
 ) -> DataFrame:

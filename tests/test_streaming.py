@@ -167,6 +167,52 @@ def test_geofence_file_sink_reference_compat_mode(spark, tmp_path):
     )
 
 
+def test_upsert_partition_overwrite_exactly_once(spark, tmp_path):
+    """Update-mode agg stream → dynamic-partition-overwrite parquet: after
+    incremental file arrivals and a checkpointed restart, the parquet table
+    equals the batch aggregation of all input (stale partitions replaced,
+    untouched partitions kept, no duplicates)."""
+    from streamming_processing_pyspark_spark.streaming.jobs import (
+        upsert_partition_overwrite,
+    )
+
+    d = str(tmp_path / "taxi")
+    ckpt = str(tmp_path / "ckpt_upsert")
+    out = str(tmp_path / "agg_table")
+    write_taxi_files(d, default_plan())
+
+    def sink(df, _id):
+        upsert_partition_overwrite(df, out, ["hour_of_day"])
+
+    def start():
+        agg = hourly_dropoff_counts(_trips_stream(spark, d, max_files=10))
+        return run_foreach_batch(agg, sink, "update", checkpoint_dir=ckpt)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    # late-arriving file updates an existing window's partition
+    write_taxi_files(
+        d,
+        [("part-2015-12-01-1130.csv", [yellow_row("2015-12-01 11:30:00", -73.98, 40.75)])],
+    )
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    table = {
+        (r["hour_of_day"], r["cnt"])
+        for r in spark.read.parquet(out).select("hour_of_day", "cnt").collect()
+    }
+    batch = {
+        (r["hour_of_day"], r["cnt"])
+        for r in hourly_dropoff_counts(
+            normalize_trips(read_taxi_csv(spark, d))
+        ).collect()
+    }
+    assert table == batch
+
+
 def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
     """Stop → add file → restart from checkpoint: old files not re-counted,
     new file processed exactly once (reference K6 semantics)."""
