@@ -414,29 +414,33 @@ def ivf_topk(t: Tables) -> DataFrame:
 
 
 def label_centroid_sim(t: Tables) -> DataFrame:
-    """Per-label mean vector and each vector's cosine to its label centroid —
-    an aggregation-over-arrays exercise (posexplode → per-dim mean →
-    re-assemble), all Catalyst built-ins."""
-    emb = t["embeddings"].select(
-        "vec_id", "label", F.posexplode(as_double("embedding")).alias("dim", "x")
-    )
-    centroid = (
-        emb.groupBy("label", "dim")
-        .agg(F.avg("x").alias("cx"))
-    )
-    joined = emb.join(centroid, ["label", "dim"])
-    return (
-        joined.groupBy("vec_id", "label")
-        .agg(
-            F.round(
-                F.sum(F.col("x") * F.col("cx"))
-                / (
-                    F.sqrt(F.sum(F.col("x") * F.col("x")))
-                    * F.sqrt(F.sum(F.col("cx") * F.col("cx")))
-                ),
-                6,
-            ).alias("centroid_sim")
+    """Per-label mean vector and each vector's cosine to its label centroid.
+
+    Plan: one applyInPandas over groupBy(label) reduces each label's
+    vectors to a centroid array (ONE shuffle of n rows — the earlier
+    posexplode formulation shuffled n×d rows three times); the
+    labels×d centroid frame is tiny and **broadcasts** back onto the
+    embeddings scan, where the BLAS pandas UDF scores map-side.
+    """
+    emb = t["embeddings"].select("vec_id", "label", as_double("embedding").alias("vec"))
+
+    def centroid(pdf):
+        import numpy as np
+
+        mat = np.array(pdf["vec"].tolist(), dtype="float64")
+        return pd.DataFrame(
+            {"label": [pdf["label"].iloc[0]], "centroid": [mat.mean(axis=0).tolist()]}
         )
+
+    cents = emb.groupBy("label").applyInPandas(
+        centroid, schema="label bigint, centroid array<double>"
+    )
+    return emb.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine_pudf(F.col("vec"), F.col("centroid")), 6).alias(
+            "centroid_sim"
+        ),
     )
 
 
