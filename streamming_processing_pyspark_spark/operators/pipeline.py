@@ -104,6 +104,41 @@ def stratified_sample(t: Tables) -> DataFrame:
     )
 
 
+#: per-language token budget for token_budget_sample
+LANG_TOKEN_BUDGET = 10000
+
+
+def token_budget_sample(t: Tables) -> DataFrame:
+    """Data-mixing sampler: fill a fixed token budget per language.
+
+    Where :func:`stratified_sample` applies *static* rates, this computes
+    the rate from the data: per-language token totals → keep fraction
+    ``min(1, budget/total)`` → deterministic hash-bucket sample at that
+    fraction. The language-totals frame is |languages| rows → broadcast
+    back onto the map-side filter; thresholds are derived in pure int64
+    arithmetic (``(97·B + T − 1) div T``) so the oracle reproduces the
+    exact kept set. This is the "rebalance the corpus to a target mixture"
+    step of a pretraining data pipeline, shaped to stay one broadcast join
+    plus a map-only filter at any scale.
+    """
+    d = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(words("text")).alias("n_tokens"),
+    )
+    totals = d.groupBy("lang").agg(F.sum("n_tokens").alias("total"))
+    thresh = F.least(
+        F.lit(97).cast("long"),
+        F.expr(f"(97 * {LANG_TOKEN_BUDGET} + total - 1) div total"),
+    )
+    return (
+        d.join(F.broadcast(totals.select("lang", thresh.alias("thresh"))), "lang")
+        .withColumn("bucket", _sample_bucket(F.col("doc_id")))
+        .where(F.col("bucket") < F.col("thresh"))
+        .select("doc_id", "lang", "n_tokens", "bucket", "thresh")
+    )
+
+
 def token_pack_bins(t: Tables) -> DataFrame:
     """Sequence packing: concat-and-chunk bin assignment per shard.
 
@@ -300,6 +335,25 @@ ORACLES: dict[str, str] = {
         WHERE (doc_id * 1000003 + 12345) % 97 <
               (CASE lang {_RATE_CASE} ELSE {SAMPLE_DEFAULT} END)
     """,
+    "token_budget_sample": f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                   AS n_tokens
+          FROM documents
+        ),
+        tot AS (
+          SELECT lang,
+                 least(97, (97 * {LANG_TOKEN_BUDGET} + sum(n_tokens) - 1)
+                             // sum(n_tokens)) AS thresh
+          FROM d GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, d.n_tokens,
+               (d.doc_id * 1000003 + 12345) % 97 AS bucket,
+               CAST(tot.thresh AS BIGINT) AS thresh
+        FROM d JOIN tot ON d.lang = tot.lang
+        WHERE (d.doc_id * 1000003 + 12345) % 97 < tot.thresh
+    """,
     "token_pack_bins": f"""
         WITH d AS (
           SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
@@ -379,6 +433,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "repetition_filter": repetition_filter,
     "stratified_sample": stratified_sample,
+    "token_budget_sample": token_budget_sample,
     "token_pack_bins": token_pack_bins,
     "heavy_hitter_bigrams": heavy_hitter_bigrams,
     "regex_scrub": regex_scrub,
