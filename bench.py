@@ -165,7 +165,13 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     events_rows = load_table(spark, sf_dir, "events").count()
     pipeline_sec = timings["geofence_hourly_counts"]
-    taxi_rows, taxi_rps, taxi_steady_rps = taxi_replay_rows_per_sec()
+    # best-of-N for the replay too (same shared-host rationale; throughput →
+    # take the max)
+    taxi_rows = taxi_rps = taxi_steady_rps = 0
+    for _ in range(N_ITERS):
+        rows, rps, steady = taxi_replay_rows_per_sec()
+        if steady > taxi_steady_rps:
+            taxi_rows, taxi_rps, taxi_steady_rps = rows, rps, steady
     print(
         json.dumps(
             {
