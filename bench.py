@@ -168,9 +168,9 @@ def main() -> None:
     # best-of-N for the replay too (same shared-host rationale; throughput →
     # take the max)
     taxi_rows = taxi_rps = taxi_steady_rps = 0
-    for _ in range(N_ITERS):
+    for i in range(N_ITERS):
         rows, rps, steady = taxi_replay_rows_per_sec()
-        if steady > taxi_steady_rps:
+        if i == 0 or steady > taxi_steady_rps:
             taxi_rows, taxi_rps, taxi_steady_rps = rows, rps, steady
     print(
         json.dumps(

@@ -40,7 +40,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: zero-norm input → NULL (matching DuckDB's x/0 and the
+    # BLAS UDF) instead of ANSI DIVIDE_BY_ZERO
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_cols(a: Column | str, b: Column | str) -> Column:
@@ -53,11 +55,17 @@ def cosine_cols(a: Column | str, b: Column | str) -> Column:
 def cosine_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Batched cosine: one numpy matmul per Arrow batch instead of
     interpreted per-element expression eval. Rounding stays with callers so
-    the signature matches :func:`cosine`."""
+    the signature matches :func:`cosine`. Zero-norm vectors yield NULL —
+    matching the expression form's non-ANSI x/0 → NULL — not NaN (NaN
+    sorts ABOVE every value in Spark's descending order and would win
+    top-k)."""
     import numpy as np
 
     av = np.array(a.tolist(), dtype="float64")
     bv = np.array(b.tolist(), dtype="float64")
     num = (av * bv).sum(axis=1)
     den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
-    return pd.Series(num / den)
+    ok = den != 0
+    out = np.divide(num, den, out=np.full_like(num, np.nan), where=ok)
+    # nullable Float64: NaN slots cross Arrow as NULL, not NaN
+    return pd.Series(pd.array(out, dtype="Float64"))

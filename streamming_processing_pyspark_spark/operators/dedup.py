@@ -176,13 +176,16 @@ def ngram_jaccard_pairs(t: Tables, max_shingle_df: int | None = None) -> DataFra
     scale path is :func:`minhash_lsh_pairs`, whose cost is
     candidate-proportional.
     """
-    # persist: this frame feeds three subtrees (sizes + both self-join
-    # sides); without the cache the mapInPandas shingle stage — the
-    # measured dominant cost — runs three times per action.
-    e = (
-        _exploded_shingles(t["documents"])
-        .select("doc_id", F.xxhash64("sh").alias("shh"))
-        .persist()
+    # persist (slot-bounded): this frame feeds three subtrees (sizes +
+    # both self-join sides); without the cache the mapInPandas shingle
+    # stage — the measured dominant cost — runs three times per action.
+    from ..tables import persist_replacing
+
+    e = persist_replacing(
+        _exploded_shingles(t["documents"]).select(
+            "doc_id", F.xxhash64("sh").alias("shh")
+        ),
+        "ngram_exploded_shingles",
     )
     sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
     if max_shingle_df is not None:
@@ -259,11 +262,13 @@ def minhash_lsh_pairs(t: Tables) -> DataFrame:
     The shingle frame (the measured dominant cost) is computed ONCE and
     ``persist()``-ed, shared by the signature pass and the verification
     pass — Spark's CacheManager matches both subtrees to the cached plan.
-    The cached blocks are released by the ContextCleaner once the returned
-    plan is garbage-collected (no explicit unpersist would be safe here:
-    the caller collects lazily).
+    The cache is slot-bounded (see ``tables.persist_replacing``): a repeat
+    call unpersists the previous call's frame, since CacheManager entries
+    are not reclaimed by garbage collection.
     """
-    sh = _shingles(t["documents"]).persist()
+    from ..tables import persist_replacing
+
+    sh = persist_replacing(_shingles(t["documents"]), "minhash_shingles")
     sig = _signatures_from_shingles(sh)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     # one row per (doc, band): a single equi-join on (band_id, band_hash)

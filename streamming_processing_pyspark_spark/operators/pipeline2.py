@@ -162,8 +162,11 @@ def span_dedup(t: Tables) -> DataFrame:
             ).alias("span"),
         )
         .withColumn("k", F.md5("span"))
-        .persist()  # feeds the hot-set aggregation AND the removal join
     )
+    from ..tables import persist_replacing
+
+    # feeds the hot-set aggregation AND the removal join; slot-bounded
+    spans = persist_replacing(spans, "span_dedup_spans")
     hot = (
         spans.groupBy("k")
         .agg(F.count_distinct("doc_id").alias("ndocs"))

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine_pudf, dot
+from ..functions.vectors import as_double, cosine_pudf
 from ..tables import fan_out
 
 Tables = dict[str, DataFrame]
@@ -205,6 +205,12 @@ def knn_join_topk(t: Tables) -> DataFrame:
     def block_topk(key, a_pdf, b_pdf):
         if not len(a_pdf) or not len(b_pdf):
             return pd.DataFrame({"vec_id": [], "nbr_id": [], "cos_sim": []})
+        # sort candidate sides by id so the stable argsort below breaks
+        # score ties toward the SMALLEST nbr_id — the same tie-break as the
+        # global window (and the oracle); an arbitrary block-local cut
+        # could otherwise drop a tied candidate the global top-K needs
+        a_pdf = a_pdf.sort_values("vec_id", kind="mergesort")
+        b_pdf = b_pdf.sort_values("vec_id", kind="mergesort")
         a_ids = a_pdf["vec_id"].to_numpy()
         b_ids = b_pdf["vec_id"].to_numpy()
         a_mat = np.array(a_pdf["vec"].tolist(), dtype="float64")
@@ -222,7 +228,7 @@ def knn_join_topk(t: Tables) -> DataFrame:
         frames = []
         for q_ids, c_ids, m in views:
             k = min(KNN_K, m.shape[1])
-            top = np.argpartition(-m, k - 1, axis=1)[:, :k]
+            top = np.argsort(-m, axis=1, kind="stable")[:, :k]
             rows = np.repeat(q_ids, k)
             cols = c_ids[top.ravel()]
             vals = np.take_along_axis(m, top, axis=1).ravel()

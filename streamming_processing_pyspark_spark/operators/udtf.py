@@ -55,6 +55,10 @@ def bigrams_udtf(t: Tables) -> DataFrame:
 
 @F.pandas_udf(DoubleType())
 def _geomean(v: pd.Series) -> float:
+    # numpy's pairwise-summation mean vs the oracle's sequential avg can
+    # differ ~1e-13 relative; with round(...,6) on O(1) values the flip
+    # probability is ~1e-7 per group — accepted (exact parity would need
+    # per-element-ordered accumulation on both engines).
     import numpy as np
 
     pos = v[v > 0]

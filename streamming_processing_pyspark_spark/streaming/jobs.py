@@ -174,6 +174,15 @@ def write_geofence_files(
         first: dict[str, int] = {}
         for _hour, hq, cnt in rows:
             first.setdefault(hq, cnt)
+        missing = {"citigroup", "goldman"} - set(first)
+        if rows and missing:
+            # the reference's collect()[0][0] would IndexError here; fail
+            # with the cause instead of a bare KeyError mid-stream
+            raise ValueError(
+                f"reference_compat sink needs both headquarters in the "
+                f"batch (reference Task3.py:102-103 crashes otherwise); "
+                f"missing: {sorted(missing)}"
+            )
         for hour, _hq, _cnt in rows:
             h = 24 if hour == 0 else hour
             with open(os.path.join(out_dir, f"output3-{h * 360000}"), "w") as f:
@@ -261,6 +270,12 @@ def upsert_partition_overwrite(
     retry. This is the production fan-out of the reference's per-window
     file sinks — same per-window-replacement contract, but distributed,
     columnar, and readable as one table.
+
+    CONTRACT: ``partition_cols`` must cover the stream's full grouping key
+    (one aggregate row group per partition directory). If the partition is
+    coarser — e.g. grouped by (window, key) but partitioned only by window
+    — a micro-batch that re-emits one key of a window would overwrite that
+    window's whole partition and DELETE the other keys' aggregates.
     """
     spark = batch_df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -77,6 +77,34 @@ def load_tables(
     return out
 
 
+#: one cached frame per operator slot — see persist_replacing
+_PERSIST_SLOTS: dict[str, DataFrame] = {}
+
+
+def persist_replacing(df: DataFrame, slot: str) -> DataFrame:
+    """persist() with a bounded lifetime: the previous frame cached under
+    the same slot is unpersisted first.
+
+    DataFrame.persist registers the plan in Spark's CacheManager, which
+    holds cached blocks until an explicit unpersist/clearCache — they are
+    NOT reclaimed when the Python object is garbage-collected. Operators
+    that persist a shared subframe per call (MinHash shingles, span
+    spans) would therefore leak storage across repeated calls in a
+    long-lived session; slot replacement caps the footprint at one cached
+    frame per operator. Unpersisting the previous frame is always safe:
+    any still-live plan built on it just recomputes.
+    """
+    prev = _PERSIST_SLOTS.get(slot)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # e.g. its SparkSession is already stopped
+    out = df.persist()
+    _PERSIST_SLOTS[slot] = out
+    return out
+
+
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition an UNDER-partitioned frame so per-partition Python
     stages (mapInPandas / pandas UDFs) use every core.
@@ -90,16 +118,31 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     stage behind it.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    # Partition-count probe WITHOUT df.rdd (which forces a full plan→RDD
-    # physical translation per call): the source file count bounds the scan
-    # parallelism for file-based plans. Many files → the scan already fans
-    # out and this is a no-op; few/zero files (local single-file testdata,
-    # or a non-file source we can't cheaply inspect) → repartition, which
-    # moves a frame that is small precisely because it came from few files.
+    # Partition-count estimate WITHOUT df.rdd (which forces a full
+    # plan→RDD physical translation per call). Scan parallelism for
+    # splittable parquet ≈ total bytes / maxPartitionBytes (Spark's split
+    # + bin-packing both converge on this), so estimate from file sizes
+    # when the listing is locally statable; otherwise fall back to the
+    # file count. Zero files / non-file sources → repartition, which then
+    # moves a frame that is small precisely because we couldn't see big
+    # inputs behind it.
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        n_files = 0
-    if n_files >= target:
+        files = []
+    est = len(files)
+    local = [f[len("file:"):] if f.startswith("file:") else f for f in files]
+    if local and all(os.path.exists(p) for p in local):
+        total_bytes = sum(os.path.getsize(p) for p in local)
+        try:
+            max_pb = int(
+                df.sparkSession.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728"
+                ).removesuffix("b")
+            )
+        except ValueError:  # human-readable forms like "128MB"
+            max_pb = 128 * 1024 * 1024
+        est = max(1, -(-total_bytes // max_pb)) if total_bytes else 0
+    if est >= target:
         return df
     return df.repartition(target)

@@ -62,10 +62,19 @@ def test_cosine_pudf_equals_expression(spark):
     emb = load_table(spark, SF_DIR, "embeddings").select(
         "vec_id", as_double("embedding").alias("vec")
     )
+    # include a zero-norm vector: both forms must yield NULL (not NaN,
+    # which would sort above every real value in a DESC top-k)
+    dim = len(emb.first()["vec"])
+    zero = emb.limit(1).select(
+        F.lit(-1).cast("long").alias("vec_id"),
+        F.array(*[F.lit(0.0)] * dim).alias("vec"),
+    )
+    emb = emb.unionByName(zero)
     qvec = emb.where(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
     both = (
         emb.crossJoin(F.broadcast(qvec))
         .select(
+            "vec_id",
             F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("expr_cos"),
             F.round(cosine_pudf(F.col("vec"), F.col("qvec")), 6).alias("blas_cos"),
         )
@@ -73,7 +82,10 @@ def test_cosine_pudf_equals_expression(spark):
     )
     assert both
     for r in both:
-        assert abs(r["expr_cos"] - r["blas_cos"]) <= 1e-6, r
+        if r["vec_id"] == -1:
+            assert r["expr_cos"] is None and r["blas_cos"] is None, r
+        else:
+            assert abs(r["expr_cos"] - r["blas_cos"]) <= 1e-6, r
 
 
 def test_embedding_lsh_subset(spark):
