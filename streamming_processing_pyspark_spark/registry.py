@@ -58,6 +58,36 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+#: Watermark delay for the append-mode streaming template.
+APPEND_WATERMARK_DELAY = "1 hour"
+
+
+def streaming_hourly_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hourly_counts as a WATERMARKED APPEND-mode streaming query — the
+    100 TB template. ``streaming_hourly_counts`` runs complete mode, which
+    re-emits the entire result table every micro-batch (fine for a bounded
+    drain, quadratic output at scale); append mode emits each window
+    exactly once, when the watermark passes its end, and evicts its state.
+    Emission rule (verified empirically, pinned in
+    tests/test_streaming.py::test_append_mode_emits_closed_windows): a
+    window is emitted iff ``window.end <= max(event time seen) - delay``,
+    which is exactly the WHERE clause of the oracle — the final windows
+    the watermark is still holding open at end-of-input are (correctly)
+    absent from the output."""
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_to_memory
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", APPEND_WATERMARK_DELAY)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+    q, table = run_to_memory(agg, "append")
+    q.stop()
+    return spark.table(table)
+
+
 def streaming_geofence_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """geofence_hourly_counts as a streaming query (classify → window agg)."""
     from .sources.streams import stream_events
@@ -198,15 +228,22 @@ def streaming_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming deduplication, demonstrated on a stream that
     REALLY contains duplicates: the events stream unioned with itself
     (every row arrives twice), deduplicated on event_id with
-    ``dropDuplicates`` under a watermark. The drained append output is
-    exactly one row per original event — the exactly-once recovery pattern
-    for at-least-once sources (Kafka redelivery, file re-ingest)."""
+    ``dropDuplicatesWithinWatermark`` under a 1-hour event-time watermark —
+    the exactly-once recovery pattern for at-least-once sources (Kafka
+    redelivery, file re-ingest). Unlike plain ``dropDuplicates`` (whose
+    key state grows forever), within-watermark dedup EVICTS a key's state
+    once the watermark passes its event time + delay, so state is bounded
+    by the redelivery horizon — the 100 TB posture. Redeliveries here are
+    same-batch, well inside any horizon, so the drained append output is
+    exactly one row per original event and the plain-SQL oracle applies
+    (bounded-state eviction semantics pinned in
+    tests/test_streaming.py::test_union_dedup_state_eviction)."""
     from .sources.streams import stream_events
     from .streaming.jobs import run_to_memory
 
-    ev = stream_events(spark, sf_dir).select("event_id", "user_id", "event_type")
-    doubled = ev.unionAll(ev)
-    deduped = doubled.dropDuplicates(["event_id"])
+    ev = stream_events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
+    doubled = ev.unionAll(ev).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
     q, table = run_to_memory(deduped, "append")
     q.stop()
     return spark.table(table)
@@ -245,6 +282,7 @@ _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_union_dedup": streaming_union_dedup,
     "streaming_hourly_counts": streaming_hourly_counts,
+    "streaming_hourly_counts_append": streaming_hourly_counts_append,
     "streaming_geofence_hourly": streaming_geofence_hourly,
     "streaming_counts_10min_by_key": streaming_counts_10min_by_key,
     "streaming_session_counts": streaming_session_counts,
@@ -262,10 +300,20 @@ _STREAMING_ORACLES: dict[str, str] = {
         GROUP BY n.n_name, e.event_type
     """,
     "streaming_union_dedup": """
-        SELECT event_id, user_id, event_type FROM events
+        SELECT event_id, user_id, event_type, ts FROM events
     """,
     "streaming_sliding_counts": windowed.ORACLES["sliding_hourly_counts"],
     "streaming_hourly_counts": windowed.ORACLES["hourly_counts"],
+    # append mode emits a window iff window_end <= max(ts) - watermark delay
+    # (non-strict; empirically pinned in tests/test_streaming.py)
+    "streaming_hourly_counts_append": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               count(*) AS cnt
+        FROM events
+        GROUP BY 1
+        HAVING window_start + INTERVAL '1 hour'
+               <= (SELECT max(ts) FROM events) - INTERVAL '1 hour'
+    """,
     "streaming_geofence_hourly": windowed.ORACLES["geofence_hourly_counts"],
     "streaming_counts_10min_by_key": windowed.ORACLES["counts_10min_by_key"],
     "streaming_session_counts": relational2.ORACLES["session_window_counts"],
@@ -403,12 +451,19 @@ _CHECK_PRIORITY: tuple[str, ...] = (
 )
 
 
-def _green_row_counts() -> dict[str, int]:
-    """Per-query count of green rows across recorded CORRECTNESS_r*.json.
+def _checked_row_counts() -> dict[str, int]:
+    """Per-query count of completed driver checks across the committed
+    CORRECTNESS_r*.json result files (these are tracked in git, so the
+    count — and therefore :func:`check_order` — is deterministic for a
+    given checkout, not a function of untracked local state).
 
-    A row is green when every recorded comparison in it passed; failed or
-    errored rows don't count, so those queries sort back to the front of
-    the check order for re-verification.
+    A row counts as a completed check when either (a) every recorded
+    comparison in it passed, or (b) the driver recorded its by-design
+    rows-only result (``err == "no_oracle"`` with a materialized row
+    count) — those queries have no SQL-expressible oracle, so a recorded
+    rows-only run IS their completed check and they must not consume the
+    verification budget every round. Failed or errored rows never count,
+    so regressed queries sort back to the front for re-verification.
     """
     import glob
     import json
@@ -428,9 +483,39 @@ def _green_row_counts() -> dict[str, int]:
             if not isinstance(row, dict):
                 continue
             checks = [v for k, v in row.items() if k.endswith("_match")]
-            if row.get("err") is None and checks and all(checks):
+            green = row.get("err") is None and checks and all(checks)
+            rows_only_done = (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if green or rows_only_done:
                 counts[name] = counts.get(name, 0) + 1
     return counts
+
+
+def check_order(names: list[str]) -> list[str]:
+    """The explicit driver-check ordering policy (see ADVICE round 3).
+
+    The external driver verifies queries in registry iteration order and
+    stops after a fixed budget (~50 entries), so ordering IS coverage.
+    Policy (default ``rotate``): least-checked queries first — a query's
+    rank is its completed-check count from the committed
+    CORRECTNESS_r*.json files, ties broken by the curated
+    ``_CHECK_PRIORITY`` order then module order. Because every check
+    increments the count, the ordering CYCLES through the whole surface:
+    a previously-green query is re-verified every ceil(total/budget)
+    rounds, so regressions in verified queries still reach the driver
+    (they then sort back to the front until green again).
+
+    Set ``SPARK_GRAFT_CHECK_ORDER=static`` to disable rotation and get the
+    curated order alone (deterministic, independent of any result files).
+    """
+    import os
+
+    base = list(names)
+    if os.environ.get("SPARK_GRAFT_CHECK_ORDER", "rotate") == "static":
+        return base
+    checked = _checked_row_counts()
+    return sorted(base, key=lambda n: (checked.get(n, 0), base.index(n)))
 
 
 def build_queries() -> dict[str, QueryFn]:
@@ -450,12 +535,7 @@ def build_queries() -> dict[str, QueryFn]:
     # stable base order: curated priority first, then module order
     base: list[str] = list(_CHECK_PRIORITY)
     base += [n for n in unordered if n not in set(_CHECK_PRIORITY)]
-    # auto-rotation: fewest recorded green driver rows first, so the
-    # driver's fixed verification budget always lands on the least-checked
-    # part of the surface; ties keep the curated order
-    greens = _green_row_counts()
-    ordered = sorted(base, key=lambda n: (greens.get(n, 0), base.index(n)))
-    return {n: unordered[n] for n in ordered}
+    return {n: unordered[n] for n in check_order(base)}
 
 
 def build_oracles() -> dict[str, str]:

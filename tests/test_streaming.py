@@ -356,6 +356,73 @@ def test_streaming_dropduplicates_within_watermark(spark, tmp_path):
     assert got == [1, 2]
 
 
+def test_union_dedup_state_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark bounds state to the redelivery horizon
+    (registry.streaming_union_dedup's 100 TB posture): a key's dedup state
+    is EVICTED once the watermark passes first-seen ts + delay, so a
+    redelivery after the horizon re-emits (state did not grow to hold it),
+    while a redelivery within the horizon is dropped."""
+    d = str(tmp_path / "evict")
+    os.makedirs(d)
+
+    def mk(rows):
+        spark.createDataFrame(rows, "event_id long, ts string").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(0.05)
+
+    # batch 1: key 1 at 10:00, key 9 at 13:00 → watermark := 13:00-30m = 12:30
+    # → key 1's state (horizon 10:30) evicted, key 9's (13:30) retained
+    mk([(1, "2024-01-01 10:00:00"), (9, "2024-01-01 13:00:00")])
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q, table = run_to_memory(stream, "append")
+    try:
+        # batch 2: key 1 redelivered past its horizon → re-emitted;
+        # key 9 redelivered within its horizon → dropped
+        mk([(1, "2024-01-01 12:45:00"), (9, "2024-01-01 13:05:00")])
+        q.processAllAvailable()
+        got = sorted(r["event_id"] for r in spark.table(table).collect())
+    finally:
+        q.stop()
+    assert got == [1, 1, 9]
+
+
+def test_append_mode_emits_closed_windows(spark, tmp_path):
+    """Pins the append-mode emission rule the streaming_hourly_counts_append
+    oracle encodes: a window is emitted iff window.end <= max(event time) -
+    delay, NON-strict at the boundary (the [11:00,12:00) window whose end
+    equals the final watermark is emitted), and still-open windows are
+    held back."""
+    d = str(tmp_path / "append_rule")
+    rows = [("2024-01-01 10:10:00",), ("2024-01-01 11:20:00",),
+            ("2024-01-01 12:30:00",)]  # watermark ends at 12:00 exactly
+    spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    ).coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    st = spark.readStream.schema(schema).parquet(d).withWatermark("ts", "30 minutes")
+    agg = (
+        st.groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+        .select(F.col("w.start").alias("ws"), "count")
+    )
+    q, table = run_to_memory(agg, "append")
+    try:
+        got = sorted(r["ws"].hour for r in spark.table(table).collect())
+    finally:
+        q.stop()
+    # [10,11) closed; [11,12) end == watermark → emitted (non-strict);
+    # [12,13) still open → held
+    assert got == [10, 11]
+
+
 def test_stream_stream_join(spark, tmp_path):
     """Watermarked stream-stream interval join (gap list §2.10)."""
     imps_d, clicks_d = str(tmp_path / "imps"), str(tmp_path / "clicks")
