@@ -144,25 +144,31 @@ def main() -> None:
 
     # Per-query time = min of N_ITERS materializations: the host is shared,
     # so a single run can absorb an external CPU burst; the minimum is the
-    # standard way to report the machine-limited figure. Iteration count is
-    # recorded in the output JSON.
+    # machine-limited figure. The MEDIAN is carried alongside so
+    # round-over-round comparisons can distinguish real code wins from
+    # one-lucky-run measurement noise. Iteration count is recorded in the
+    # output JSON.
+    import statistics
+
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
-        best = None
+        runs: list[float] = []
         for _ in range(N_ITERS):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(time.perf_counter() - t0)
             # benchmark hygiene: operators that persist/localCheckpoint
             # shared frames (minhash, dedup_clusters) are done with them
             # once the query is materialized — drop the blocks so later
             # queries aren't measured under another query's storage/GC
             # pressure.
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    total_median = round(sum(medians.values()), 3)
     events_rows = load_table(spark, sf_dir, "events").count()
     pipeline_sec = timings["geofence_hourly_counts"]
     # best-of-N for the replay too (same shared-host rationale; throughput →
@@ -179,6 +185,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_median": total_median,
+                "queries_median": medians,
                 "iters_per_query": N_ITERS,
                 "sf": sf,
                 "events_rows_per_sec": round(events_rows / pipeline_sec)

@@ -154,6 +154,37 @@ def hll_user_sketches(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+HLL_TOLERANCE_PCT = 5
+
+
+def hll_vs_exact_distinct(tables: dict[str, DataFrame]) -> DataFrame:
+    """DuckDB-checkable companion to :func:`hll_user_sketches`: exact
+    distinct users per event type side-by-side with a hard claim about the
+    sketch — ``estimate_within_tol`` asserts the HLL estimate is within
+    HLL_TOLERANCE_PCT% of the exact count AS DATA. The oracle computes the
+    exact count and expects the flag TRUE for every group, so the sketch's
+    error bound is driver-verified (value-hash), not just test-asserted —
+    turning the one inherently-approximate aggregate into a hard check.
+    One pass: exact count_distinct and the sketch ride the same shuffle.
+    """
+    ev = tables["events"]
+    est = F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id"), F.lit(12)))
+    exact = F.count_distinct("user_id")
+    return (
+        ev.groupBy("event_type")
+        .agg(exact.alias("exact_users"), est.alias("est"))
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                * F.lit(100)
+                <= F.lit(HLL_TOLERANCE_PCT) * F.col("exact_users")
+            ).alias("estimate_within_tol"),
+        )
+    )
+
+
 def value_trend_by_type(tables: dict[str, DataFrame]) -> DataFrame:
     """Least-squares slope of ``value`` vs hour-of-day, per event type.
 
@@ -193,10 +224,20 @@ QUERIES = {
     "conversion_latency": conversion_latency,
     "hourly_count_anomalies": hourly_count_anomalies,
     "hll_user_sketches": hll_user_sketches,
+    "hll_vs_exact_distinct": hll_vs_exact_distinct,
     "value_trend_by_type": value_trend_by_type,
 }
 
 ORACLES: dict[str, str] = {
+    # the TRUE literal makes the sketch's documented error bound part of
+    # the hash-compared data: any group whose HLL estimate drifts past the
+    # tolerance turns the flag false and fails the driver check
+    "hll_vs_exact_distinct": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS estimate_within_tol
+        FROM events GROUP BY event_type
+    """,
     "event_transitions": """
         WITH t AS (
           SELECT user_id, event_type,

@@ -238,7 +238,7 @@ def dedup_clusters(t: Tables) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by the sum below
     )
     # Convergence check: labels only ever DECREASE (least of self and
     # neighbor minima), so sum(label) is strictly monotone until the fixed
@@ -263,6 +263,9 @@ def dedup_clusters(t: Tables) -> DataFrame:
         parent = propagated.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
+        # lazy checkpoint: the convergence aggregate right below is the
+        # round's one action — it materializes the checkpoint as a side
+        # effect, halving the jobs per round vs an eager checkpoint
         new_labels = (
             propagated.join(parent, propagated.label == parent.p_node, "left")
             .select(
@@ -271,7 +274,7 @@ def dedup_clusters(t: Tables) -> DataFrame:
                     "label"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels

@@ -143,9 +143,17 @@ def embedding_near_dup_pairs(t: Tables) -> DataFrame:
         b_ids = b_pdf["vec_id"].to_numpy()
         a_mat = np.array(a_pdf["vec"].tolist(), dtype="float64")
         b_mat = np.array(b_pdf["vec"].tolist(), dtype="float64")
-        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
-        sims = np.round(a_mat @ b_mat.T, 6)
+        # dot / (|a|·|b|) in the ORACLE's operation order (not
+        # normalize-then-dot, whose different per-element rounding raises
+        # the boundary-flip odds). Residual BLAS blocked-summation vs
+        # DuckDB sequential list_dot_product reorderings can still flip a
+        # 6-dp rounded score sitting exactly at the threshold — ~1e-7 per
+        # pair, the same accepted risk documented for udtf._geomean.
+        norms = np.outer(
+            np.linalg.norm(a_mat, axis=1), np.linalg.norm(b_mat, axis=1)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((a_mat @ b_mat.T) / norms, 6)
         mask = sims >= NEAR_DUP_THRESHOLD
         if key[0] == key[1]:
             # diagonal block: both sides are the same rows — a strict
@@ -177,11 +185,14 @@ def knn_join_topk(t: Tables) -> DataFrame:
 
     Same distributed blocked-matmul harness as
     :func:`embedding_near_dup_pairs`, but each block pair emits BOTH
-    directions' per-row block-local top-K candidates (np.argpartition — no
-    full sort), so a row's global top-K is found among its NB·K candidates
-    by one groupBy window. Shuffle volume after the matmul stage is
-    O(n·NB·K), independent of pairwise count; executor memory stays two
-    blocks per task.
+    directions' per-row block-local top-K candidates via ``np.partition``
+    (O(width) per row, no full sort), WITH every candidate tied at the
+    k-th score included — so the block-local cut can never drop a tied
+    candidate that the global window's deterministic (score DESC, nbr_id)
+    tie-break would have chosen. A row's global top-K is then found among
+    its ~NB·K candidates by one groupBy window. Shuffle volume after the
+    matmul stage is O(n·NB·K + ties), independent of pairwise count;
+    executor memory stays two blocks per task.
     """
     import numpy as np
 
@@ -205,19 +216,19 @@ def knn_join_topk(t: Tables) -> DataFrame:
     def block_topk(key, a_pdf, b_pdf):
         if not len(a_pdf) or not len(b_pdf):
             return pd.DataFrame({"vec_id": [], "nbr_id": [], "cos_sim": []})
-        # sort candidate sides by id so the stable argsort below breaks
-        # score ties toward the SMALLEST nbr_id — the same tie-break as the
-        # global window (and the oracle); an arbitrary block-local cut
-        # could otherwise drop a tied candidate the global top-K needs
-        a_pdf = a_pdf.sort_values("vec_id", kind="mergesort")
-        b_pdf = b_pdf.sort_values("vec_id", kind="mergesort")
         a_ids = a_pdf["vec_id"].to_numpy()
         b_ids = b_pdf["vec_id"].to_numpy()
         a_mat = np.array(a_pdf["vec"].tolist(), dtype="float64")
         b_mat = np.array(b_pdf["vec"].tolist(), dtype="float64")
-        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
-        sims = np.round(a_mat @ b_mat.T, 6)
+        # dot / (|a|·|b|) in the oracle's operation order; residual BLAS
+        # summation reorder risk at a rounded rank boundary is the same
+        # accepted ~1e-7 class documented in embedding_near_dup_pairs
+        norms = np.outer(
+            np.linalg.norm(a_mat, axis=1), np.linalg.norm(b_mat, axis=1)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((a_mat @ b_mat.T) / norms, 6)
+        sims[~np.isfinite(sims)] = -np.inf  # zero-norm rows can't rank
         if key[0] == key[1]:
             sims[a_ids[:, None] == b_ids[None, :]] = -np.inf  # mask self
             views = [(a_ids, b_ids, sims)]
@@ -228,14 +239,18 @@ def knn_join_topk(t: Tables) -> DataFrame:
         frames = []
         for q_ids, c_ids, m in views:
             k = min(KNN_K, m.shape[1])
-            top = np.argsort(-m, axis=1, kind="stable")[:, :k]
-            rows = np.repeat(q_ids, k)
-            cols = c_ids[top.ravel()]
-            vals = np.take_along_axis(m, top, axis=1).ravel()
-            keep = np.isfinite(vals)
+            # kth largest per row in O(width); emit EVERYTHING >= it so
+            # score ties at the cut survive to the global window, whose
+            # (score DESC, nbr_id) ordering resolves them deterministically
+            kth = -np.partition(-m, k - 1, axis=1)[:, k - 1]
+            rows, cols = np.nonzero((m >= kth[:, None]) & np.isfinite(m))
             frames.append(
                 pd.DataFrame(
-                    {"vec_id": rows[keep], "nbr_id": cols[keep], "cos_sim": vals[keep]}
+                    {
+                        "vec_id": q_ids[rows],
+                        "nbr_id": c_ids[cols],
+                        "cos_sim": m[rows, cols],
+                    }
                 )
             )
         return pd.concat(frames, ignore_index=True)

@@ -277,17 +277,16 @@ def upsert_partition_overwrite(
     — a micro-batch that re-emits one key of a window would overwrite that
     window's whole partition and DELETE the other keys' aggregates.
     """
-    spark = batch_df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            batch_df.write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .parquet(out_dir)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # writer-level option, NOT session conf: a session-wide flip (even
+    # restored in finally) is visible to any concurrent query on the same
+    # SparkSession — a second stream's static overwrite could silently turn
+    # dynamic or clobber the restore. The option scopes it to this write.
+    (
+        batch_df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(out_dir)
+    )
 
 
 def sessionize_stream(

@@ -130,19 +130,41 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         files = df.inputFiles()
     except Exception:
         files = []
+    # File count alone is an UPPER bound on scan parallelism (Spark
+    # bin-packs many small files into fewer partitions), so when sizes
+    # aren't statable it can only justify SKIPPING the repartition, never
+    # prove one is needed; when sizes are statable the bin-packing/split
+    # estimate total/maxPartitionBytes is authoritative in both directions.
     est = len(files)
     local = [f[len("file:"):] if f.startswith("file:") else f for f in files]
     if local and all(os.path.exists(p) for p in local):
         total_bytes = sum(os.path.getsize(p) for p in local)
-        try:
-            max_pb = int(
-                df.sparkSession.conf.get(
-                    "spark.sql.files.maxPartitionBytes", "134217728"
-                ).removesuffix("b")
+        max_pb = _parse_bytes(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
             )
-        except ValueError:  # human-readable forms like "128MB"
-            max_pb = 128 * 1024 * 1024
+        )
         est = max(1, -(-total_bytes // max_pb)) if total_bytes else 0
     if est >= target:
         return df
     return df.repartition(target)
+
+
+_BYTE_SUFFIXES = {
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "b": 1, "": 1,
+}
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse Spark byte-size conf values: plain ints and human-readable
+    suffixed forms ("134217728", "128m", "64MB", "1g")."""
+    s = v.strip().lower()
+    num = s.rstrip("kmgtb")
+    try:
+        return max(1, int(num) * _BYTE_SUFFIXES[s[len(num):]])
+    except (ValueError, KeyError):
+        return 128 * 1024 * 1024

@@ -32,7 +32,10 @@ def test_minhash_lsh_subset_and_recall(spark):
     """LSH output ⊆ exact pairs (verification guarantees precision);
     banding parameters must keep recall high at the 0.3 threshold."""
     t = load_tables(spark, SF_DIR)
-    exact = {(r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(t).collect()}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(t, max_shingle_df=None).collect()
+    }
     approx = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(t).collect()}
     assert approx <= exact
     if exact:
@@ -41,13 +44,21 @@ def test_minhash_lsh_subset_and_recall(spark):
 
 def test_ngram_jaccard_hot_shingle_cap_subset(spark):
     """Capped path ⊆ exact pairs: dropping hot shingles only shrinks the
-    intersection count, never invents a pair."""
+    intersection count, never invents a pair. Also pins that the
+    registered "auto" cap sits above every observed document frequency at
+    the test scale factors, so the auto-capped default (the driver-checked
+    form) equals the uncapped exact baseline there."""
     t = load_tables(spark, SF_DIR)
     exact = {
-        (r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(t).collect()
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(t, max_shingle_df=None).collect()
     }
     capped = dedup.ngram_jaccard_pairs(t, max_shingle_df=3).collect()
-    assert {(r["id_a"], r["id_b"]) for r in capped} <= exact
+    assert {(r["id_a"], r["id_b"]) for r in capped} <= {
+        (a, b) for a, b, _ in exact
+    }
+    auto = {tuple(r) for r in dedup.ngram_jaccard_pairs(t).collect()}
+    assert auto == exact
 
 
 def test_cosine_pudf_equals_expression(spark):
