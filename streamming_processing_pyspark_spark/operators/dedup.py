@@ -350,6 +350,45 @@ def minhash_lsh_pairs(t: Tables) -> DataFrame:
     )
 
 
+#: recall bound the driver-checked minhash claim asserts (percent).
+MINHASH_RECALL_PCT = 80
+
+
+def minhash_recall_check(t: Tables) -> DataFrame:
+    """DuckDB-checkable claim about :func:`minhash_lsh_pairs` (which is
+    itself rows-only — xxhash64 isn't reproducible in DuckDB): one row
+    stating the exact pair count, that the LSH output is a SUBSET of the
+    exact uncapped pairs (verification guarantees precision), and that
+    recall is ≥ MINHASH_RECALL_PCT%. The oracle computes the exact count
+    and expects both flags TRUE, so the approximate operator's quality
+    contract is driver-verified as data — the same bound the local test
+    pins, now hash-checked every rotation.
+    """
+    # full-outer join, each side scanned ONCE: n_exact / intersection /
+    # lsh-only counts all come from one aggregation
+    exact = ngram_jaccard_pairs(t, max_shingle_df=None).select(
+        "id_a", "id_b", F.lit(1).alias("in_exact")
+    )
+    lsh = minhash_lsh_pairs(t).select("id_a", "id_b", F.lit(1).alias("in_lsh"))
+    j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count("in_exact").alias("n_exact"),
+        F.count(F.when(F.col("in_exact").isNotNull(), F.col("in_lsh"))).alias(
+            "n_hit"
+        ),
+        F.count(F.when(F.col("in_exact").isNull(), F.col("in_lsh"))).alias(
+            "n_outside"
+        ),
+    ).select(
+        "n_exact",
+        (F.col("n_outside") == 0).alias("subset_ok"),
+        (
+            F.lit(100) * F.col("n_hit")
+            >= F.lit(MINHASH_RECALL_PCT) * F.col("n_exact")
+        ).alias("recall_ok"),
+    )
+
+
 def simhash_fingerprints(t: Tables) -> DataFrame:
     """64-bit SimHash per document: bit-majority over token hash values.
 
@@ -425,7 +464,10 @@ _SHINGLE_DUCK = f"""
     ek AS (SELECT doc_id, sh FROM e WHERE sh NOT IN (SELECT sh FROM hot)),
     p AS (SELECT e1.doc_id AS id_a, e2.doc_id AS id_b, count(*) AS common
           FROM ek e1 JOIN ek e2 ON e1.sh = e2.sh
-          WHERE e1.doc_id < e2.doc_id GROUP BY 1, 2)
+          WHERE e1.doc_id < e2.doc_id GROUP BY 1, 2),
+    pu AS (SELECT e1.doc_id AS id_a, e2.doc_id AS id_b, count(*) AS common
+           FROM e e1 JOIN e e2 ON e1.sh = e2.sh
+           WHERE e1.doc_id < e2.doc_id GROUP BY 1, 2)
 """
 
 ORACLES: dict[str, str] = {
@@ -460,8 +502,22 @@ ORACLES: dict[str, str] = {
         WHERE round(common * 1.0 / (na.n + nb.n - common), 4) >= {JACCARD_THRESHOLD}
     """,
     # minhash_lsh_pairs / minhash_signatures / simhash_fingerprints:
-    # xxhash64-based — rows-only driver check; tests assert
-    # minhash_lsh_pairs ⊆ ngram_jaccard_pairs and high recall.
+    # xxhash64-based — rows-only driver check; minhash_recall_check below
+    # turns the subset + recall contract into a hard driver check.
+    "minhash_recall_check": f"""
+        WITH {_SHINGLE_DUCK},
+        jx AS (
+          SELECT id_a, id_b
+          FROM pu JOIN n na ON pu.id_a = na.doc_id
+                  JOIN n nb ON pu.id_b = nb.doc_id
+          WHERE round(common * 1.0 / (na.n + nb.n - common), 4)
+                >= {JACCARD_THRESHOLD}
+        )
+        SELECT count(*) AS n_exact,
+               TRUE AS subset_ok,
+               TRUE AS recall_ok
+        FROM jx
+    """,
 }
 
 QUERIES = {
@@ -470,5 +526,6 @@ QUERIES = {
     "name_near_dup_pairs": name_near_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "minhash_recall_check": minhash_recall_check,
     "simhash_fingerprints": simhash_fingerprints,
 }

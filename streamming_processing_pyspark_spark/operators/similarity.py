@@ -100,38 +100,68 @@ def filtered_cosine_topk(t: Tables) -> DataFrame:
     )
 
 
-def embedding_near_dup_pairs(t: Tables) -> DataFrame:
-    """All embedding pairs with cosine ≥ 0.95 — distributed blocked matmul.
+def _block_pair_groups(emb: DataFrame, score_fn, schema: str) -> DataFrame:
+    """Shared harness for the distributed blocked-matmul operators.
 
-    O(n²·d) work belongs in a matrix engine, not per-pair expression eval —
-    but the matrix must never land on the driver. Rows are hash-assigned to
-    NB blocks; every unordered block pair (i ≤ j) becomes one cogroup key,
-    with block i's rows shuffled in as the left side and block j's as the
-    right (each row is replicated to the ~NB/2 pairs it participates in).
-    Inside each cogroup a single numpy `A @ B.T` scores the block pair and
-    only pairs above threshold are emitted. Executor memory per task is two
-    blocks (n/NB × d doubles), independent of total table size; NB grows
-    with the cluster so block-pair tasks saturate it. At true 100 TB scale
-    all-pairs is replaced by :func:`lsh_bucketed_pairs`; this is the exact
-    baseline.
+    Rows are hash-assigned to NB blocks; every unordered block pair
+    (i ≤ j) becomes ONE groupBy key carrying block i's rows tagged
+    ``side=0`` and block j's tagged ``side=1`` (each row is replicated to
+    the ~NB/2 pairs it participates in). ``score_fn(key, a_pdf, b_pdf)``
+    sees the two blocks as separate frames. A single tagged union +
+    grouped ``applyInPandas`` rather than ``cogroup``: identical shuffle
+    volume, but it avoids the SELF-cogroup (both sides the same
+    embeddings relation), where Spark 4.1's relation deduplication +
+    column pruning drop the right side's payload columns whenever the
+    operator's output is only partially consumed (``.count()``, a
+    projected join — observed empirically; pinned in
+    tests/test_operators.py::test_blocked_matmul_partial_consumption).
+    Cogroups over two DISTINCT relations (operators/asof.py) are not
+    affected. Grouped-map prunes correctly.
+    Executor memory per task is two blocks (n/NB × d doubles),
+    independent of total table size; NB grows with the cluster so
+    block-pair tasks saturate it.
     """
-    emb = t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
     spark = emb.sparkSession
     # NB(NB+1)/2 block-pair tasks ≥ cluster parallelism
     nb = max(2, math.isqrt(2 * spark.sparkContext.defaultParallelism) + 1)
     blk = F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int")
     others = F.sequence(F.lit(0), F.lit(nb - 1))
-
     left = (
         emb.withColumn("bi", blk)
         .withColumn("bj", F.explode(others))
         .where(F.col("bi") <= F.col("bj"))
+        .withColumn("side", F.lit(0))
     )
     right = (
         emb.withColumn("bj", blk)
         .withColumn("bi", F.explode(others))
         .where(F.col("bi") <= F.col("bj"))
+        .withColumn("side", F.lit(1))
     )
+
+    def split_and_score(key, pdf):
+        a_pdf = pdf[pdf["side"] == 0]
+        b_pdf = pdf[pdf["side"] == 1]
+        return score_fn(key[:2], a_pdf, b_pdf)
+
+    return (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(split_and_score, schema=schema)
+    )
+
+
+def embedding_near_dup_pairs(t: Tables) -> DataFrame:
+    """All embedding pairs with cosine ≥ 0.95 — distributed blocked matmul.
+
+    O(n²·d) work belongs in a matrix engine, not per-pair expression eval —
+    but the matrix must never land on the driver: see
+    :func:`_block_pair_groups` for the block-pair harness. Inside each
+    block pair a single numpy `A @ B.T` scores the pair and only pairs
+    above threshold are emitted. At true 100 TB scale all-pairs is
+    replaced by :func:`lsh_bucketed_pairs`; this is the exact baseline.
+    """
+    emb = t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
 
     def score_block_pair(key, a_pdf, b_pdf):
         import numpy as np
@@ -167,12 +197,8 @@ def embedding_near_dup_pairs(t: Tables) -> DataFrame:
         hi = np.maximum(a_ids[ai], b_ids[bi])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims[ai, bi]})
 
-    return (
-        left.groupBy("bi", "bj")
-        .cogroup(right.groupBy("bi", "bj"))
-        .applyInPandas(
-            score_block_pair, schema="id_a bigint, id_b bigint, cos_sim double"
-        )
+    return _block_pair_groups(
+        emb, score_block_pair, "id_a bigint, id_b bigint, cos_sim double"
     )
 
 
@@ -197,21 +223,6 @@ def knn_join_topk(t: Tables) -> DataFrame:
     import numpy as np
 
     emb = t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
-    spark = emb.sparkSession
-    nb = max(2, math.isqrt(2 * spark.sparkContext.defaultParallelism) + 1)
-    blk = F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int")
-    others = F.sequence(F.lit(0), F.lit(nb - 1))
-
-    left = (
-        emb.withColumn("bi", blk)
-        .withColumn("bj", F.explode(others))
-        .where(F.col("bi") <= F.col("bj"))
-    )
-    right = (
-        emb.withColumn("bj", blk)
-        .withColumn("bi", F.explode(others))
-        .where(F.col("bi") <= F.col("bj"))
-    )
 
     def block_topk(key, a_pdf, b_pdf):
         if not len(a_pdf) or not len(b_pdf):
@@ -255,12 +266,8 @@ def knn_join_topk(t: Tables) -> DataFrame:
             )
         return pd.concat(frames, ignore_index=True)
 
-    cands = (
-        left.groupBy("bi", "bj")
-        .cogroup(right.groupBy("bi", "bj"))
-        .applyInPandas(
-            block_topk, schema="vec_id bigint, nbr_id bigint, cos_sim double"
-        )
+    cands = _block_pair_groups(
+        emb, block_topk, "vec_id bigint, nbr_id bigint, cos_sim double"
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("nbr_id")
@@ -434,6 +441,63 @@ def ivf_topk(t: Tables) -> DataFrame:
     )
 
 
+#: recall bound the driver-checked IVF claim asserts (percent).
+IVF_RECALL_PCT = 60
+
+
+def ivf_recall_check(t: Tables) -> DataFrame:
+    """DuckDB-checkable claim about :func:`ivf_topk` (itself rows-only —
+    the quantizer isn't reproducible in SQL): one row stating the exact
+    top-k size, that IVF recall vs the brute-force top-k is ≥
+    IVF_RECALL_PCT%, and that every IVF score for an overlapping id equals
+    the brute-force score exactly (precision is exact — real cosines on
+    probed rows). The oracle expects both flags TRUE, so the approximate
+    index's quality contract is driver-verified as data.
+    """
+    # full-outer join, each side computed ONCE: exact-count / overlap /
+    # score-agreement all come from one aggregation
+    exact = cosine_topk(t).select("vec_id", "cos_sim")
+    ivf = ivf_topk(t).select("vec_id", F.col("cos_sim").alias("ivf_sim"))
+    j = exact.join(ivf, "vec_id", "full_outer")
+    return j.agg(
+        F.count("cos_sim").alias("n_exact"),
+        F.count(F.when(F.col("cos_sim").isNotNull(), F.col("ivf_sim"))).alias(
+            "n_overlap"
+        ),
+        F.coalesce(
+            F.sum((F.col("ivf_sim") != F.col("cos_sim")).cast("long")), F.lit(0)
+        ).alias("n_score_mismatch"),
+    ).select(
+        "n_exact",
+        (
+            F.lit(100) * F.col("n_overlap")
+            >= F.lit(IVF_RECALL_PCT) * F.col("n_exact")
+        ).alias("recall_ok"),
+        (F.col("n_score_mismatch") == 0).alias("precision_ok"),
+    )
+
+
+def lsh_subset_check(t: Tables) -> DataFrame:
+    """DuckDB-checkable claim about :func:`lsh_bucketed_pairs` (itself
+    rows-only — hyperplane signatures aren't SQL-reproducible): one row
+    stating the exact near-dup pair count and that the LSH output is a
+    SUBSET of the brute-force pairs (exact-cosine verification guarantees
+    precision; recall is the approximate axis and stays test-pinned). The
+    oracle expects the flag TRUE.
+    """
+    exact = embedding_near_dup_pairs(t).select(
+        "id_a", "id_b", F.lit(1).alias("in_exact")
+    )
+    lsh = lsh_bucketed_pairs(t).select("id_a", "id_b", F.lit(1).alias("in_lsh"))
+    j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count("in_exact").alias("n_exact"),
+        F.count(F.when(F.col("in_exact").isNull(), F.col("in_lsh"))).alias(
+            "n_outside"
+        ),
+    ).select("n_exact", (F.col("n_outside") == 0).alias("subset_ok"))
+
+
 def label_centroid_sim(t: Tables) -> DataFrame:
     """Per-label mean vector and each vector's cosine to its label centroid.
 
@@ -494,7 +558,29 @@ ORACLES: dict[str, str] = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE {_COS_DUCK} >= {NEAR_DUP_THRESHOLD}
     """,
-    # lsh_bucketed_pairs: approximate (recall < 1) — rows-only check by design.
+    # lsh_bucketed_pairs / ivf_topk: approximate — rows-only by design;
+    # the *_check companions below turn their quality contracts into hard
+    # driver checks (count + TRUE-flag hash comparison).
+    "ivf_recall_check": f"""
+        SELECT count(*) AS n_exact, TRUE AS recall_ok, TRUE AS precision_ok
+        FROM (
+          SELECT a.vec_id
+          FROM embeddings a,
+               (SELECT embedding FROM embeddings
+                WHERE vec_id = {QUERY_VEC_ID}) q
+          WHERE a.vec_id != {QUERY_VEC_ID}
+          ORDER BY {_COS_DUCK.replace('b.embedding', 'q.embedding')} DESC, a.vec_id
+          LIMIT {TOPK}
+        )
+    """,
+    "lsh_subset_check": f"""
+        SELECT count(*) AS n_exact, TRUE AS subset_ok
+        FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE {_COS_DUCK} >= {NEAR_DUP_THRESHOLD}
+        )
+    """,
     "knn_join_topk": f"""
         WITH sims AS (
           SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, {_COS_DUCK} AS cos_sim
@@ -531,7 +617,9 @@ QUERIES = {
     "filtered_cosine_topk": filtered_cosine_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lsh_bucketed_pairs": lsh_bucketed_pairs,
+    "lsh_subset_check": lsh_subset_check,
     "ivf_topk": ivf_topk,
+    "ivf_recall_check": ivf_recall_check,
     "label_centroid_sim": label_centroid_sim,
     "knn_join_topk": knn_join_topk,
 }

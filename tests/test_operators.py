@@ -111,6 +111,21 @@ def test_embedding_lsh_subset(spark):
     assert approx <= exact
 
 
+def test_blocked_matmul_partial_consumption(spark):
+    """Regression: Spark 4.1's FlatMapCoGroupsInPandas drops the right
+    side's payload columns under column pruning when the operator output
+    is only partially consumed (count / projected join). The block-pair
+    harness uses a tagged union + grouped applyInPandas instead — these
+    partially-consuming shapes must therefore run, not KeyError."""
+    t = load_tables(spark, SF_DIR)
+    assert similarity.embedding_near_dup_pairs(t).count() >= 0
+    assert (
+        similarity.embedding_near_dup_pairs(t).select("id_a", "id_b").count()
+        >= 0
+    )
+    assert similarity.knn_join_topk(t).select("vec_id").count() > 0
+
+
 def test_ivf_topk_recall(spark):
     """IVF probes 6/16 buckets; recall vs brute force stays high and every
     returned cosine is a true cosine (exact precision)."""
