@@ -449,6 +449,36 @@ _CAP_DUCK = (
     f"({AUTO_DF_PCT} * (SELECT count(*) FROM documents) + 99) // 100))"
 )
 
+#: simhash locality bound asserted by the driver check: mean hamming
+#: distance over near-duplicate pairs. Random 64-bit fingerprints average
+#: 32; measured near-dup pairs average ~2.5 across scale factors, so 16
+#: fails only if the fingerprint function actually loses locality.
+SIMHASH_NEAR_AVG_MAX = 16
+
+
+def simhash_locality_check(t: Tables) -> DataFrame:
+    """DuckDB-checkable claim about :func:`simhash_fingerprints` (itself
+    rows-only — crc32-based): one row with the near-dup pair count (the
+    capped-default :func:`ngram_jaccard_pairs` set — SQL-computable, so it
+    hash-verifies) and a flag that the MEAN simhash hamming distance over
+    those pairs is ≤ SIMHASH_NEAR_AVG_MAX — the locality property the
+    fingerprint exists for, as a hard driver check instead of a
+    test-only assertion. Empty pair set → trivially true."""
+    fps = simhash_fingerprints(t)
+    pairs = ngram_jaccard_pairs(t).select("id_a", "id_b")
+    fa = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    fb = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    near = pairs.join(fa, "id_a").join(fb, "id_b").select(
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("d")
+    )
+    return near.agg(
+        F.count("*").alias("n_pairs"),
+        (
+            F.coalesce(F.avg("d"), F.lit(0.0)) <= F.lit(SIMHASH_NEAR_AVG_MAX)
+        ).alias("locality_ok"),
+    )
+
+
 _SHINGLE_DUCK = f"""
     w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
     s AS (SELECT doc_id,
@@ -518,6 +548,17 @@ ORACLES: dict[str, str] = {
                TRUE AS recall_ok
         FROM jx
     """,
+    "simhash_locality_check": f"""
+        WITH {_SHINGLE_DUCK},
+        jc AS (
+          SELECT id_a, id_b
+          FROM p JOIN n na ON p.id_a = na.doc_id
+                 JOIN n nb ON p.id_b = nb.doc_id
+          WHERE round(common * 1.0 / (na.n + nb.n - common), 4)
+                >= {JACCARD_THRESHOLD}
+        )
+        SELECT count(*) AS n_pairs, TRUE AS locality_ok FROM jc
+    """,
 }
 
 QUERIES = {
@@ -528,4 +569,5 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "minhash_recall_check": minhash_recall_check,
     "simhash_fingerprints": simhash_fingerprints,
+    "simhash_locality_check": simhash_locality_check,
 }

@@ -98,6 +98,35 @@ def approx_percentiles_by_type(t: Tables) -> DataFrame:
     )
 
 
+def approx_percentile_rank_check(t: Tables) -> DataFrame:
+    """DuckDB-checkable claim about :func:`approx_percentiles_by_type`
+    (itself rows-only — sketch estimates are engine-specific): per group,
+    the exact median (hash-compared; Spark ``percentile`` == DuckDB
+    ``quantile_cont``) plus a flag that the approx median lies inside the
+    exact [p45, p55] value band. ``approx_percentile``'s rank error at
+    accuracy 10 000 is 0.01% — four orders of magnitude inside the 5%
+    band — so the flag is TRUE unless the sketch actually breaks, which
+    makes the sketch's error contract a hard driver check.
+    """
+    g = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+            F.expr("percentile(value, 0.45)").alias("lo"),
+            F.expr("percentile(value, 0.55)").alias("hi"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("ap"),
+        )
+    )
+    return g.select(
+        "event_type",
+        "exact_p50",
+        ((F.col("ap") >= F.col("lo")) & (F.col("ap") <= F.col("hi"))).alias(
+            "within_rank_band"
+        ),
+    )
+
+
 def mode_value_by_type(t: Tables) -> DataFrame:
     """Deterministic mode: most frequent value, smallest value wins ties
     (built from count + rank so both engines agree bit-for-bit)."""
@@ -286,6 +315,12 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(value, 0.75), 4) AS p75
         FROM events GROUP BY event_type
     """,
+    "approx_percentile_rank_check": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS exact_p50,
+               TRUE AS within_rank_band
+        FROM events GROUP BY event_type
+    """,
     "mode_value_by_type": """
         SELECT event_type, value AS mode_value, n AS mode_n FROM (
           SELECT event_type, value, count(*) AS n,
@@ -384,6 +419,7 @@ QUERIES = {
     "stats_by_type": stats_by_type,
     "percentiles_by_type": percentiles_by_type,
     "approx_percentiles_by_type": approx_percentiles_by_type,
+    "approx_percentile_rank_check": approx_percentile_rank_check,
     "mode_value_by_type": mode_value_by_type,
     "full_outer_nation_counts": full_outer_nation_counts,
     "range_join_value_buckets": range_join_value_buckets,
