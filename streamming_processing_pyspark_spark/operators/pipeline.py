@@ -104,6 +104,76 @@ def stratified_sample(t: Tables) -> DataFrame:
     )
 
 
+#: shard count for the deterministic training shuffle. Locally 16; at
+#: 100 TB this is thousands (shards ≈ output files), which only widens the
+#: parallelism — the plan shape (one hash shuffle + per-shard local sort)
+#: is unchanged.
+SHUFFLE_SHARDS = 16
+#: affine order-key parameters (SQL-portable — no xxhash64 in DuckDB).
+_SHUF_MOD = 2147483647  # 2^31 - 1
+
+
+def shard_shuffle_assign(t: Tables) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    (shard, position) — the final step before writing training shards.
+
+    A global ORDER BY random() is the naive formulation and a single
+    total-sort at 100 TB; this instead hash-assigns each doc a
+    pseudo-random order key, buckets by ``key % SHUFFLE_SHARDS`` (ONE hash
+    shuffle), and sorts WITHIN each shard only (parallel local sorts, one
+    per shard/output file). Reading shards in any order and each shard
+    sequentially yields a reproducible uniform shuffle, and the affine key
+    means the exact same permutation can be re-derived for resume or
+    audit. Overflow-safe in plain int64 on both engines
+    ((doc_id % M) * 1000003 + 12345 < 2^62), so the DuckDB oracle
+    reproduces every position bit-for-bit.
+    """
+    okey = (
+        (F.col("doc_id") % F.lit(_SHUF_MOD)) * F.lit(1000003) + F.lit(12345)
+    ) % F.lit(_SHUF_MOD)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return (
+        t["documents"]
+        .select("doc_id", okey.alias("okey"))
+        .withColumn("shard", (F.col("okey") % SHUFFLE_SHARDS).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+#: modulus splitting documents into "already-ingested corpus" vs "incoming
+#: batch" for the incremental dedup demonstration.
+INCR_BATCH_MOD = 10
+
+
+def incremental_exact_dedup(t: Tables) -> DataFrame:
+    """Incremental-ingest dedup: the other half of :mod:`.dedup`'s batch
+    ladder — documents arriving in a NEW batch survive only if their text
+    hash is unseen in the already-ingested corpus. Here the corpus is
+    ``doc_id % INCR_BATCH_MOD != 0`` and the batch the rest (a stand-in
+    for yesterday's table vs today's drop). Anti-join on md5(text): the
+    corpus side reduces to distinct fixed-width hashes before the join,
+    so at 100 TB the shuffle carries 16-byte keys, not documents — and a
+    bucketed corpus-hash table makes the anti-join shuffle-free on the
+    corpus side. Intra-batch dups are then collapsed by the same
+    ``exact_dedup`` pass.
+    """
+    docs = t["documents"]
+    corpus = (
+        docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    incoming = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    return (
+        incoming.select("doc_id", F.md5("text").alias("h"))
+        .join(corpus, "h", "left_anti")
+        .select("doc_id")
+    )
+
+
 #: per-language token budget for token_budget_sample
 LANG_TOKEN_BUDGET = 10000
 
@@ -338,6 +408,29 @@ ORACLES: dict[str, str] = {
         WHERE (doc_id * 1000003 + 12345) % 97 <
               (CASE lang {_RATE_CASE} ELSE {SAMPLE_DEFAULT} END)
     """,
+    "incremental_exact_dedup": f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id % {INCR_BATCH_MOD} = 0
+          AND md5(text) NOT IN (
+            SELECT md5(text) FROM documents
+            WHERE doc_id % {INCR_BATCH_MOD} != 0
+          )
+    """,
+    "shard_shuffle_assign": f"""
+        WITH k AS (
+          SELECT doc_id,
+                 ((doc_id % {_SHUF_MOD}) * 1000003 + 12345) % {_SHUF_MOD}
+                   AS okey
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(okey % {SHUFFLE_SHARDS} AS INTEGER) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY okey % {SHUFFLE_SHARDS}
+                 ORDER BY okey, doc_id
+               ) AS INTEGER) AS pos
+        FROM k
+    """,
     "token_budget_sample": f"""
         WITH d AS (
           SELECT doc_id, lang,
@@ -436,6 +529,8 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "repetition_filter": repetition_filter,
     "stratified_sample": stratified_sample,
+    "shard_shuffle_assign": shard_shuffle_assign,
+    "incremental_exact_dedup": incremental_exact_dedup,
     "token_budget_sample": token_budget_sample,
     "token_pack_bins": token_pack_bins,
     "heavy_hitter_bigrams": heavy_hitter_bigrams,
