@@ -224,6 +224,27 @@ def test_span_dedup_broadcasts_hot_set(spark):
     assert_read_schema_only(df, "documents", {"doc_id", "text"})
 
 
+def test_shard_shuffle_single_exchange(spark):
+    """The training shuffle must be ONE hash exchange + per-shard local
+    sorts — never a global (single-partition) total sort."""
+    t = load_tables(spark, SF_DIR)
+    df = pipeline.shard_shuffle_assign(t)
+    s = plan_string(df, "simple")  # formatted mode repeats nodes in details
+    assert s.count("Exchange") == 1, s
+    assert "SinglePartition" not in s, s
+    assert_no_python_eval(df)
+
+
+def test_incremental_dedup_anti_join_on_hash(spark):
+    """Incremental ingest dedup: LeftAnti join on fixed-width md5 keys,
+    with the batch-side filter pushed to the scan."""
+    t = load_tables(spark, SF_DIR)
+    df = pipeline.incremental_exact_dedup(t)
+    s = plan_string(df)
+    assert "LeftAnti" in s, s
+    assert_no_python_eval(df)
+
+
 def test_knn_join_partial_topk(spark):
     """Global per-vector top-K must push a partial WindowGroupLimit below
     the shuffle — candidates are pruned map-side, not sorted globally."""
