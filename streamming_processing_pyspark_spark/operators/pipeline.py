@@ -298,25 +298,28 @@ def dedup_clusters(t: Tables) -> DataFrame:
 
     Oracle: DuckDB recursive CTE computing min reachable id.
     """
-    pairs = ngram_jaccard_pairs(t).select("id_a", "id_b")
-    edges = (
-        pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
-        .toDF("src", "dst")
-        .localCheckpoint()
+    # checkpoint the PAIR list, then build both edge directions from the
+    # checkpoint: a union of the raw pair plan with its swap would run the
+    # whole shingle→posting→pair pipeline twice in one action
+    pairs = ngram_jaccard_pairs(t).select("id_a", "id_b").localCheckpoint()
+    edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF(
+        "src", "dst"
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)  # materialized by the sum below
+        .localCheckpoint(eager=False)  # materialized by round 1's action
     )
     # Convergence check: labels only ever DECREASE (least of self and
     # neighbor minima), so sum(label) is strictly monotone until the fixed
     # point — an equal sum proves convergence. One cheap scalar aggregate
     # per round instead of a join+count of new vs old labels (halves the
     # per-iteration job count; on a 100 TB graph it removes a full shuffle
-    # join per round).
-    label_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # join per round). No up-front sum: round 1 compares against the None
+    # sentinel, which only an empty graph (sum NULL) matches — and an
+    # empty graph IS converged.
+    label_sum = None
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
