@@ -318,7 +318,10 @@ def minhash_lsh_pairs(t: Tables) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("bk"))
+    # checkpoint before the self-join: the two join sides would otherwise
+    # each recompute the signature pipeline (the per-side rename happens
+    # before the exchange, so ReuseExchange can't deduplicate them)
+    banded = sig.select("doc_id", F.explode(bands).alias("bk")).localCheckpoint()
     a = banded.select(F.col("doc_id").alias("id_a"), "bk")
     b = banded.select(F.col("doc_id").alias("id_b"), "bk")
     cands = (

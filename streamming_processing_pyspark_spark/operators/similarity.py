@@ -329,9 +329,12 @@ def lsh_bucketed_pairs(t: Tables, dim: int = 64) -> DataFrame:
         packed = np.concatenate(keys, axis=1)  # n × N_BANDS
         return pd.Series(list(packed))
 
+    # checkpoint before the self-join so the BLAS signature pass runs once,
+    # not once per join side (the per-side rename precedes the exchange,
+    # so ReuseExchange can't deduplicate the branches)
     banded = emb.select(
         "vec_id", F.posexplode(band_keys("vec")).alias("band_id", "band_key")
-    )
+    ).localCheckpoint()
     a = banded.select(F.col("vec_id").alias("id_a"), "band_id", "band_key")
     b = banded.select(F.col("vec_id").alias("id_b"), "band_id", "band_key")
     cands = (
