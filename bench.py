@@ -62,6 +62,8 @@ HEADLINE = [
     "token_pack_bins",
     "heavy_hitter_bigrams",
     "dedup_clusters",
+    "shard_shuffle_assign",
+    "incremental_exact_dedup",
     "doc_chunks",
     "benchmark_contamination",
     "q7_volume_shipping",
