@@ -213,7 +213,7 @@ def ngram_jaccard_pairs(
 
     if max_shingle_df == "auto":
         max_shingle_df = _auto_shingle_cap(t["documents"].count())
-    sh = persist_replacing(_shingles(t["documents"]), "ngram_shingles")
+    sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     e = sh.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", F.xxhash64("s").alias("shh")
@@ -298,13 +298,14 @@ def minhash_lsh_pairs(t: Tables) -> DataFrame:
     The shingle frame (the measured dominant cost) is computed ONCE and
     ``persist()``-ed, shared by the signature pass and the verification
     pass — Spark's CacheManager matches both subtrees to the cached plan.
-    The cache is slot-bounded (see ``tables.persist_replacing``): a repeat
-    call unpersists the previous call's frame, since CacheManager entries
-    are not reclaimed by garbage collection.
+    The cache is slot-bounded AND session-shared (see
+    ``tables.persist_replacing``): the same ``doc_shingles`` slot backs
+    :func:`ngram_jaccard_pairs`, so a session running the dedup ladder
+    computes the shingle index exactly once.
     """
     from ..tables import persist_replacing
 
-    sh = persist_replacing(_shingles(t["documents"]), "minhash_shingles")
+    sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
     sig = _signatures_from_shingles(sh)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     # one row per (doc, band): a single equi-join on (band_id, band_hash)

@@ -93,9 +93,23 @@ def persist_replacing(df: DataFrame, slot: str) -> DataFrame:
     long-lived session; slot replacement caps the footprint at one cached
     frame per operator. Unpersisting the previous frame is always safe:
     any still-live plan built on it just recomputes.
+
+    When the incoming plan is semantically identical to the slot's cached
+    frame (``sameSemantics`` — same session, same resolved logical plan),
+    the cached frame is RETURNED instead of replaced: expensive shared
+    subframes (the shingle index feeding ngram-Jaccard, MinHash-LSH and
+    dedup-cluster queries) are computed once per session and reused
+    across operator calls, while a changed input (different sf_dir, new
+    session) still swaps the slot. Memory stays bounded at one cached
+    frame per slot either way.
     """
     prev = _PERSIST_SLOTS.get(slot)
     if prev is not None:
+        try:
+            if prev.is_cached and df.sameSemantics(prev):
+                return prev
+        except Exception:
+            pass  # cross-session comparison / stopped session → replace
         try:
             prev.unpersist(blocking=False)
         except Exception:

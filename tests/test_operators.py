@@ -272,3 +272,21 @@ def test_hll_sketch_error_bound(spark):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) <= 0.05 * exact[k], (k, est, exact[k])
+
+
+def test_persist_replacing_reuses_identical_plan(spark):
+    """The slot cache must return the SAME cached frame for a semantically
+    identical plan (shared shingle index across dedup-ladder queries) and
+    replace it when the plan changes (different input)."""
+    from streamming_processing_pyspark_spark.tables import persist_replacing
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    a = persist_replacing(docs, "_test_slot")
+    a.count()
+    assert a.storageLevel.useMemory
+    b = persist_replacing(load_table(spark, SF_DIR, "documents").select("doc_id"), "_test_slot")
+    assert b is a  # reused, not re-persisted
+    c = persist_replacing(docs.where(F.col("doc_id") > 3), "_test_slot")
+    assert c is not a
+    assert not a.storageLevel.useMemory or not a.is_cached  # old slot evicted
+    c.unpersist(blocking=False)
