@@ -306,10 +306,26 @@ def minhash_lsh_pairs(t: Tables) -> DataFrame:
     from ..tables import persist_replacing
 
     sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
-    sig = _signatures_from_shingles(sh)
+    # checkpoint before the self-join: the two join sides would otherwise
+    # each recompute the signature pipeline (the per-side rename happens
+    # before the exchange, so ReuseExchange can't deduplicate them)
+    banded = _banded(_signatures_from_shingles(sh)).localCheckpoint()
+    a = banded.select(F.col("doc_id").alias("id_a"), "bk")
+    b = banded.select(F.col("doc_id").alias("id_b"), "bk")
+    cands = (
+        a.join(b, "bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_jaccard(cands, sh, "id_a", "id_b")
+
+
+def _banded(sig: DataFrame) -> DataFrame:
+    """(doc_id, band key) rows: one xxhash64 per band over its signature
+    rows. One row per (doc, band) feeding a single equi-join on the band
+    key replaces MINHASH_BANDS separate self-joins — one shuffle."""
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    # one row per (doc, band): a single equi-join on (band_id, band_hash)
-    # replaces MINHASH_BANDS separate self-joins — one shuffle, one dedupe
     bands = F.array(
         *[
             F.xxhash64(
@@ -319,31 +335,23 @@ def minhash_lsh_pairs(t: Tables) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    # checkpoint before the self-join: the two join sides would otherwise
-    # each recompute the signature pipeline (the per-side rename happens
-    # before the exchange, so ReuseExchange can't deduplicate them)
-    banded = sig.select("doc_id", F.explode(bands).alias("bk")).localCheckpoint()
-    a = banded.select(F.col("doc_id").alias("id_a"), "bk")
-    b = banded.select(F.col("doc_id").alias("id_b"), "bk")
-    cands = (
-        a.join(b, "bk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return sig.select("doc_id", F.explode(bands).alias("bk"))
 
-    # Verification cost must be ∝ candidates, not ∝ all pairs: join each
-    # candidate to the two shingle *arrays* (reusing the cached frame) and
-    # take the exact intersection size — no quadratic shingle self-join.
-    sets_ = sh
-    sa = sets_.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sets_.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+
+def _verify_jaccard(
+    cands: DataFrame, sh: DataFrame, left: str, right: str
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs, cost ∝ candidates:
+    join each pair to the two shingle *arrays* (reusing the cached frame)
+    and take the intersection size — no quadratic shingle self-join."""
+    sa = sh.select(F.col("doc_id").alias(left), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias(right), F.col("shingles").alias("sh_b"))
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(sa, left)
+        .join(sb, right)
         .select(
-            "id_a",
-            "id_b",
+            left,
+            right,
             _jaccard_from_common(
                 F.size(F.array_intersect("sh_a", "sh_b")),
                 F.size("sh_a"),
@@ -351,6 +359,87 @@ def minhash_lsh_pairs(t: Tables) -> DataFrame:
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+#: modulus splitting documents into "already-ingested corpus" vs "incoming
+#: batch" — shared with pipeline.incremental_exact_dedup so the exact and
+#: near-dup incremental ops describe the same ingest.
+INCR_BATCH_MOD = 10
+
+
+def incremental_minhash_pairs(t: Tables) -> DataFrame:
+    """Incremental near-dup ingest: each document of an incoming batch
+    checked against the already-ingested corpus via the banded MinHash
+    index — the production shape for continuous corpus ingestion, where
+    re-running all-pairs dedup per drop is unaffordable.
+
+    Corpus = ``doc_id % INCR_BATCH_MOD != 0``, batch = the rest (the same
+    split as :func:`..pipeline.incremental_exact_dedup`). Both sides'
+    band keys come from ONE signature pass; the join is batch-bands ×
+    corpus-bands, so candidate volume is proportional to the batch, not
+    the corpus. At 100 TB the corpus side is a PRECOMPUTED band-key table
+    (written at ingest time, bucketed by band key) — each new drop only
+    computes its own signatures and probes the index shuffle-free on the
+    corpus side. Verification is exact Jaccard, so precision is exact:
+    every emitted (new_id, old_id) is a true ≥-threshold near-dup.
+
+    xxhash64-based → rows-only driver check;
+    :func:`incremental_ingest_check` turns the subset + recall contract
+    into a hard driver-checked claim.
+    """
+    from ..tables import persist_replacing
+
+    sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
+    banded = _banded(_signatures_from_shingles(sh)).localCheckpoint()
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
+    new_b = banded.where(is_batch).select(F.col("doc_id").alias("new_id"), "bk")
+    old_b = banded.where(~is_batch).select(F.col("doc_id").alias("old_id"), "bk")
+    cands = (
+        new_b.join(old_b, "bk")
+        .select("new_id", "old_id")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    return _verify_jaccard(cands, sh, "new_id", "old_id")
+
+
+def incremental_ingest_check(t: Tables) -> DataFrame:
+    """DuckDB-checkable claim about :func:`incremental_minhash_pairs`
+    (itself rows-only): one row with the exact cross-boundary near-dup
+    pair count (uncapped Jaccard, one side in the batch and one in the
+    corpus — SQL-computable), a subset flag (verification guarantees the
+    incremental output is contained in that exact set) and a recall flag
+    (≥ MINHASH_RECALL_PCT%)."""
+    is_batch_a = F.col("id_a") % INCR_BATCH_MOD == 0
+    is_batch_b = F.col("id_b") % INCR_BATCH_MOD == 0
+    exact_cross = (
+        ngram_jaccard_pairs(t, max_shingle_df=None)
+        .where(is_batch_a != is_batch_b)
+        .select("id_a", "id_b", F.lit(1).alias("in_exact"))
+    )
+    # normalize incremental pairs to (min, max) to match the exact set's
+    # id_a < id_b orientation
+    inc = incremental_minhash_pairs(t).select(
+        F.least("new_id", "old_id").alias("id_a"),
+        F.greatest("new_id", "old_id").alias("id_b"),
+        F.lit(1).alias("in_inc"),
+    )
+    j = exact_cross.join(inc, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count("in_exact").alias("n_exact_cross"),
+        F.count(F.when(F.col("in_exact").isNotNull(), F.col("in_inc"))).alias(
+            "n_hit"
+        ),
+        F.count(F.when(F.col("in_exact").isNull(), F.col("in_inc"))).alias(
+            "n_outside"
+        ),
+    ).select(
+        "n_exact_cross",
+        (F.col("n_outside") == 0).alias("subset_ok"),
+        (
+            F.lit(100) * F.col("n_hit")
+            >= F.lit(MINHASH_RECALL_PCT) * F.col("n_exact_cross")
+        ).alias("recall_ok"),
     )
 
 
@@ -552,6 +641,23 @@ ORACLES: dict[str, str] = {
                TRUE AS recall_ok
         FROM jx
     """,
+    # incremental_minhash_pairs: xxhash64-based → rows-only; the check
+    # below is its hard driver-checked contract.
+    "incremental_ingest_check": f"""
+        WITH {_SHINGLE_DUCK},
+        jx AS (
+          SELECT id_a, id_b
+          FROM pu JOIN n na ON pu.id_a = na.doc_id
+                  JOIN n nb ON pu.id_b = nb.doc_id
+          WHERE round(common * 1.0 / (na.n + nb.n - common), 4)
+                >= {JACCARD_THRESHOLD}
+            AND ((id_a % {INCR_BATCH_MOD} = 0) != (id_b % {INCR_BATCH_MOD} = 0))
+        )
+        SELECT count(*) AS n_exact_cross,
+               TRUE AS subset_ok,
+               TRUE AS recall_ok
+        FROM jx
+    """,
     "simhash_locality_check": f"""
         WITH {_SHINGLE_DUCK},
         jc AS (
@@ -572,6 +678,8 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "minhash_recall_check": minhash_recall_check,
+    "incremental_minhash_pairs": incremental_minhash_pairs,
+    "incremental_ingest_check": incremental_ingest_check,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_locality_check": simhash_locality_check,
 }

@@ -26,7 +26,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import words
-from .dedup import JACCARD_THRESHOLD, _SHINGLE_DUCK, ngram_jaccard_pairs
+from .dedup import (
+    INCR_BATCH_MOD,
+    JACCARD_THRESHOLD,
+    _SHINGLE_DUCK,
+    ngram_jaccard_pairs,
+)
 
 Tables = dict[str, DataFrame]
 
@@ -143,9 +148,8 @@ def shard_shuffle_assign(t: Tables) -> DataFrame:
     )
 
 
-#: modulus splitting documents into "already-ingested corpus" vs "incoming
-#: batch" for the incremental dedup demonstration.
-INCR_BATCH_MOD = 10
+# INCR_BATCH_MOD (imported from .dedup) splits documents into
+# "already-ingested corpus" vs "incoming batch" for both incremental ops.
 
 
 def incremental_exact_dedup(t: Tables) -> DataFrame:
@@ -206,6 +210,53 @@ def token_budget_sample(t: Tables) -> DataFrame:
         .withColumn("bucket", _sample_bucket(F.col("doc_id")))
         .where(F.col("bucket") < F.col("thresh"))
         .select("doc_id", "lang", "n_tokens", "bucket", "thresh")
+    )
+
+
+#: cumulative bucket edges over 100 group-hash buckets: [0,90) train,
+#: [90,95) val, [95,100) test.
+SPLIT_TRAIN_END = 90
+SPLIT_VAL_END = 95
+
+
+def _group_hash(col: str) -> Column:
+    # SQL-portable string hash (DuckDB mirrors it with list_reduce over
+    # ascii codes): fold each character into an affine accumulator mod a
+    # prime. Production would use xxhash64; the portable form makes the
+    # split assignment itself oracle-checkable.
+    return F.expr(
+        f"aggregate(split({col}, ''), CAST(7 AS BIGINT),"
+        " (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"
+    )
+
+
+def leakage_safe_split(t: Tables) -> DataFrame:
+    """Group-aware train/val/test split: every document from one ``source``
+    lands in the SAME split.
+
+    Random row-level splits leak near-duplicates across the train/eval
+    boundary (documents from one crawl domain / book / repo are highly
+    correlated), silently inflating eval scores — the standard fix is to
+    split on the GROUP key, not the row. Assignment is a pure function of
+    ``source`` (map-only: no shuffle, no split table to join), so it is
+    reproducible run-to-run, and any other table keyed by source derives
+    the identical split without coordination — at 100 TB there is nothing
+    to broadcast and nothing to keep consistent. Fractions are approximate
+    by construction (group sizes vary); exactness is not the contract,
+    group-atomicity is.
+    """
+    return (
+        t["documents"]
+        .withColumn("bucket", _group_hash("source") % 100)
+        .select(
+            "doc_id",
+            "source",
+            "bucket",
+            F.when(F.col("bucket") < SPLIT_TRAIN_END, "train")
+            .when(F.col("bucket") < SPLIT_VAL_END, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
     )
 
 
@@ -453,6 +504,22 @@ ORACLES: dict[str, str] = {
         FROM d JOIN tot ON d.lang = tot.lang
         WHERE (d.doc_id * 1000003 + 12345) % 97 < tot.thresh
     """,
+    "leakage_safe_split": f"""
+        WITH h AS (
+          SELECT doc_id, source,
+                 list_reduce(
+                   list_prepend(CAST(7 AS BIGINT),
+                     list_transform(string_split_regex(source, ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+          FROM documents
+        )
+        SELECT doc_id, source, bucket,
+               CASE WHEN bucket < {SPLIT_TRAIN_END} THEN 'train'
+                    WHEN bucket < {SPLIT_VAL_END} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+    """,
     "token_pack_bins": f"""
         WITH d AS (
           SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
@@ -535,6 +602,7 @@ QUERIES = {
     "shard_shuffle_assign": shard_shuffle_assign,
     "incremental_exact_dedup": incremental_exact_dedup,
     "token_budget_sample": token_budget_sample,
+    "leakage_safe_split": leakage_safe_split,
     "token_pack_bins": token_pack_bins,
     "heavy_hitter_bigrams": heavy_hitter_bigrams,
     "regex_scrub": regex_scrub,

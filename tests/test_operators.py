@@ -290,3 +290,27 @@ def test_persist_replacing_reuses_identical_plan(spark):
     assert c is not a
     assert not a.storageLevel.useMemory or not a.is_cached  # old slot evicted
     c.unpersist(blocking=False)
+
+
+def test_leakage_safe_split_group_atomic(spark):
+    """Every document of one source must land in the same split (the
+    anti-leakage contract), buckets in [0, 100), splits named correctly."""
+    t = load_tables(spark, SF_DIR)
+    pdf = pipeline.leakage_safe_split(t).toPandas()
+    assert (pdf.groupby("source")["split"].nunique() == 1).all()
+    assert pdf["bucket"].between(0, 99).all()
+    assert set(pdf["split"]) <= {"train", "val", "test"}
+    assert (pdf["split"] == "train").mean() > 0.5  # train is the bulk
+
+
+def test_incremental_minhash_pairs_cross_only_and_subset(spark):
+    """Every incremental pair must span the batch/corpus boundary and be a
+    true >=-threshold pair (subset of the uncapped exact cross pairs)."""
+    t = load_tables(spark, SF_DIR)
+    inc = dedup.incremental_minhash_pairs(t).toPandas()
+    assert ((inc["new_id"] % dedup.INCR_BATCH_MOD == 0)
+            & (inc["old_id"] % dedup.INCR_BATCH_MOD != 0)).all()
+    exact = dedup.ngram_jaccard_pairs(t, max_shingle_df=None).toPandas()
+    exact_pairs = {tuple(sorted(p)) for p in zip(exact["id_a"], exact["id_b"])}
+    for a, b in zip(inc["new_id"], inc["old_id"]):
+        assert tuple(sorted((a, b))) in exact_pairs
