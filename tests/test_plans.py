@@ -255,3 +255,23 @@ def test_knn_join_partial_topk(spark):
     s = plan_string(df)
     assert "WindowGroupLimit" in s, s
     assert "Partial" in s, s
+
+
+def test_leakage_safe_split_map_only(spark):
+    t = load_tables(spark, SF_DIR)
+    df = pipeline.leakage_safe_split(t)
+    assert_no_python_eval(df)
+    assert_read_schema_only(df, "documents", {"doc_id", "source"})
+    assert "Exchange" not in plan_string(df)  # pure function of the group key
+
+
+def test_incremental_minhash_probe_shape(spark):
+    from streamming_processing_pyspark_spark.operators import dedup
+
+    t = load_tables(spark, SF_DIR)
+    df = dedup.incremental_minhash_pairs(t)
+    s = plan_string(df)
+    # candidate probe must be an equi-join on the band key, never a
+    # nested-loop product of batch × corpus
+    assert "BroadcastNestedLoopJoin" not in s, s
+    assert "CartesianProduct" not in s, s
