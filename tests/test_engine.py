@@ -31,3 +31,15 @@ def test_engine_end_to_end_task2(spark, tmp_path):
 
     eng.tables()
     assert eng.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"] > 0
+
+
+def test_cli_list_and_oracle(capsys):
+    from streamming_processing_pyspark_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "hourly_counts" in names and "ngram_jaccard_pairs" in names
+    assert main(["oracle", "q1_pricing_summary"]) == 0
+    assert "lineitem" in capsys.readouterr().out
+    assert main(["oracle", "minhash_lsh_pairs"]) == 0
+    assert "rows-only" in capsys.readouterr().out
