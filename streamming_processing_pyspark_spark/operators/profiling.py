@@ -96,6 +96,81 @@ def top_event_by_value_per_user(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: (constraint name, threshold in basis points). Observed values are
+#: integer basis points (10000·passing div rows — exact int64 arithmetic,
+#: no float rounding to disagree on), so the report hash-matches the
+#: oracle bit-for-bit.
+DQ_THRESHOLDS_BP = (
+    ("completeness_event_id", 10000),
+    ("uniqueness_event_id", 10000),
+    ("completeness_ts", 10000),
+    ("completeness_user_id", 10000),
+    ("value_non_negative", 9900),
+    ("event_type_known", 10000),
+)
+
+#: the event-type domain the ingest contract allows
+DQ_KNOWN_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def data_quality_checks(tables: dict[str, DataFrame]) -> DataFrame:
+    """Deequ-style constraint report over ``events`` in ONE scan.
+
+    Each row is a named constraint with its observed pass rate (integer
+    basis points), its threshold, and a pass flag — the gate a 100 TB
+    ingest evaluates before promoting a drop. All constraints share a
+    single multi-aggregate pass (completeness, uniqueness, domain and
+    range checks all reduce to counts), then a ``stack`` unpivot emits the
+    report rows — the scan is the only input-sized stage no matter how
+    many constraints are registered. Thresholds live in
+    ``DQ_THRESHOLDS_BP``; uniqueness is distinct/total, completeness is
+    non-null/total, domain is in-set/total.
+    """
+    ev = tables["events"]
+    one = ev.agg(
+        F.count("*").alias("n"),
+        F.count("event_id").alias("nn_id"),
+        F.count_distinct("event_id").alias("nd_id"),
+        F.count("ts").alias("nn_ts"),
+        F.count("user_id").alias("nn_user"),
+        F.sum(F.when(F.col("value") >= 0, 1).otherwise(0)).alias("nonneg"),
+        F.sum(
+            F.when(F.col("event_type").isin(*DQ_KNOWN_TYPES), 1).otherwise(0)
+        ).alias("known"),
+    )
+    bp = {
+        "completeness_event_id": "10000 * nn_id div n",
+        "uniqueness_event_id": "10000 * nd_id div n",
+        "completeness_ts": "10000 * nn_ts div n",
+        "completeness_user_id": "10000 * nn_user div n",
+        "value_non_negative": "10000 * nonneg div n",
+        "event_type_known": "10000 * known div n",
+    }
+    stack_args = ", ".join(
+        f"'{name}', {bp[name]}, CAST({thr} AS BIGINT)"
+        for name, thr in DQ_THRESHOLDS_BP
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(DQ_THRESHOLDS_BP)}, {stack_args}) AS "
+            "(constraint, observed_bp, threshold_bp)"
+        )
+    ).select(
+        "constraint",
+        "observed_bp",
+        "threshold_bp",
+        (F.col("observed_bp") >= F.col("threshold_bp")).alias("passed"),
+    )
+
+
+def _dq_row(name: str, expr: str, thr: int) -> str:
+    return f"""
+          SELECT '{name}' AS constraint, {expr} AS observed_bp,
+                 CAST({thr} AS BIGINT) AS threshold_bp,
+                 {expr} >= {thr} AS passed
+          FROM one"""
+
+
 def _profile_row(col: str, nn: str, nd: str, mn: str, mx: str) -> str:
     return f"""
           SELECT '{col}' AS "column", n_rows, n_rows - {nn} AS n_nulls,
@@ -106,9 +181,35 @@ def _profile_row(col: str, nn: str, nd: str, mn: str, mx: str) -> str:
 QUERIES = {
     "events_column_profile": events_column_profile,
     "top_event_by_value_per_user": top_event_by_value_per_user,
+    "data_quality_checks": data_quality_checks,
+}
+
+_DQ_EXPRS = {
+    "completeness_event_id": "10000 * nn_id // n",
+    "uniqueness_event_id": "10000 * nd_id // n",
+    "completeness_ts": "10000 * nn_ts // n",
+    "completeness_user_id": "10000 * nn_user // n",
+    "value_non_negative": "10000 * nonneg // n",
+    "event_type_known": "10000 * known // n",
 }
 
 ORACLES: dict[str, str] = {
+    "data_quality_checks": """
+        WITH one AS (
+          SELECT count(*) AS n,
+                 count(event_id) AS nn_id,
+                 count(DISTINCT event_id) AS nd_id,
+                 count(ts) AS nn_ts,
+                 count(user_id) AS nn_user,
+                 count(*) FILTER (value >= 0) AS nonneg,
+                 count(*) FILTER (event_type IN
+                   ('view', 'click', 'purchase', 'signup', 'error')) AS known
+          FROM events
+        )
+    """
+    + " UNION ALL ".join(
+        _dq_row(name, _DQ_EXPRS[name], thr) for name, thr in DQ_THRESHOLDS_BP
+    ),
     "events_column_profile": """
         WITH rendered AS (
           SELECT event_id, user_id, event_type, ts,

@@ -314,3 +314,29 @@ def test_incremental_minhash_pairs_cross_only_and_subset(spark):
     exact_pairs = {tuple(sorted(p)) for p in zip(exact["id_a"], exact["id_b"])}
     for a, b in zip(inc["new_id"], inc["old_id"]):
         assert tuple(sorted((a, b))) in exact_pairs
+
+
+def test_data_quality_checks_detect_violations(spark):
+    """The constraint report must flag dirty data: duplicate ids break
+    uniqueness, nulls break completeness, unknown types break the domain
+    check — and clean columns still pass."""
+    from streamming_processing_pyspark_spark.operators import profiling
+
+    dirty = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "view", 1.0),
+            (1, "2024-01-01 00:01:00", 11, "bogus", -2.0),
+            (2, None, 12, "click", 3.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rep = {
+        r["constraint"]: r
+        for r in profiling.data_quality_checks({"events": dirty}).collect()
+    }
+    assert not rep["uniqueness_event_id"]["passed"]
+    assert not rep["completeness_ts"]["passed"]
+    assert not rep["event_type_known"]["passed"]
+    assert not rep["value_non_negative"]["passed"]  # 2/3 < 99%
+    assert rep["completeness_event_id"]["passed"]
+    assert rep["completeness_user_id"]["passed"]
