@@ -837,3 +837,38 @@ def test_replay_source_checkpoint_resume(spark, tmp_path):
         q2.stop()
     assert len(seen) == n_lines  # exactly once: no loss, no duplicates
     assert len(set(seen)) == len(seen)
+
+
+def test_batch_metrics_listener(spark, tmp_path):
+    """The metrics listener must see every micro-batch: input rows across
+    batches sum to the source size, stateful aggs report state rows, and
+    the log is bounded by max_batches."""
+    import time as _time
+
+    from streamming_processing_pyspark_spark.sources.streams import stream_events
+    from streamming_processing_pyspark_spark.streaming.jobs import run_to_memory
+    from streamming_processing_pyspark_spark.streaming.metrics import attach_metrics
+
+    from pyspark.sql import functions as F
+
+    listener = attach_metrics(spark, max_batches=100)
+    try:
+        sf_dir = "/root/testdata/sf0.001"
+        ev = stream_events(spark, sf_dir)
+        agg = ev.groupBy(F.window("ts", "1 hour")).count()
+        q, table = run_to_memory(agg, "complete")
+        qid = str(q.id)
+        q.stop()
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        # listener delivery is async on the listener-bus thread
+        for _ in range(50):
+            if listener.rows_total(qid) >= n_events:
+                break
+            _time.sleep(0.2)
+        s = listener.summary(qid)
+        assert s["input_rows"] == n_events
+        assert s["batches"] >= 1
+        assert s["max_state_rows"] > 0  # windowed agg keeps state
+        assert len(listener.batches()) <= 100
+    finally:
+        spark.streams.removeListener(listener)
