@@ -43,6 +43,26 @@ class Engine:
             taxi_csv.stream_taxi_csv(self.spark, path, max_files_per_trigger)
         )
 
+    def taxi_lines_replay(self, path: str, minutes_per_batch: int = 60) -> DataFrame:
+        """Raw taxi lines as a paced, checkpointable stream (the
+        ``taxi_replay`` Python data source — replaces the reference's
+        missing Server.py producer)."""
+        from .sources.replay_source import replay_lines
+
+        return replay_lines(self.spark, path, minutes_per_batch)
+
+    def metrics(self, max_batches: int = 1000):
+        """Attach and return a per-batch streaming metrics listener."""
+        from .streaming.metrics import attach_metrics
+
+        return attach_metrics(self.spark, max_batches)
+
+    def quality_report(self, sf_dir: str | None = None) -> DataFrame:
+        """Deequ-style data-quality constraint report over ``events``."""
+        from .operators.profiling import data_quality_checks
+
+        return data_quality_checks(self.tables(sf_dir))
+
     def tables(self, sf_dir: str | None = None) -> dict[str, DataFrame]:
         """Load + register the synthetic test tables as temp views."""
         return load_tables(self.spark, sf_dir or self.sf_dir)

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: how do the heavy operators grow with corpus size?
+
+The plan-shape tests (tests/test_plans.py) pin the *structural* scale
+properties (pushdown, broadcast, map-only, candidate-proportional joins);
+this probe measures the *empirical* growth curve. The documents table is
+replicated k× (doc_ids offset, a per-replica token prepended so replicas
+are not trivial near-dups of each other — growth measures the algorithm,
+not a constructed pathology), each headline operator runs at every k, and
+the report states the time ratio against the data ratio. A
+candidate-proportional operator should grow ~linearly (ratio_t ≈ k);
+anything super-linear is a scale bug surfacing early.
+
+    python tools/scale_probe.py            # k = 1,2,4  at sf0.1
+    SPARK_GRAFT_PROBE_KS=1,2,4,8 python tools/scale_probe.py
+
+Writes SCALE.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from streamming_processing_pyspark_spark.session import get_spark
+from streamming_processing_pyspark_spark.tables import load_tables
+from streamming_processing_pyspark_spark.operators import dedup, pipeline
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+KS = [int(k) for k in os.environ.get("SPARK_GRAFT_PROBE_KS", "1,2,4").split(",")]
+
+OPS = {
+    "exact_dedup": dedup.exact_dedup,
+    "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+    "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+    "simhash_fingerprints": dedup.simhash_fingerprints,
+    "incremental_minhash_pairs": dedup.incremental_minhash_pairs,
+    "dedup_clusters": pipeline.dedup_clusters,
+}
+
+
+def scaled_documents(docs, k: int):
+    """k replicas with offset ids and a replica token prepended to text."""
+    if k == 1:
+        return docs
+    offset = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"),
+            F.concat(F.lit(f"r{i} "), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(k)
+    ]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionAll(r)
+    # one write+read so every run starts from a comparable parquet scan
+    path = f"/tmp/scale_probe_docs_k{k}"
+    out.write.mode("overwrite").parquet(path)
+    return docs.sparkSession.read.parquet(path)
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale_probe")
+    base = load_tables(spark, SF_DIR)
+    results: dict[str, dict[int, float]] = {name: {} for name in OPS}
+    rows: dict[int, int] = {}
+    for k in KS:
+        docs = scaled_documents(base["documents"], k)
+        t = dict(base)
+        t["documents"] = docs
+        rows[k] = docs.count()
+        for name, fn in OPS.items():
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(t).write.mode("overwrite").format("noop").save()
+            warm = time.perf_counter() - t0
+            # second run: measured figure (first absorbs cache/JIT)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(t).write.mode("overwrite").format("noop").save()
+            results[name][k] = round(min(warm, time.perf_counter() - t0), 2)
+            print(f"k={k} {name}: {results[name][k]}s", flush=True)
+
+    k0 = KS[0]
+    lines = [
+        "# SCALE — empirical operator scaling (tools/scale_probe.py)",
+        "",
+        f"Documents replicated k× from `{SF_DIR}` (ids offset, per-replica",
+        "token prepended so replicas aren't trivial near-dups). Each cell is",
+        "min-of-2 wall seconds; `×N` is time ratio vs k=1 — compare against",
+        f"the data ratio. Rows at k: {', '.join(f'{k}→{rows[k]:,}' for k in KS)}.",
+        "",
+        "| operator | " + " | ".join(f"k={k}" for k in KS) + " | growth |",
+        "|---|" + "---|" * (len(KS) + 1),
+    ]
+    for name, times in results.items():
+        ratio = times[KS[-1]] / times[k0] if times[k0] else float("nan")
+        cells = " | ".join(f"{times[k]:.2f}s" for k in KS)
+        verdict = (
+            "~linear or better"
+            if ratio <= KS[-1] / k0 * 1.3
+            else f"SUPER-LINEAR ({ratio:.1f}× time for {KS[-1] // k0}× data)"
+        )
+        lines.append(f"| {name} | {cells} | ×{ratio:.1f} — {verdict} |")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
