@@ -872,3 +872,65 @@ def test_batch_metrics_listener(spark, tmp_path):
         assert len(listener.batches()) <= 100
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_ingest_dedup_loop(spark, tmp_path):
+    """Continuous ingest-dedup: batch B arriving after batch A must drop
+    its exact copy and its near-duplicate of A's documents and append only
+    genuinely new content to the corpus."""
+    import os as _os
+    import time as _time
+
+    from streamming_processing_pyspark_spark.streaming.ingest_dedup import (
+        run_streaming_ingest_dedup,
+    )
+
+    in_dir = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "corpus")
+    _os.makedirs(in_dir)
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    batch_a = [(1, base), (2, "completely different first corpus text body here okay")]
+    batch_b = [
+        (11, base),  # exact copy of doc 1 → dropped
+        (12, base + " extra"),  # near-dup of doc 1 → dropped
+        (13, "entirely novel unrelated second batch document text content"),
+    ]
+    spark.createDataFrame(batch_a, "doc_id long, text string").coalesce(1).write.parquet(
+        in_dir + "/a"
+    )
+    _time.sleep(1.1)
+    spark.createDataFrame(batch_b, "doc_id long, text string").coalesce(1).write.parquet(
+        in_dir + "/b"
+    )
+    # flatten: the file stream watches one directory of parquet files
+    files = []
+    for sub in ("a", "b"):
+        for f in sorted(_os.listdir(f"{in_dir}/{sub}")):
+            if f.endswith(".parquet"):
+                src = f"{in_dir}/{sub}/{f}"
+                dst = f"{in_dir}/{sub}.parquet"
+                _os.rename(src, dst)
+                files.append(dst)
+    _os.utime(files[0], (1, 1))  # batch a strictly older
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = run_streaming_ingest_dedup(stream, corpus, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(corpus + "/docs").select("doc_id").collect()
+    }
+    assert got == {1, 2, 13}, got
+    # the band index covers exactly the surviving docs
+    idx = {
+        r["doc_id"]
+        for r in spark.read.parquet(corpus + "/bands").select("doc_id").collect()
+    }
+    assert idx == got
