@@ -64,6 +64,9 @@ HEADLINE = [
     "dedup_clusters",
     "shard_shuffle_assign",
     "incremental_exact_dedup",
+    "incremental_minhash_pairs",
+    "leakage_safe_split",
+    "data_quality_checks",
     "doc_chunks",
     "benchmark_contamination",
     "q7_volume_shipping",

@@ -100,12 +100,87 @@ def hourly_avg_value_locf(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: top-k for the activity-profile similarity search
+PROFILE_TOPK = 10
+
+
+def similar_activity_users(tables: dict[str, DataFrame]) -> DataFrame:
+    """Time-series similarity search (cf. PAPERS.md, EDBT'19/'20): the
+    top-k users whose 24-hour activity profile is closest to a query
+    user's, by exact squared Euclidean distance on hour-of-day count
+    vectors.
+
+    The query user is the table's min user_id (deterministic at any SF).
+    Shape: one groupBy builds each user's dense 24-dim count vector as an
+    array (map-side ``map_from_entries`` + a ``sequence`` densify — no
+    per-hour joins); the 1-row query vector broadcasts; distance is a
+    ``zip_with``/``aggregate`` fold (pure int64, oracle-exact); the top-k
+    is a TakeOrderedAndProject — so the only input-sized stage is the
+    first aggregation, and the candidate scoring is map-side over one row
+    per user. The same plan at 100 TB: |users| rows shuffle once, scoring
+    never re-shuffles. Ties break on user_id, so rank-k boundaries are
+    deterministic and both engines agree.
+    """
+    ev = tables["events"]
+    prof = (
+        ev.groupBy("user_id", F.hour("ts").alias("h"))
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("h", "cnt"))
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "transform(sequence(0, 23), h -> coalesce(element_at(m, h), 0L))"
+            ).alias("v"),
+        )
+    )
+    qmin = ev.agg(F.min("user_id").alias("q_user"))
+    query = (
+        prof.join(F.broadcast(qmin), prof.user_id == F.col("q_user"))
+        .select(F.col("v").alias("qv"), "q_user")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(v, qv, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        prof.crossJoin(F.broadcast(query))
+        .where(F.col("user_id") != F.col("q_user"))
+        .select("user_id", dist.alias("sq_dist"))
+        .orderBy("sq_dist", "user_id")
+        .limit(PROFILE_TOPK)
+    )
+
+
 QUERIES = {
     "hourly_counts_gapfilled": hourly_counts_gapfilled,
     "hourly_avg_value_locf": hourly_avg_value_locf,
+    "similar_activity_users": similar_activity_users,
 }
 
 ORACLES: dict[str, str] = {
+    "similar_activity_users": f"""
+        WITH hours AS (SELECT unnest(generate_series(0, 23)) AS h),
+        users AS (SELECT DISTINCT user_id FROM events),
+        c AS (SELECT user_id, CAST(hour(ts) AS INT) AS h, count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+        d AS (SELECT u.user_id, hours.h, coalesce(c.cnt, 0) AS cnt
+              FROM users u CROSS JOIN hours
+              LEFT JOIN c ON c.user_id = u.user_id AND c.h = hours.h),
+        q AS (SELECT h, cnt AS qcnt FROM d
+              WHERE user_id = (SELECT min(user_id) FROM events)),
+        dist AS (SELECT d.user_id,
+                        sum((d.cnt - q.qcnt) * (d.cnt - q.qcnt)) AS dist
+                 FROM d JOIN q USING (h)
+                 WHERE d.user_id != (SELECT min(user_id) FROM events)
+                 GROUP BY 1)
+        SELECT user_id, CAST(dist AS BIGINT) AS sq_dist
+        FROM dist ORDER BY dist, user_id LIMIT {PROFILE_TOPK}
+    """,
     "hourly_counts_gapfilled": """
         WITH bounds AS (
           SELECT date_trunc('hour', min(ts)) AS h0,

@@ -275,3 +275,14 @@ def test_incremental_minhash_probe_shape(spark):
     # nested-loop product of batch × corpus
     assert "BroadcastNestedLoopJoin" not in s, s
     assert "CartesianProduct" not in s, s
+
+
+def test_similar_activity_users_topk_plan(spark):
+    from streamming_processing_pyspark_spark.operators import timeseries
+
+    t = load_tables(spark, SF_DIR)
+    df = timeseries.similar_activity_users(t)
+    s = plan_string(df)
+    assert "TakeOrderedAndProject" in s, s  # top-k, not a global sort
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
+    assert_no_python_eval(df)
