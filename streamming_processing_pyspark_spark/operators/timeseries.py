@@ -100,6 +100,62 @@ def hourly_avg_value_locf(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def ewma_hourly_value(tables: dict[str, DataFrame]) -> DataFrame:
+    """Exponentially-weighted moving average of hourly value per type.
+
+    EWMA is inherently sequential (each point depends on the previous
+    smoothed value), which a naive implementation turns into a global
+    sort + serial scan. Here the input-sized work is ONE map-side
+    combinable aggregation to (hour, type) averages — everything after
+    operates on <= hours x types rows (time-range bounded, NOT data
+    bounded: the same few thousand rows at 100 TB). The per-type hour
+    series is folded in-executor with a higher-order ``aggregate`` over
+    the sorted array (state per group = #hours), emitting the running
+    EWMA per hour.
+
+    Cross-engine exactness: both engines fold left over the hour-ordered
+    series evaluating ``0.3*x + 0.7*prev`` (identical IEEE op sequence →
+    bit-exact); the hourly average itself is the integer-cent-sum /
+    count division used throughout this module.
+    """
+    ev = tables["events"]
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .select(
+            "event_type",
+            "hour",
+            (F.col("s").cast("double") / F.col("c").cast("double")).alias("x"),
+        )
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("hour", "x"))).alias("arr")
+    )
+    folded = series.withColumn(
+        "ew",
+        F.expr(
+            "aggregate(arr, CAST(array() AS ARRAY<DOUBLE>),"
+            " (acc, e) -> array_append(acc,"
+            "   CASE WHEN size(acc) = 0 THEN e.x"
+            "        ELSE CAST(0.3 AS DOUBLE) * e.x"
+            "             + CAST(0.7 AS DOUBLE) * element_at(acc, -1) END))"
+        ),
+    )
+    return folded.select(
+        "event_type",
+        F.explode(
+            F.expr(
+                "transform(arr, (e, i) ->"
+                " struct(e.hour AS hour, e.x AS avg_value_cents,"
+                "        element_at(ew, i + 1) AS ewma))"
+            )
+        ).alias("r"),
+    ).select("event_type", "r.hour", "r.avg_value_cents", "r.ewma")
+
+
 #: top-k for the activity-profile similarity search
 PROFILE_TOPK = 10
 
@@ -159,10 +215,31 @@ def similar_activity_users(tables: dict[str, DataFrame]) -> DataFrame:
 QUERIES = {
     "hourly_counts_gapfilled": hourly_counts_gapfilled,
     "hourly_avg_value_locf": hourly_avg_value_locf,
+    "ewma_hourly_value": ewma_hourly_value,
     "similar_activity_users": similar_activity_users,
 }
 
 ORACLES: dict[str, str] = {
+    "ewma_hourly_value": """
+        WITH RECURSIVE h AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS x
+          FROM events GROUP BY 1, 2
+        ), h2 AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY hour) AS rn
+          FROM h
+        ), r AS (
+          SELECT event_type, hour, rn, x, x AS ewma FROM h2 WHERE rn = 1
+          UNION ALL
+          SELECT h2.event_type, h2.hour, h2.rn, h2.x,
+                 CAST(0.3 AS DOUBLE) * h2.x + CAST(0.7 AS DOUBLE) * r.ewma
+          FROM r JOIN h2 ON h2.event_type = r.event_type
+                        AND h2.rn = r.rn + 1
+        )
+        SELECT event_type, hour, x AS avg_value_cents, ewma FROM r
+    """,
     "similar_activity_users": f"""
         WITH hours AS (SELECT unnest(generate_series(0, 23)) AS h),
         users AS (SELECT DISTINCT user_id FROM events),

@@ -19,6 +19,7 @@ from .functions.geo import classify_sql
 from .operators import (
     analytics2,
     asof,
+    curation,
     dedup,
     events_analytics,
     multimodal,
@@ -331,6 +332,7 @@ _STREAMING_ORACLES: dict[str, str] = {
 
 #: modules whose queries take the full tables dict
 _TABLE_MODULES = (
+    curation,
     relational,
     relational2,
     relational3,

@@ -340,3 +340,59 @@ def test_data_quality_checks_detect_violations(spark):
     assert not rep["value_non_negative"]["passed"]  # 2/3 < 99%
     assert rep["completeness_event_id"]["passed"]
     assert rep["completeness_user_id"]["passed"]
+
+
+def test_perplexity_buckets_tercile_shape(spark):
+    """Every doc is bucketed; per-language bucket sizes are near-thirds
+    (exact thirds up to score-tie spill, the documented CCNet semantics),
+    and thresholds respect bucket ordering (head scores <= middle <= tail)."""
+    from streamming_processing_pyspark_spark.operators import curation
+
+    pdf = curation.perplexity_buckets(load_tables(spark, SF_DIR)).toPandas()
+    docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(pdf) == docs
+    for lang, g in pdf.groupby("lang"):
+        sizes = g["bucket"].value_counts()
+        assert set(sizes.index) <= {"head", "middle", "tail"}
+        assert sizes.get("head", 0) >= len(g) // 3  # ties spill INTO head
+        if sizes.get("middle", 0) and sizes.get("head", 0):
+            assert g[g.bucket == "head"]["ppl_score"].max() < (
+                g[g.bucket == "middle"]["ppl_score"].min() + 1
+            )
+        if sizes.get("tail", 0) and sizes.get("middle", 0):
+            assert g[g.bucket == "middle"]["ppl_score"].max() < (
+                g[g.bucket == "tail"]["ppl_score"].min() + 1
+            )
+
+
+def test_source_cap_sample_caps_and_deterministic(spark):
+    from streamming_processing_pyspark_spark.operators import curation
+
+    t = load_tables(spark, SF_DIR)
+    a = curation.source_cap_sample(t).toPandas()
+    per_src = a.groupby("source").size()
+    orig = t["documents"].groupBy("source").count().toPandas()
+    orig_map = dict(zip(orig["source"], orig["count"]))
+    for src, n in per_src.items():
+        assert n == min(curation.SOURCE_CAP_K, orig_map[src])
+    b = curation.source_cap_sample(t).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # reproducible sample
+
+
+def test_ewma_matches_pandas_reference(spark):
+    """The distributed fold equals a literal sequential EWMA recomputation."""
+    from streamming_processing_pyspark_spark.operators import timeseries
+
+    pdf = (
+        timeseries.ewma_hourly_value(load_tables(spark, SF_DIR))
+        .toPandas()
+        .sort_values(["event_type", "hour"])
+    )
+    for _, g in pdf.groupby("event_type"):
+        prev = None
+        for _, row in g.iterrows():
+            exp = row.avg_value_cents if prev is None else (
+                0.3 * row.avg_value_cents + 0.7 * prev
+            )
+            assert row.ewma == exp
+            prev = row.ewma

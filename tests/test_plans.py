@@ -286,3 +286,43 @@ def test_similar_activity_users_topk_plan(spark):
     assert "TakeOrderedAndProject" in s, s  # top-k, not a global sort
     assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
     assert_no_python_eval(df)
+
+
+def test_quality_classifier_map_only(spark):
+    """The hashed-feature classifier is a scan-speed filter: zero
+    shuffles, zero Python eval."""
+    from streamming_processing_pyspark_spark.operators import curation
+
+    df = curation.quality_classifier_scores(load_tables(spark, SF_DIR))
+    s = plan_string(df)
+    assert "Exchange" not in s, s
+    assert_no_python_eval(df)
+
+
+def test_source_cap_partial_group_limit(spark):
+    """The per-source cap must pre-prune to K rows per group in each input
+    partition (WindowGroupLimit) so the shuffle moves O(K x sources)."""
+    from streamming_processing_pyspark_spark.operators import curation
+
+    df = curation.source_cap_sample(load_tables(spark, SF_DIR))
+    s = plan_string(df)
+    assert "WindowGroupLimit" in s, s
+
+
+def test_perplexity_buckets_broadcast_thresholds(spark):
+    """Threshold table (2 values per lang) broadcasts back; the histogram
+    aggregation combines map-side."""
+    from streamming_processing_pyspark_spark.operators import curation
+
+    df = curation.perplexity_buckets(load_tables(spark, SF_DIR))
+    assert_broadcast_join(df, min_count=1)
+    assert_partial_aggregation(df)
+    assert_no_python_eval(df)
+
+
+def test_ewma_partial_agg_no_python(spark):
+    from streamming_processing_pyspark_spark.operators import timeseries
+
+    df = timeseries.ewma_hourly_value(load_tables(spark, SF_DIR))
+    assert_partial_aggregation(df)
+    assert_no_python_eval(df)

@@ -159,3 +159,50 @@ def test_format_roundtrips(spark, tmp_path):
         write_table(orders, p, fmt)
         got = read_table_fmt(spark, p, fmt, schema=orders.schema)
         assert sorted(map(tuple, got.collect())) == want, fmt
+
+
+def test_zordered_layout_skips_files_on_both_dims(spark, tmp_path):
+    """Z-order: a narrow predicate on EITHER interleaved column reads a
+    strict subset of files (range-clustering only delivers this for its
+    single clustering column)."""
+    from streamming_processing_pyspark_spark.storage import write_zordered
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "events_z")
+    write_zordered(ev, path, "user_id", "value", n_files=16)
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    all_files = {r[0] for r in back.select(F.input_file_name()).distinct().collect()}
+    assert len(all_files) >= 8
+    # rows-narrow predicate on each dimension (5th percentile cut)
+    cut_u, cut_v = (
+        ev.approxQuantile("user_id", [0.05], 0.0)[0],
+        ev.approxQuantile("value", [0.05], 0.0)[0],
+    )
+    for col, cut in (("user_id", cut_u), ("value", cut_v)):
+        narrow = back.where(F.col(col) <= cut)
+        hit = {r[0] for r in narrow.select(F.input_file_name()).distinct().collect()}
+        assert len(hit) < len(all_files), (col, len(hit), len(all_files))
+        assert narrow.count() == ev.where(F.col(col) <= cut).count()
+    # the Z-order win over single-column range clustering: clustering on
+    # user_id alone leaves a value predicate reading EVERY file
+    rpath = str(tmp_path / "events_r")
+    write_range_clustered(ev, rpath, "user_id", n_files=16)
+    rback = spark.read.parquet(rpath)
+    r_all = {r[0] for r in rback.select(F.input_file_name()).distinct().collect()}
+    r_hit = {
+        r[0]
+        for r in rback.where(F.col("value") <= cut_v)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    z_hit = {
+        r[0]
+        for r in back.where(F.col("value") <= cut_v)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert len(r_hit) == len(r_all)  # no skipping without value in the layout
+    assert len(z_hit) < len(all_files)
