@@ -396,3 +396,26 @@ def test_ewma_matches_pandas_reference(spark):
             )
             assert row.ewma == exp
             prev = row.ewma
+
+
+def test_semdedup_subset_and_recall(spark):
+    """SemDeDup pairs must be a subset of the exact >=-threshold pairs
+    (exact precision); within-cluster search should still recover most of
+    them at this corpus size (recall bound pinned empirically)."""
+    t = load_tables(spark, SF_DIR)
+    sd = similarity.semantic_dedup_pairs(t).toPandas()
+    exact = similarity._all_pairs_at(t, similarity.SEMDEDUP_THRESHOLD).toPandas()
+    sd_pairs = set(zip(sd["id_a"], sd["id_b"]))
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    assert sd_pairs <= exact_pairs
+    if exact_pairs:
+        assert len(sd_pairs) >= 0.7 * len(exact_pairs), (
+            len(sd_pairs),
+            len(exact_pairs),
+        )
+
+
+def test_semdedup_check_claims_hold(spark):
+    t = load_tables(spark, SF_DIR)
+    row = similarity.semdedup_check(t).first()
+    assert row["subset_ok"]
