@@ -72,6 +72,10 @@ HEADLINE = [
     "q7_volume_shipping",
     "span_dedup",
     "knn_join_topk",
+    "semantic_dedup_pairs",
+    "perplexity_buckets",
+    "quality_classifier_scores",
+    "ewma_hourly_value",
 ]
 
 

@@ -76,12 +76,20 @@ def perplexity_buckets(t: Tables) -> DataFrame:
     """
     d = t["documents"].select("doc_id", "lang", _ppl_score().alias("ppl_score"))
     hist = d.groupBy("lang", "ppl_score").agg(F.count("*").alias("cnt"))
+    # cumulative count AND per-lang total from the SAME window partition —
+    # one sort over the tiny histogram, and the heavy text-scoring scan
+    # runs once for the histogram plus once for the final assignment
+    # (instead of once per threshold input)
     w = Window.partitionBy("lang").orderBy("ppl_score")
-    cum = hist.withColumn("cum", F.sum("cnt").over(w))
-    totals = hist.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "ppl_score",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
     th = (
-        cum.join(totals, "lang")
-        .groupBy("lang")
+        cum.groupBy("lang")
         .agg(
             F.min(
                 F.when(
