@@ -42,6 +42,102 @@ def event_transitions(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: PageRank fixed-point scale (micro-units), damping 85/100, iterations
+PR_SCALE = 1_000_000
+PR_ITERS = 3
+
+
+def pagerank_event_types(tables: dict[str, DataFrame]) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph — iterative
+    graph analytics on DataFrames with an EXACT cross-engine oracle.
+
+    Float PageRank is order-of-summation dependent, so a distributed run
+    can never hash-match a sequential one. This formulation is pure int64
+    fixed-point: ranks in micro-units, per-edge transition probabilities
+    pre-quantized (``w * SCALE DIV outw``), and each round computes
+    ``base + Σ (85·r·p) DIV (100·SCALE)`` — integer division truncates
+    identically everywhere, so Spark and the DuckDB recursive-round oracle
+    agree bit-for-bit after any number of rounds. (Rounding mass-loss is
+    deterministic and shared by both engines — the point is exactness of
+    the fixed-point algebra, not of real-number PageRank.)
+
+    Scale shape: the only input-sized stage is the transition-count
+    aggregation (one sort-shuffle per :func:`event_transitions`); the
+    iteration loop runs on the ≤|types|² edge frame. The same loop over a
+    100 TB user-user graph keeps the identical plan — per-round cost is
+    one join + one aggregation on the edge list, the standard
+    Pregel-on-DataFrames formulation (cf. dedup_clusters' CC loop).
+    ``n`` (node count) is the loop's only driver value — a bounded scalar.
+    """
+    edges = event_transitions(tables)
+    outw = edges.groupBy("from_type").agg(F.sum("n_transitions").alias("outw"))
+    p = edges.join(outw, "from_type").select(
+        "from_type",
+        "to_type",
+        F.expr(f"(n_transitions * {PR_SCALE}) DIV outw").alias("p"),
+    )
+    nodes = tables["events"].select(F.col("event_type").alias("node")).distinct()
+    n = nodes.count()
+    base = (15 * PR_SCALE) // (100 * n)
+    r = nodes.withColumn("r", F.lit(PR_SCALE // n).cast("long"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            p.join(r, p.from_type == r.node)
+            .select(
+                "to_type",
+                F.expr(f"(85 * r * p) DIV (100 * {PR_SCALE})").alias("c"),
+            )
+            .groupBy("to_type")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = nodes.join(contrib, nodes.node == contrib.to_type, "left").select(
+            "node",
+            (F.lit(base) + F.coalesce("s", F.lit(0))).cast("long").alias("r"),
+        )
+    return r.select("node", F.col("r").alias("rank_micro"))
+
+
+def _pagerank_oracle() -> str:
+    base = f"(15 * {PR_SCALE}) // (100 * (SELECT count(*) FROM nodes))"
+    rounds = ""
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        rounds += f""", r{i} AS (
+          SELECT n.node,
+                 {base} + coalesce(sum((85 * {prev}.r * p.p)
+                                       // (100 * {PR_SCALE})), 0) AS r
+          FROM nodes n
+          LEFT JOIN p ON p.to_type = n.node
+          LEFT JOIN {prev} ON {prev}.node = p.from_type
+          GROUP BY n.node
+        )"""
+        prev = f"r{i}"
+    return f"""
+        WITH t AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type
+          FROM events
+        ),
+        e AS (
+          SELECT from_type, event_type AS to_type, count(*) AS w
+          FROM t WHERE from_type IS NOT NULL GROUP BY ALL
+        ),
+        ow AS (SELECT from_type, sum(w) AS outw FROM e GROUP BY from_type),
+        p AS (
+          SELECT e.from_type, e.to_type, (e.w * {PR_SCALE}) // ow.outw AS p
+          FROM e JOIN ow USING (from_type)
+        ),
+        nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        r0 AS (
+          SELECT node,
+                 {PR_SCALE} // (SELECT count(*) FROM nodes) AS r
+          FROM nodes
+        ){rounds}
+        SELECT node, CAST(r AS BIGINT) AS rank_micro FROM {prev}
+    """
+
+
 def event_path_trigrams(tables: dict[str, DataFrame]) -> DataFrame:
     """Counts of consecutive event-type trigrams per user stream.
 
@@ -220,6 +316,7 @@ def value_trend_by_type(tables: dict[str, DataFrame]) -> DataFrame:
 
 QUERIES = {
     "event_transitions": event_transitions,
+    "pagerank_event_types": pagerank_event_types,
     "event_path_trigrams": event_path_trigrams,
     "conversion_latency": conversion_latency,
     "hourly_count_anomalies": hourly_count_anomalies,
@@ -238,6 +335,7 @@ ORACLES: dict[str, str] = {
                TRUE AS estimate_within_tol
         FROM events GROUP BY event_type
     """,
+    "pagerank_event_types": _pagerank_oracle(),
     "event_transitions": """
         WITH t AS (
           SELECT user_id, event_type,

@@ -88,3 +88,24 @@ def test_corr_stays_codegen(spark):
     df = analytics2.corr_qty_price_by_flag(t)
     assert_whole_stage_codegen(df)
     assert_partial_aggregation(df)
+
+
+def test_pagerank_mass_and_determinism(spark):
+    """Fixed-point PageRank: total rank mass stays within deterministic
+    rounding loss of SCALE, every node gets >= the teleport base, and two
+    runs agree exactly (pure-integer algebra)."""
+    from streamming_processing_pyspark_spark.operators.events_analytics import (
+        PR_SCALE,
+        pagerank_event_types,
+    )
+    from streamming_processing_pyspark_spark.tables import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    a = pagerank_event_types(t).toPandas().sort_values("node").reset_index(drop=True)
+    n = len(a)
+    base = (15 * PR_SCALE) // (100 * n)
+    assert (a["rank_micro"] >= base).all()
+    loss_bound = n * n + 2 * n  # per-edge + per-node floor losses, 3 rounds
+    assert PR_SCALE - 3 * loss_bound <= a["rank_micro"].sum() <= PR_SCALE
+    b = pagerank_event_types(t).toPandas().sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
