@@ -165,6 +165,44 @@ def salted_aggregate(
     )
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a small-file parquet directory into ~``target_file_bytes``
+    files; returns the output file count.
+
+    Streaming sinks and fine-grained partition overwrites leave thousands
+    of tiny files per directory; at 100 TB the resulting scan is dominated
+    by open/footer costs and the NameNode/object-store listing, so
+    periodic compaction is standing maintenance. File count is derived
+    from the actual on-disk byte size; the rewrite is one round-robin
+    repartition (even output sizes, no skew by input layout).
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    df.repartition(n).write.mode("overwrite").parquet(out_path)
+    return len(
+        [
+            f
+            for dp, _, files in os.walk(out_path)
+            for f in files
+            if f.endswith(".parquet")
+        ]
+    )
+
+
 #: batch file formats bundled with Spark (no extra jars). Avro/Delta/Iceberg
 #: need their connector on the classpath — see sources/connectors.py gating.
 SUPPORTED_BATCH_FORMATS = ("parquet", "orc", "json", "csv")

@@ -206,3 +206,16 @@ def test_zordered_layout_skips_files_on_both_dims(spark, tmp_path):
     }
     assert len(r_hit) == len(r_all)  # no skipping without value in the layout
     assert len(z_hit) < len(all_files)
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from streamming_processing_pyspark_spark.storage import compact_parquet
+
+    ev = load_table(spark, SF_DIR, "events")
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(frag)  # simulate a small-file sink
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_file_bytes=64 * 1024 * 1024)
+    assert n < 64
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
