@@ -89,6 +89,28 @@ def streaming_hourly_counts_append(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(table)
 
 
+def streaming_available_now_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hourly_counts drained with ``Trigger.AvailableNow`` — the
+    cron-scheduled catch-up pattern: process the whole backlog in
+    rate-limited micro-batches with full streaming semantics, then
+    terminate (vs ``processAllAvailable`` on a forever-running query).
+    Same aggregation and oracle as ``streaming_hourly_counts``; what this
+    row proves is that the engine's queries run unchanged under the
+    batch-drain trigger production schedulers use."""
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_available_now
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+    q, table = run_available_now(agg, "complete")
+    q.stop()
+    return spark.table(table)
+
+
 def streaming_geofence_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """geofence_hourly_counts as a streaming query (classify → window agg)."""
     from .sources.streams import stream_events
@@ -283,6 +305,7 @@ _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_union_dedup": streaming_union_dedup,
     "streaming_hourly_counts": streaming_hourly_counts,
+    "streaming_available_now_counts": streaming_available_now_counts,
     "streaming_hourly_counts_append": streaming_hourly_counts_append,
     "streaming_geofence_hourly": streaming_geofence_hourly,
     "streaming_counts_10min_by_key": streaming_counts_10min_by_key,
@@ -305,6 +328,7 @@ _STREAMING_ORACLES: dict[str, str] = {
     """,
     "streaming_sliding_counts": windowed.ORACLES["sliding_hourly_counts"],
     "streaming_hourly_counts": windowed.ORACLES["hourly_counts"],
+    "streaming_available_now_counts": windowed.ORACLES["hourly_counts"],
     # append mode emits a window iff window_end <= max(ts) - watermark delay
     # (non-strict; empirically pinned in tests/test_streaming.py)
     "streaming_hourly_counts_append": """

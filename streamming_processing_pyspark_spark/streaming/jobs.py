@@ -243,6 +243,34 @@ def run_to_memory(
     return q, table
 
 
+def run_available_now(
+    df: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+) -> tuple[StreamingQuery, str]:
+    """Drain all CURRENTLY available input with ``Trigger.AvailableNow``
+    and stop — the modern incremental-batch pattern (replaces the
+    deprecated ``Trigger.Once``): the query processes the backlog in
+    rate-limited micro-batches (respecting the source's
+    ``maxFilesPerTrigger``),
+    commits the checkpoint, and terminates, so a cron-scheduled catch-up
+    job gets streaming semantics (exactly-once, watermarks, state) with
+    batch-job economics. ``awaitTermination`` returns when the backlog is
+    drained.
+    """
+    _MEMORY_SINK_SEQ[0] += 1
+    table = name or f"stream_sink_{_MEMORY_SINK_SEQ[0]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q, table
+
+
 def run_foreach_batch(
     df: DataFrame,
     fn,

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from streamming_processing_pyspark_spark.session import get_spark
 from streamming_processing_pyspark_spark.tables import load_tables
-from streamming_processing_pyspark_spark.operators import dedup, pipeline
+from streamming_processing_pyspark_spark.operators import curation, dedup, pipeline, similarity
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 KS = [int(k) for k in os.environ.get("SPARK_GRAFT_PROBE_KS", "1,2,4").split(",")]
@@ -41,6 +41,19 @@ OPS = {
     "simhash_fingerprints": dedup.simhash_fingerprints,
     "incremental_minhash_pairs": dedup.incremental_minhash_pairs,
     "dedup_clusters": pipeline.dedup_clusters,
+    "perplexity_buckets": curation.perplexity_buckets,
+    "quality_classifier_scores": curation.quality_classifier_scores,
+}
+
+#: embedding-table operators probed against a scaled embeddings table.
+#: embedding_near_dup_pairs is the known-quadratic exact baseline (its row
+#: count grows k²; the probe shows it); the LSH/SemDeDup paths should track
+#: candidate volume instead.
+EMB_OPS = {
+    "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+    "lsh_bucketed_pairs": similarity.lsh_bucketed_pairs,
+    "semantic_dedup_pairs": similarity.semantic_dedup_pairs,
+    "knn_join_topk": similarity.knn_join_topk,
 }
 
 
@@ -68,17 +81,47 @@ def scaled_documents(docs, k: int):
     return docs.sparkSession.read.parquet(path)
 
 
+def scaled_embeddings(emb, k: int):
+    """k replicas with offset vec_ids; the first dimension is shifted by a
+    replica-dependent constant so replicas aren't exact duplicates (growth
+    measures the algorithm, not degenerate dedup)."""
+    if k == 1:
+        return emb
+    offset = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    reps = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * offset)).alias("vec_id"),
+            F.expr(
+                f"transform(embedding, (x, j) -> CAST(CASE WHEN j = 0 "
+                f"THEN x + {i} * 0.01 ELSE x END AS FLOAT))"
+            ).alias("embedding"),
+            "label",
+        )
+        for i in range(k)
+    ]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionAll(r)
+    path = f"/tmp/scale_probe_emb_k{k}"
+    out.write.mode("overwrite").parquet(path)
+    return emb.sparkSession.read.parquet(path)
+
+
 def main() -> None:
     spark = get_spark(app_name="scale_probe")
     base = load_tables(spark, SF_DIR)
-    results: dict[str, dict[int, float]] = {name: {} for name in OPS}
+    results: dict[str, dict[int, float]] = {
+        name: {} for name in (*OPS, *EMB_OPS)
+    }
     rows: dict[int, int] = {}
     for k in KS:
         docs = scaled_documents(base["documents"], k)
+        emb_k = scaled_embeddings(base["embeddings"], k)
         t = dict(base)
         t["documents"] = docs
+        t["embeddings"] = emb_k
         rows[k] = docs.count()
-        for name, fn in OPS.items():
+        for name, fn in {**OPS, **EMB_OPS}.items():
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(t).write.mode("overwrite").format("noop").save()
