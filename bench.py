@@ -76,6 +76,8 @@ HEADLINE = [
     "perplexity_buckets",
     "quality_classifier_scores",
     "ewma_hourly_value",
+    "pagerank_event_types",
+    "source_cap_sample",
 ]
 
 

@@ -154,19 +154,16 @@ def name_near_dup_pairs(t: Tables) -> DataFrame:
 
 NAME_EDIT_MAX = 3
 
-# "auto" hot-shingle cap: a shingle present in more than
-# max(AUTO_DF_MIN, AUTO_DF_PCT% of the corpus document count) documents is
-# boilerplate, with an absolute ceiling AUTO_DF_ABS so the per-shingle doc
-# list (and the per-task pair blow-up C(df, 2)) stays bounded no matter how
-# large the corpus grows. Integer arithmetic (no float ceil) so the DuckDB
-# oracle computes the identical cap.
-AUTO_DF_MIN = 10
-AUTO_DF_PCT = 2
-AUTO_DF_ABS = 10_000
-
-
-def _auto_shingle_cap(n_docs: int) -> int:
-    return min(AUTO_DF_ABS, max(AUTO_DF_MIN, (AUTO_DF_PCT * n_docs + 99) // 100))
+# "auto" hot-shingle cap: a CONSTANT document-frequency ceiling. Being
+# boilerplate is an absolute property of a shingle (appearing in >128
+# documents makes it non-discriminative no matter how big the corpus is),
+# and the cap bounds the per-shingle pair blow-up at C(cap, 2) — a
+# CORPUS-PROPORTIONAL cap (an earlier round used 2% of doc count) makes
+# that blow-up C(0.02·n, 2), i.e. QUADRATIC in corpus size: the scale
+# probe measured ngram pair generation 3 s → 23 s when 4× data raised the
+# proportional cap 100 → 400. Constant cap also removes the up-front
+# count() job the proportional formula needed.
+AUTO_DF_CAP = 128
 
 
 def _jaccard_from_common(common, na, nb):
@@ -198,11 +195,12 @@ def ngram_jaccard_pairs(
     (sizes agg + join + pair agg) — measured 3.3 s → 2.0 s at sf0.1.
 
     ``max_shingle_df``: the hot-shingle cap. The REGISTERED DEFAULT is
-    ``"auto"`` = ``min(AUTO_DF_ABS, max(AUTO_DF_MIN, ceil(AUTO_DF_PCT% of
-    corpus doc count)))`` — corpus-proportional with an absolute ceiling,
-    so the per-shingle quadratic blow-up that skewed keys cause at 100 TB
-    is capped by default — and the DuckDB oracle computes the identical
-    cap, so capped semantics ARE the spec, not an approximation of it.
+    ``"auto"`` = the CONSTANT ``AUTO_DF_CAP`` (see its comment: a
+    proportional cap makes per-shingle pair work quadratic in corpus
+    size), so the per-shingle blow-up that skewed keys cause at 100 TB is
+    bounded at C(cap, 2) by default — and the DuckDB oracle applies the
+    identical cap, so capped semantics ARE the spec, not an approximation
+    of it.
     Capping only shrinks the intersection count while set sizes stay
     exact, so every emitted pair is a true pair with an under-estimated
     score: output ⊆ uncapped output (pinned in tests). Pass ``None`` for
@@ -212,7 +210,7 @@ def ngram_jaccard_pairs(
     from ..tables import persist_replacing
 
     if max_shingle_df == "auto":
-        max_shingle_df = _auto_shingle_cap(t["documents"].count())
+        max_shingle_df = AUTO_DF_CAP
     sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     e = sh.select("doc_id", F.explode("shingles").alias("s")).select(
@@ -537,10 +535,7 @@ def simhash_fingerprints(t: Tables) -> DataFrame:
 # default (max_shingle_df="auto"): identical integer-arithmetic cap, df >
 # cap shingles excluded from the intersection count, set sizes ``n`` stay
 # uncapped — capped semantics are the registered spec on both sides.
-_CAP_DUCK = (
-    f"least({AUTO_DF_ABS}, greatest({AUTO_DF_MIN}, "
-    f"({AUTO_DF_PCT} * (SELECT count(*) FROM documents) + 99) // 100))"
-)
+_CAP_DUCK = str(AUTO_DF_CAP)
 
 #: simhash locality bound asserted by the driver check: mean hamming
 #: distance over near-duplicate pairs. Random 64-bit fingerprints average

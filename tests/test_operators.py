@@ -419,3 +419,43 @@ def test_semdedup_check_claims_hold(spark):
     t = load_tables(spark, SF_DIR)
     row = similarity.semdedup_check(t).first()
     assert row["subset_ok"]
+
+
+def test_mllib_minhash_lsh_agreement(spark):
+    """Independent-implementation cross-check: Spark MLlib's MinHashLSH
+    (CountVectorizer shingle sets -> approxSimilarityJoin at the same
+    Jaccard threshold) must recover the pairs our exact
+    ngram_jaccard_pairs emits. Two unrelated implementations agreeing on
+    the same corpus is the strongest non-oracle correctness evidence the
+    dedup ladder can get."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    t = load_tables(spark, SF_DIR)
+    sh = dedup._shingles(t["documents"])
+    feats = (
+        CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
+        .fit(sh)
+        .transform(sh)
+    )
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=7
+    ).fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, 1 - dedup.JACCARD_THRESHOLD + 1e-9, distCol="d"
+    )
+    mllib_pairs = {
+        tuple(sorted((r["datasetA"]["doc_id"], r["datasetB"]["doc_id"])))
+        for r in joined.collect()
+        if r["datasetA"]["doc_id"] != r["datasetB"]["doc_id"]
+    }
+    exact = dedup.ngram_jaccard_pairs(t, max_shingle_df=None).toPandas()
+    exact_pairs = {tuple(sorted(p)) for p in zip(exact["id_a"], exact["id_b"])}
+    # MLlib's join filters candidates by EXACT Jaccard distance, so its
+    # output is a subset of the true pairs; candidate generation is
+    # probabilistic (8 tables), so require high-but-not-total recall
+    assert mllib_pairs <= exact_pairs
+    if exact_pairs:
+        assert len(mllib_pairs) >= 0.8 * len(exact_pairs), (
+            len(mllib_pairs),
+            len(exact_pairs),
+        )

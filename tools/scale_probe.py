@@ -58,14 +58,30 @@ EMB_OPS = {
 
 
 def scaled_documents(docs, k: int):
-    """k replicas with offset ids and a replica token prepended to text."""
+    """k replicas with offset ids; replica i>0 applies a per-replica token
+    RENAMING (every word suffixed with the replica marker). Renaming is a
+    bijection of the shingle space, so each replica's internal pairwise
+    Jaccard structure is EXACTLY the original's while replicas share no
+    shingles with each other — pair output grows precisely with the data
+    ratio. (Two rejected constructions, kept for the record: a prepended
+    token leaves replicas >0.9-Jaccard near-dups of their originals — pair
+    graph ~k², measured 5.6x at k=4; replacing every 3rd word with a
+    marker shrinks and uniformizes shingle sets, inflating intra-replica
+    pairs 70x. Growth must measure the algorithm, not the generator.)"""
     if k == 1:
         return docs
     offset = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     reps = [
         docs.select(
             (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"),
-            F.concat(F.lit(f"r{i} "), F.col("text")).alias("text"),
+            (
+                F.col("text")
+                if i == 0
+                else F.expr(
+                    "concat_ws(' ', transform(split(trim(text), '\\s+'),"
+                    f" w -> concat(w, 'r{i}')))"
+                )
+            ).alias("text"),
             "lang",
             "source",
             "n_chars",
@@ -82,9 +98,12 @@ def scaled_documents(docs, k: int):
 
 
 def scaled_embeddings(emb, k: int):
-    """k replicas with offset vec_ids; the first dimension is shifted by a
-    replica-dependent constant so replicas aren't exact duplicates (growth
-    measures the algorithm, not degenerate dedup)."""
+    """k replicas with offset vec_ids; replica i's vector is circularly
+    shifted by 7·i dimensions — norm-preserving but cosine-decorrelating,
+    so replicas are NOT near-dups of their originals and pair output grows
+    with the data ratio (a tiny additive perturbation left replicas at
+    cosine ≈ 1, inflating every pair operator k² by construction —
+    measured 6.9x at k=4 before this fix)."""
     if k == 1:
         return emb
     offset = emb.agg(F.max("vec_id")).collect()[0][0] + 1
@@ -92,8 +111,9 @@ def scaled_embeddings(emb, k: int):
         emb.select(
             (F.col("vec_id") + F.lit(i * offset)).alias("vec_id"),
             F.expr(
-                f"transform(embedding, (x, j) -> CAST(CASE WHEN j = 0 "
-                f"THEN x + {i} * 0.01 ELSE x END AS FLOAT))"
+                "transform(sequence(0, size(embedding) - 1),"
+                f" j -> element_at(embedding, pmod(j + {7 * i},"
+                " size(embedding)) + 1))"
             ).alias("embedding"),
             "label",
         )
@@ -137,8 +157,10 @@ def main() -> None:
     lines = [
         "# SCALE — empirical operator scaling (tools/scale_probe.py)",
         "",
-        f"Documents replicated k× from `{SF_DIR}` (ids offset, per-replica",
-        "token prepended so replicas aren't trivial near-dups). Each cell is",
+        f"Documents replicated k× from `{SF_DIR}` (per-replica token",
+        "renaming: intra-replica similarity preserved exactly, zero",
+        "cross-replica overlap; embeddings circularly shifted per replica).",
+        "Each cell is",
         "min-of-2 wall seconds; `×N` is time ratio vs k=1 — compare against",
         f"the data ratio. Rows at k: {', '.join(f'{k}→{rows[k]:,}' for k in KS)}.",
         "",
