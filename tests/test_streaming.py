@@ -934,3 +934,39 @@ def test_streaming_ingest_dedup_loop(spark, tmp_path):
         for r in spark.read.parquet(corpus + "/bands").select("doc_id").collect()
     }
     assert idx == got
+
+
+def test_rocksdb_state_store_parity(spark):
+    """The 100 TB state backend: the same stateful windowed aggregation
+    run under the RocksDB state-store provider (state spills off-heap /
+    to disk instead of living in executor memory — mandatory once keyed
+    state outgrows the heap) must produce exactly the default-provider
+    result. Pins that the engine's stateful queries carry no
+    HDFSBackedStateStore assumptions."""
+    from streamming_processing_pyspark_spark.sources.streams import stream_events
+    from streamming_processing_pyspark_spark.streaming.jobs import run_to_memory
+
+    def hourly(tag):
+        ev = stream_events(spark, SF_DIR)
+        agg = (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+        )
+        q, table = run_to_memory(agg, "complete", name=f"rocks_{tag}")
+        q.stop()
+        return sorted(map(tuple, spark.table(table).collect()))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = hourly("default")
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks = hourly("rocksdb")
+    finally:
+        spark.conf.set(key, prev)
+    assert rocks == default and len(rocks) > 0
