@@ -165,6 +165,30 @@ def salted_aggregate(
     )
 
 
+def write_with_bloom_filters(
+    df: DataFrame, path: str, cols: list[str], ndv: int = 100_000, mode: str = "overwrite"
+) -> None:
+    """Write parquet with bloom filters on ``cols``.
+
+    Min/max row-group stats only skip for RANGE-correlated layouts
+    (:func:`write_range_clustered` / :func:`write_zordered`); point
+    lookups on high-cardinality, unclustered columns (user_id, event_id,
+    doc hash) need bloom filters — the reader proves absence per row
+    group without scanning it. ``ndv`` sizes the filter (expected
+    distinct values per row group). Note parquet-mr only materializes the
+    filter when the column falls back from dictionary encoding (a
+    complete dictionary already answers membership exactly), so
+    low-cardinality columns show no filter — which is correct: they don't
+    need one.
+    """
+    w = df.write.mode(mode)
+    for c in cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+        )
+    w.parquet(path)
+
+
 def compact_parquet(
     spark,
     path: str,
