@@ -326,3 +326,44 @@ def test_ewma_partial_agg_no_python(spark):
     df = timeseries.ewma_hourly_value(load_tables(spark, SF_DIR))
     assert_partial_aggregation(df)
     assert_no_python_eval(df)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling: a hot join key whose partition dwarfs the
+    median must be split by AQE (SortMergeJoin(skew=true) + skewed
+    AQEShuffleRead) instead of serializing one straggler task — the
+    runtime complement to the deterministic salting in
+    storage.salted_aggregate / analytics2.salted_customer_join."""
+    from pyspark.sql import functions as F
+
+    from streamming_processing_pyspark_spark.plans.explain import (
+        executed_plan_string,
+    )
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "512k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "64",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # half the fact rows share one key; incompressible pad so the
+        # shuffled bytes (post-compression) actually show the skew
+        fact = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.pmod("id", F.lit(5000)))
+            .alias("k"),
+            F.repeat(F.md5(F.col("id").cast("string")), 8).alias("pad"),
+        )
+        dim = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        s = executed_plan_string(fact.join(dim, "k"))
+        assert "skew=true" in s, s[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
