@@ -213,7 +213,110 @@ _ALPHA_DUCK = (
     "round(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text), 4)"
 )
 
+#: BM25 retrieval parameters (fixed 2-term query; standard k1/b)
+BM25_TERMS = ("spark", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def bm25_search(t: Tables) -> DataFrame:
+    """Exact BM25 retrieval for a fixed 2-term query — one scan, NO wide
+    shuffle: per-document term frequencies come from higher-order
+    ``size(filter(ws, ...))`` in the scan projection, the corpus stats
+    (N, avg doc length, per-term document frequencies) reduce to ONE
+    broadcast row, scoring is map-side arithmetic, and the top-k is a
+    TakeOrderedAndProject. The same plan at 100 TB is a scan + 1-row
+    broadcast + per-partition heaps — the batch-retrieval shape under a
+    RAG pipeline (per-query serving would use the inverted index
+    instead; tfidf_top_terms holds the index-building side).
+
+    Cross-engine exactness: each term's contribution
+    ``idf · tf / (tf + k1·(1 − b + b·len/avgdl))`` is computed with an
+    identical operation order in both engines, scaled to 1e-4 units and
+    rounded to int64 BEFORE summation, so the final score is an exact
+    integer sum (float summation order can never flip it). Residual risk
+    is a contribution landing exactly on a .5e-4 rounding boundary —
+    the accepted ~1e-12 class documented for udtf._geomean.
+    """
+    d = t["documents"].select(
+        "doc_id",
+        words("text").alias("ws"),
+    ).select(
+        "doc_id",
+        F.size("ws").alias("dl"),
+        *[
+            F.expr(f"size(filter(ws, x -> x = '{term}'))").alias(f"tf{i}")
+            for i, term in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+
+    def contrib(i: int):
+        idf = F.log(
+            (
+                (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+                / (F.col(f"df{i}") + F.lit(0.5))
+            )
+            + F.lit(1.0)
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        norm = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B)
+            * (
+                F.col("dl").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("sum_dl").cast("double")
+            )
+        )
+        return F.round(idf * tf / norm * 10000, 0).cast("long")
+
+    total = contrib(0)
+    for i in range(1, len(BM25_TERMS)):
+        total = total + contrib(i)
+    return (
+        scored.select("doc_id", total.alias("score_e4"))
+        .where(F.col("score_e4") > 0)
+        .orderBy(F.desc("score_e4"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "bm25_search": """
+        WITH f AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS dl,
+                 len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x = 'spark')) AS tf0,
+                 len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x = 'stream')) AS tf1
+          FROM documents
+        ),
+        s AS (
+          SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+          FROM f
+        ),
+        sc AS (
+          SELECT f.doc_id,
+                 CAST(round(ln((CAST(s.n_docs - s.df0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(s.df0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * CAST(f.tf0 AS DOUBLE) / (CAST(f.tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(f.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE)))) * 10000, 0) AS BIGINT) + CAST(round(ln((CAST(s.n_docs - s.df1 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(s.df1 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * CAST(f.tf1 AS DOUBLE) / (CAST(f.tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(f.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE)))) * 10000, 0) AS BIGINT) AS score_e4
+          FROM f CROSS JOIN s
+        )
+        SELECT doc_id, score_e4 FROM sc
+        WHERE score_e4 > 0
+        ORDER BY score_e4 DESC, doc_id LIMIT 10
+    """,
     "tfidf_top_terms": f"""
         WITH tok AS (
           SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
@@ -313,4 +416,5 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "sentiment_scores": sentiment_scores,
     "array_functions_showcase": array_functions_showcase,
+    "bm25_search": bm25_search,
 }

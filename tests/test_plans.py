@@ -367,3 +367,15 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bm25_single_scan_topk(spark):
+    """BM25 retrieval: corpus stats reduce to one broadcast row, scoring is
+    map-side, top-k is a TakeOrderedAndProject, nothing Python."""
+    from streamming_processing_pyspark_spark.operators import text
+
+    df = text.bm25_search(load_tables(spark, SF_DIR))
+    s = plan_string(df)
+    assert "TakeOrderedAndProject" in s, s
+    assert_no_python_eval(df)
+    assert_broadcast_join(df, min_count=1)
