@@ -11,7 +11,7 @@ Each query has a DuckDB oracle; the only systematic difference is Spark's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -220,8 +220,8 @@ BM25_B = 0.75
 BM25_TOPK = 10
 
 
-def bm25_search(t: Tables) -> DataFrame:
-    """Exact BM25 retrieval for a fixed 2-term query — one scan, NO wide
+def _bm25_scores(t: Tables) -> DataFrame:
+    """Exact BM25 scores for a fixed 2-term query — one scan, NO wide
     shuffle: per-document term frequencies come from higher-order
     ``size(filter(ws, ...))`` in the scan projection, the corpus stats
     (N, avg doc length, per-term document frequencies) reduce to ONE
@@ -283,12 +283,78 @@ def bm25_search(t: Tables) -> DataFrame:
     total = contrib(0)
     for i in range(1, len(BM25_TERMS)):
         total = total + contrib(i)
+    return scored.select("doc_id", total.alias("score_e4")).where(
+        F.col("score_e4") > 0
+    )
+
+
+def bm25_search(t: Tables) -> DataFrame:
+    """Top-k of :func:`_bm25_scores` (see its docstring for the plan)."""
     return (
-        scored.select("doc_id", total.alias("score_e4"))
-        .where(F.col("score_e4") > 0)
+        _bm25_scores(t)
         .orderBy(F.desc("score_e4"), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+#: hybrid-retrieval fusion parameters (RRF, Cormack et al.)
+HYBRID_POOL = 50
+RRF_K = 60
+HYBRID_TOPK = 10
+
+
+def hybrid_search_rrf(t: Tables) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and cosine-to-query (vector)
+    candidate pools fused by Reciprocal Rank Fusion — the standard RAG
+    serving pattern (two independent rankers, rank-based fusion is robust
+    to their incomparable score scales).
+
+    Scale shape: each ranker contributes only its bounded top-POOL list
+    (TakeOrderedAndProject on its own plan); ranking and fusion then run
+    on <= 2·POOL rows — the single-partition rank windows are over the
+    POOLED frame, never the corpus. RRF terms are integer
+    (``1e6 DIV (k + rank)``), so fusion is exact and the DuckDB oracle
+    hash-matches; ranks carry through for inspection (NULL = doc absent
+    from that ranker's pool).
+    """
+    from .similarity import QUERY_VEC_ID, _with_cosine_to_query
+
+    bm = (
+        _bm25_scores(t)
+        .orderBy(F.desc("score_e4"), "doc_id")
+        .limit(HYBRID_POOL)
+    )
+    w_lex = Window.orderBy(F.desc("score_e4"), "doc_id")
+    bm_r = bm.select(
+        "doc_id", F.row_number().over(w_lex).cast("int").alias("r_lex")
+    )
+    cos = (
+        _with_cosine_to_query(t)
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(HYBRID_POOL)
+    )
+    w_vec = Window.orderBy(F.desc("cos_sim"), "vec_id")
+    cos_r = cos.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_vec).cast("int").alias("r_vec"),
+    )
+    fused = bm_r.join(cos_r, ["doc_id"], "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"CAST(1000000 DIV ({RRF_K} + r_lex) AS BIGINT)"),
+                F.lit(0).cast("long"),
+            )
+            + F.coalesce(
+                F.expr(f"CAST(1000000 DIV ({RRF_K} + r_vec) AS BIGINT)"),
+                F.lit(0).cast("long"),
+            )
+        ).alias("rrf_e6"),
+        "r_lex",
+        "r_vec",
+    )
+    return fused.orderBy(F.desc("rrf_e6"), "doc_id").limit(HYBRID_TOPK)
 
 
 ORACLES: dict[str, str] = {
@@ -316,6 +382,59 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, score_e4 FROM sc
         WHERE score_e4 > 0
         ORDER BY score_e4 DESC, doc_id LIMIT 10
+    """,
+    "hybrid_search_rrf": """
+        WITH f AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS dl,
+                 len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x = 'spark')) AS tf0,
+                 len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x = 'stream')) AS tf1
+          FROM documents
+        ),
+        s AS (
+          SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+          FROM f
+        ),
+        sc AS (
+          SELECT f.doc_id,
+                 CAST(round(ln((CAST(s.n_docs - s.df0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(s.df0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * CAST(f.tf0 AS DOUBLE) / (CAST(f.tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(f.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE)))) * 10000, 0) AS BIGINT) + CAST(round(ln((CAST(s.n_docs - s.df1 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(s.df1 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * CAST(f.tf1 AS DOUBLE) / (CAST(f.tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(f.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE)))) * 10000, 0) AS BIGINT) AS score_e4
+          FROM f CROSS JOIN s
+        ),
+        bm AS (
+          SELECT doc_id, score_e4 FROM sc WHERE score_e4 > 0
+          ORDER BY score_e4 DESC, doc_id LIMIT 50
+        ),
+        bmr AS (
+          SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY score_e4 DESC, doc_id) AS INTEGER) AS r_lex
+          FROM bm
+        ),
+        cos AS (
+          SELECT a.vec_id AS doc_id, round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS cos_sim
+          FROM embeddings a,
+               (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          WHERE a.vec_id != 0
+          ORDER BY cos_sim DESC, a.vec_id LIMIT 50
+        ),
+        cosr AS (
+          SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS r_vec
+          FROM cos
+        ),
+        fused AS (
+          SELECT coalesce(bmr.doc_id, cosr.doc_id) AS doc_id,
+                 coalesce(CAST(1000000 // (60 + r_lex) AS BIGINT), 0)
+                 + coalesce(CAST(1000000 // (60 + r_vec) AS BIGINT), 0)
+                   AS rrf_e6,
+                 r_lex, r_vec
+          FROM bmr FULL OUTER JOIN cosr ON bmr.doc_id = cosr.doc_id
+        )
+        SELECT doc_id, rrf_e6, r_lex, r_vec FROM fused
+        ORDER BY rrf_e6 DESC, doc_id LIMIT 10
     """,
     "tfidf_top_terms": f"""
         WITH tok AS (
@@ -417,4 +536,5 @@ QUERIES = {
     "sentiment_scores": sentiment_scores,
     "array_functions_showcase": array_functions_showcase,
     "bm25_search": bm25_search,
+    "hybrid_search_rrf": hybrid_search_rrf,
 }
