@@ -156,10 +156,56 @@ def source_cap_sample(t: Tables) -> DataFrame:
     )
 
 
+#: numerator/denominator of the kept quality-mass fraction (4/5 = 80%)
+MASS_KEEP_NUM = 4
+MASS_KEEP_DEN = 5
+
+
+def quality_mass_filter(t: Tables) -> DataFrame:
+    """Top-p curation per source: keep the highest-quality documents until
+    they cover 80% of the source's token mass — the "best X% of each
+    domain by quality, weighted by tokens" mixing rule (quality ranking
+    from the hashed-feature classifier, tie-broken by doc_id; all-integer
+    cumulative comparison ``cum·5 <= total·4`` so both engines agree
+    exactly).
+
+    Scale shape: score and token count are map-side; the cumulative sum
+    is one window per source (same partitioning as source_cap_sample —
+    source-sized frames, not corpus-sized); per-source totals ride the
+    same window partition (unbounded frame), so ONE shuffle total.
+    """
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    scores = quality_classifier_scores(t).select("doc_id", "score")
+    j = d.join(scores, "doc_id")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = j.select(
+        "doc_id",
+        "source",
+        "score",
+        "n_tokens",
+        F.sum("n_tokens").over(w_cum).alias("cum_tokens"),
+        F.sum("n_tokens").over(w_all).alias("total_tokens"),
+    )
+    return ranked.where(
+        F.col("cum_tokens") * MASS_KEEP_DEN
+        <= F.col("total_tokens") * MASS_KEEP_NUM
+    ).select("doc_id", "source", "score", "n_tokens", "cum_tokens")
+
+
 QUERIES = {
     "perplexity_buckets": perplexity_buckets,
     "quality_classifier_scores": quality_classifier_scores,
     "source_cap_sample": source_cap_sample,
+    "quality_mass_filter": quality_mass_filter,
 }
 
 _PPL_SQL = """
@@ -213,6 +259,40 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, CAST(score AS BIGINT) AS score, score > 0 AS keep
         FROM s
+    """,
+    "quality_mass_filter": f"""
+        WITH sc AS (
+          SELECT doc_id,
+                 list_sum(list_transform(
+                   string_split_regex(trim(text), '\s+'),
+                   tok -> list_reduce(
+                     list_prepend(CAST(7 AS BIGINT),
+                       list_transform(string_split_regex(tok, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007) % 21 - 10))
+                 + {CLASSIFIER_BIAS} AS score
+          FROM documents
+        ),
+        j AS (
+          SELECT d.doc_id, d.source,
+                 CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(sc.score AS BIGINT) AS score
+          FROM documents d JOIN sc USING (doc_id)
+        ),
+        r AS (
+          SELECT doc_id, source, score, n_tokens,
+                 sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source) AS total_tokens
+          FROM j
+        )
+        SELECT doc_id, source, score, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM r
+        WHERE cum_tokens * {MASS_KEEP_DEN} <= total_tokens * {MASS_KEEP_NUM}
     """,
     "source_cap_sample": f"""
         SELECT doc_id, source FROM (
