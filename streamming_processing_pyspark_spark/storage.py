@@ -165,6 +165,47 @@ def salted_aggregate(
     )
 
 
+def write_inverted_index(
+    docs: DataFrame,
+    table: str = "term_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a term → posting-list inverted index, hash-bucketed by
+    term.
+
+    The serving-side complement to the batch retrieval operators
+    (bm25_search scans; an index answers point term lookups): one
+    explode + groupBy builds sorted posting lists with document
+    frequency, and bucketing by term means (a) an equality lookup scans
+    ONE bucket (``SelectedBucketsCount`` in the plan — file-level
+    pruning without any shuffle) and (b) index-index or index-query
+    joins on term need no exchange. Postings are sorted so downstream
+    list intersections can merge.
+    """
+    idx = (
+        docs.select(
+            F.explode(F.split(F.trim(text_col), r"\s+")).alias("term"),
+            F.col(id_col),
+        )
+        .groupBy("term")
+        .agg(
+            F.sort_array(F.collect_set(id_col)).alias("postings"),
+            F.count("*").alias("tf_total"),
+        )
+        .withColumn("df", F.size("postings"))
+    )
+    (
+        idx.write.mode(mode)
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_with_bloom_filters(
     df: DataFrame, path: str, cols: list[str], ndv: int = 100_000, mode: str = "overwrite"
 ) -> None:

@@ -252,3 +252,37 @@ def test_bloom_filter_written_to_parquet(spark, tmp_path):
     assert (
         back.where(F.col("event_id") == -1).count() == 0  # absent-key probe
     )
+
+
+def test_inverted_index_bucket_pruned_lookup(spark, tmp_path):
+    """A term lookup against the bucketed inverted index must scan ONE
+    bucket (SelectedBucketsCount in the plan) and agree with a direct
+    recount from the corpus."""
+    import shutil
+
+    from streamming_processing_pyspark_spark.storage import write_inverted_index
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # the planner turns bucketed scans off when nothing exploits the
+    # partitioning; bucket PRUNING needs the bucketed scan, so force it
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS term_index_t")
+    shutil.rmtree(f"{warehouse}/term_index_t", ignore_errors=True)
+    docs = load_table(spark, SF_DIR, "documents")
+    write_inverted_index(docs, "term_index_t", n_buckets=16)
+
+    hit = spark.table("term_index_t").where(F.col("term") == "spark")
+    plan = executed_plan_string(hit)
+    assert "SelectedBucketsCount: 1 out of 16" in plan, plan
+    row = hit.collect()[0]
+    want = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"), "doc_id")
+        .where(F.col("w") == "spark")
+    )
+    assert row["tf_total"] == want.count()
+    assert row["df"] == want.select("doc_id").distinct().count()
+    assert row["postings"] == sorted(
+        r[0] for r in want.select("doc_id").distinct().collect()
+    )
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
