@@ -78,6 +78,9 @@ HEADLINE = [
     "ewma_hourly_value",
     "pagerank_event_types",
     "source_cap_sample",
+    "quality_mass_filter",
+    "bm25_search",
+    "hybrid_search_rrf",
 ]
 
 

@@ -629,18 +629,17 @@ def semantic_dedup_pairs(t: Tables) -> DataFrame:
 
     def pairs_in_cluster(pdf):
         mat = np.array(pdf["vec"].tolist(), dtype="float64")
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
+        # same operation order as _all_pairs_at (dot / (|a|·|b|), rounded
+        # to 6 dp) so a threshold-boundary pair can never appear here
+        # while missing from the exact set semdedup_check compares against
+        norms = np.linalg.norm(mat, axis=1)
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
         ids = pdf["vec_id"].to_numpy()
-        ia, ib = np.where(np.triu(np.round(sims, 6) >= SEMDEDUP_THRESHOLD, k=1))
+        ia, ib = np.where(np.triu(sims >= SEMDEDUP_THRESHOLD, k=1))
         lo = np.minimum(ids[ia], ids[ib])
         hi = np.maximum(ids[ia], ids[ib])
         return pd.DataFrame(
-            {
-                "id_a": lo,
-                "id_b": hi,
-                "cos_sim": np.round(sims[ia, ib], 6),
-            }
+            {"id_a": lo, "id_b": hi, "cos_sim": sims[ia, ib]}
         )
 
     return (
