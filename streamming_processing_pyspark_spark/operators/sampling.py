@@ -1,0 +1,185 @@
+"""Weighted sampling and rule-based quality gating for training-data
+curation.
+
+- ``weighted_sample_per_lang`` — one-pass distributed weighted sampling
+  without replacement (Efraimidis–Spirakis exponential race): each doc
+  draws a deterministic uniform from a SQL-portable hash and competes with
+  key ``-ln(u) / w`` (w = token count); the N smallest keys per language
+  win. This is THE primitive behind "sample k docs per language with
+  probability proportional to length/quality" in data-mixing pipelines,
+  and it needs no global sort: the per-group top-N compiles to
+  WindowGroupLimit, so every input partition pre-prunes to N rows per
+  language before the single shuffle — O(N × languages) rows move, not
+  the corpus.
+- ``gopher_quality_flags`` — the Gopher/MassiveText repetition-free
+  quality rules as per-document boolean flags plus the conjunctive keep
+  decision. Every ratio test is integer cross-multiplied (e.g. mean word
+  length in [3, 10] is checked as ``3·words ≤ chars ≤ 10·words``), so
+  both engines agree bit-for-bit and the whole filter is a map-only scan
+  projection — zero shuffles, zero Python.
+
+Reference scope note: the reference project (``/root/reference``,
+Task2-4/Client.py) has no sampling or curation surface; these extend the
+engine for the 100 TB training-data use case per the build plan
+(SURVEY.md §7 phase 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+Tables = dict[str, DataFrame]
+
+#: sample size per language for weighted_sample_per_lang
+SAMPLE_PER_LANG = 25
+
+#: modulus of the portable affine-fold hash (cf. pipeline._group_hash)
+_HASH_MOD = 1_000_000_007
+
+#: Gopher-style rule thresholds (scaled to the synthetic corpus: docs are
+#: 10-99 whitespace tokens; real MassiveText bounds are 50/100k words)
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 10_000
+GOPHER_MIN_MWL = 3  # mean word length lower bound (chars/word)
+GOPHER_MAX_MWL = 10  # mean word length upper bound
+#: ≥ 80% of words must contain an alphabetic character (num/den)
+ALPHA_NUM, ALPHA_DEN = 4, 5
+
+
+def _doc_hash() -> Column:
+    """Portable per-doc uniform hash in [0, _HASH_MOD): the same affine
+    character fold as ``pipeline._group_hash``, applied to the decimal
+    doc_id string so DuckDB replays it exactly."""
+    return F.expr(
+        "aggregate(split(CAST(doc_id AS STRING), ''), CAST(7 AS BIGINT),"
+        f" (acc, c) -> (acc * 31 + ascii(c)) % {_HASH_MOD})"
+    )
+
+
+def weighted_sample_per_lang(t: Tables) -> DataFrame:
+    """Top-``SAMPLE_PER_LANG`` docs per language by exponential race.
+
+    A-ES weighted sampling without replacement: u = (h+1)/(MOD+1) ∈ (0,1],
+    key = -ln(u)/w with w = whitespace token count, winners = smallest N
+    keys per language. Deterministic (hash-derived u), single shuffle
+    (the WindowGroupLimit pre-prunes each task to N rows per lang), and
+    the float key is NOT part of the output — ranks are insensitive to
+    the ≤1-ulp cross-engine ``ln`` difference except when two keys
+    coincide to ~1e-16 relative, the same accepted boundary-flip class
+    documented for ``udtf._geomean``.
+    """
+    d = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        _doc_hash().alias("h"),
+    )
+    key = -F.log((F.col("h") + 1) / F.lit(float(_HASH_MOD + 1))) / F.col("n_tokens")
+    w = Window.partitionBy("lang").orderBy(key.asc(), "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_tokens", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= SAMPLE_PER_LANG)
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+def gopher_quality_flags(t: Tables) -> DataFrame:
+    """Gopher/MassiveText rule flags per document, map-only and exact.
+
+    Flags (all integer arithmetic, no float ratios):
+    - ``ok_word_count``: GOPHER_MIN_WORDS ≤ words ≤ GOPHER_MAX_WORDS
+    - ``ok_mean_word_len``: 3 ≤ (chars in words)/words ≤ 10, tested as
+      ``3·words ≤ chars AND chars ≤ 10·words``
+    - ``ok_alpha_words``: ≥ 80% of words contain [a-z], tested as
+      ``5·alpha_words ≥ 4·words``
+    - ``keep`` = conjunction of the three.
+    ``mean_word_len_milli`` = floor(1000·chars/words) is emitted so the
+    distribution itself is oracle-checked, not just the booleans.
+    """
+    words = F.split(F.trim("text"), r"\s+")
+    n_words = F.size(words).cast("long")
+    # total characters across words == len(trim) - (words-1) separators is
+    # wrong for multi-space runs; sum the token lengths instead
+    n_chars = F.expr(
+        "aggregate(transform(split(trim(text), '\\\\s+'), w -> length(w)),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    alpha_words = F.expr(
+        "size(filter(split(trim(text), '\\\\s+'), w -> w rlike '[a-z]'))"
+    ).cast("long")
+    ok_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_mwl = (F.lit(GOPHER_MIN_MWL) * n_words <= n_chars) & (
+        n_chars <= F.lit(GOPHER_MAX_MWL) * n_words
+    )
+    ok_alpha = F.lit(ALPHA_DEN) * alpha_words >= F.lit(ALPHA_NUM) * n_words
+    return t["documents"].select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.floor(n_chars * 1000 / n_words).cast("long").alias("mean_word_len_milli"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_words"),
+        (ok_wc & ok_mwl & ok_alpha).alias("keep"),
+    )
+
+
+QUERIES = {
+    "weighted_sample_per_lang": weighted_sample_per_lang,
+    "gopher_quality_flags": gopher_quality_flags,
+}
+
+ORACLES: dict[str, str] = {
+    "weighted_sample_per_lang": f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+                 list_reduce(
+                   list_prepend(CAST(7 AS BIGINT),
+                     list_transform(string_split_regex(CAST(doc_id AS VARCHAR), ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % {_HASH_MOD}) AS h
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, lang, n_tokens,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY -ln((h + 1) / {float(_HASH_MOD + 1)}) / n_tokens,
+                            doc_id) AS rk
+          FROM d
+        )
+        SELECT doc_id, lang, n_tokens FROM r WHERE rk <= {SAMPLE_PER_LANG}
+    """,
+    "gopher_quality_flags": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_words,
+                 CAST(list_sum(list_transform(
+                        string_split_regex(trim(text), '\\s+'),
+                        w -> len(w))) AS BIGINT) AS n_chars,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+                   AS alpha_words
+          FROM documents
+        )
+        SELECT doc_id, n_words,
+               CAST(floor(n_chars * 1000.0 / n_words) AS BIGINT)
+                 AS mean_word_len_milli,
+               n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                 AS ok_word_count,
+               {GOPHER_MIN_MWL} * n_words <= n_chars
+                 AND n_chars <= {GOPHER_MAX_MWL} * n_words
+                 AS ok_mean_word_len,
+               {ALPHA_DEN} * alpha_words >= {ALPHA_NUM} * n_words
+                 AS ok_alpha_words,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+                 AND ({GOPHER_MIN_MWL} * n_words <= n_chars
+                      AND n_chars <= {GOPHER_MAX_MWL} * n_words)
+                 AND ({ALPHA_DEN} * alpha_words >= {ALPHA_NUM} * n_words)
+                 AS keep
+        FROM d
+    """,
+}

@@ -701,6 +701,139 @@ def label_centroid_sim(t: Tables) -> DataFrame:
     )
 
 
+#: product quantization: M subspaces x K centroids (64-dim -> 8 x 8-dim
+#: blocks, 16 codes each = 8-byte codes, 32x compression of float32 vecs)
+PQ_M = 8
+PQ_K = 16
+PQ_KMEANS_ITERS = 5
+#: ADC shortlist size before exact re-rank
+PQ_SHORTLIST = 8 * TOPK
+#: recall bound the driver-checked PQ claim asserts (percent).
+PQ_RECALL_PCT = 60
+
+
+def pq_topk(t: Tables) -> DataFrame:
+    """Product-quantization ANN top-k with exact re-rank.
+
+    The memory-bound scale path for :func:`cosine_topk`: vectors compress
+    to ``PQ_M`` one-byte codes (sub-space k-means codebooks trained on a
+    bounded driver-side sample — offline-trainable at 100 TB, same harness
+    as :func:`ivf_topk`), queries score candidates via asymmetric distance
+    computation (one ``PQ_M × PQ_K`` lookup table per query, summed by
+    code — no float vectors touched), the ADC top-``PQ_SHORTLIST`` is a
+    ``TakeOrderedAndProject`` shortlist, and only the shortlist is
+    re-ranked with exact cosines. Executors hold codes (8 B/vector), not
+    embeddings (256 B/vector) — the working set shrinks 32×, which is what
+    makes scanning a 100 TB vector corpus feasible. Recall is approximate
+    (shortlist may miss true neighbors); precision of returned scores is
+    exact. Rows-only driver check; the quality contract is
+    :func:`pq_recall_check`.
+    """
+    import numpy as np
+
+    emb = fan_out(
+        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    )
+    spark = emb.sparkSession
+
+    # deterministic bounded sample -> per-subspace k-means codebooks
+    sample = np.array(
+        emb.where(F.col("vec_id") % 7 == 0).limit(PQ_K * 20)
+        .toPandas()["vec"].tolist(),
+        dtype="float64",
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    dim = sample.shape[1]
+    dsub = dim // PQ_M
+    books = np.empty((PQ_M, PQ_K, dsub))
+    for m in range(PQ_M):
+        sub = sample[:, m * dsub : (m + 1) * dsub]
+        cents = sub[:PQ_K].copy()
+        for _ in range(PQ_KMEANS_ITERS):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(PQ_K):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[m] = cents
+    b_books = spark.sparkContext.broadcast(books)
+
+    qvec = np.array(
+        emb.where(F.col("vec_id") == QUERY_VEC_ID).toPandas()["vec"].tolist(),
+        dtype="float64",
+    )[0]
+    qvec = qvec / np.linalg.norm(qvec)
+    # ADC lookup table: adc[m][k] = q_m . c_mk  (db vectors are
+    # L2-normalized before encoding, so sum_m adc[m][code_m] ~ cosine)
+    adc = np.array(
+        [books[m] @ qvec[m * dsub : (m + 1) * dsub] for m in range(PQ_M)]
+    )
+    b_adc = spark.sparkContext.broadcast(adc)
+
+    def adc_scores(batches):
+        # encode + score in one pass: codes never materialize outside the
+        # executor (at scale the codes table would be written once offline
+        # and only this scoring scan runs per query)
+        bb, tt = b_books.value, b_adc.value
+        for pdf in batches:
+            mat = np.array(pdf["vec"].tolist(), dtype="float64")
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            score = np.zeros(len(mat))
+            for m in range(PQ_M):
+                sub = mat[:, m * dsub : (m + 1) * dsub]
+                d2 = ((sub[:, None, :] - bb[m][None, :, :]) ** 2).sum(axis=2)
+                score += tt[m][d2.argmin(axis=1)]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "adc": score})
+
+    shortlist = (
+        emb.mapInPandas(adc_scores, schema="vec_id bigint, adc double")
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.col("adc").desc(), F.col("vec_id"))
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        emb.join(shortlist, "vec_id", "left_semi")
+        .select(
+            "vec_id",
+            F.round(cosine_pudf(F.col("vec"), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )
+
+
+def pq_recall_check(t: Tables) -> DataFrame:
+    """DuckDB-checkable claim about :func:`pq_topk` (itself rows-only —
+    k-means codebooks aren't SQL-reproducible): one row stating the exact
+    top-k size, that PQ recall vs the brute-force top-k is ≥
+    PQ_RECALL_PCT%, and that every PQ score for an overlapping id equals
+    the brute-force score exactly (re-rank computes real cosines). The
+    oracle expects both flags TRUE.
+    """
+    exact = cosine_topk(t).select("vec_id", "cos_sim")
+    pq = pq_topk(t).select("vec_id", F.col("cos_sim").alias("pq_sim"))
+    j = exact.join(pq, "vec_id", "full_outer")
+    return j.agg(
+        F.count("cos_sim").alias("n_exact"),
+        F.count(F.when(F.col("cos_sim").isNotNull(), F.col("pq_sim"))).alias(
+            "n_overlap"
+        ),
+        F.coalesce(
+            F.sum((F.col("pq_sim") != F.col("cos_sim")).cast("long")), F.lit(0)
+        ).alias("n_score_mismatch"),
+    ).select(
+        "n_exact",
+        (
+            F.lit(100) * F.col("n_overlap")
+            >= F.lit(PQ_RECALL_PCT) * F.col("n_exact")
+        ).alias("recall_ok"),
+        (F.col("n_score_mismatch") == 0).alias("precision_ok"),
+    )
+
+
 _COS_DUCK = (
     "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
     "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
@@ -734,6 +867,18 @@ ORACLES: dict[str, str] = {
     # the *_check companions below turn their quality contracts into hard
     # driver checks (count + TRUE-flag hash comparison).
     "ivf_recall_check": f"""
+        SELECT count(*) AS n_exact, TRUE AS recall_ok, TRUE AS precision_ok
+        FROM (
+          SELECT a.vec_id
+          FROM embeddings a,
+               (SELECT embedding FROM embeddings
+                WHERE vec_id = {QUERY_VEC_ID}) q
+          WHERE a.vec_id != {QUERY_VEC_ID}
+          ORDER BY {_COS_DUCK.replace('b.embedding', 'q.embedding')} DESC, a.vec_id
+          LIMIT {TOPK}
+        )
+    """,
+    "pq_recall_check": f"""
         SELECT count(*) AS n_exact, TRUE AS recall_ok, TRUE AS precision_ok
         FROM (
           SELECT a.vec_id
@@ -803,6 +948,9 @@ QUERIES = {
     "lsh_subset_check": lsh_subset_check,
     "ivf_topk": ivf_topk,
     "ivf_recall_check": ivf_recall_check,
+    # PQ: rows-only ANN + hard driver contract
+    "pq_topk": pq_topk,
+    "pq_recall_check": pq_recall_check,
     "label_centroid_sim": label_centroid_sim,
     "knn_join_topk": knn_join_topk,
     # SemDeDup: rows-only pairs + hard driver contract

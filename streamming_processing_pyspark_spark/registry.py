@@ -30,6 +30,7 @@ from .operators import (
     relational2,
     timeseries,
     relational3,
+    sampling,
     similarity,
     text,
     udtf,
@@ -372,6 +373,7 @@ _TABLE_MODULES = (
     similarity,
     multimodal,
     pipeline,
+    sampling,
 )
 
 

@@ -143,6 +143,21 @@ def test_ivf_topk_recall(spark):
             assert r["cos_sim"] == brute[r["vec_id"]]
 
 
+def test_pq_topk_recall(spark):
+    """PQ ADC shortlist + exact re-rank: recall vs brute force stays high
+    and every returned cosine is a true cosine (re-rank precision)."""
+    t = load_tables(spark, SF_DIR)
+    exact = {
+        r["vec_id"]: r["cos_sim"] for r in similarity.cosine_topk(t).collect()
+    }
+    pq = similarity.pq_topk(t).collect()
+    approx = [r["vec_id"] for r in pq]
+    assert len(set(exact) & set(approx)) / len(exact) >= 0.6
+    for r in pq:
+        if r["vec_id"] in exact:
+            assert r["cos_sim"] == exact[r["vec_id"]]
+
+
 def test_approx_aggregates_tolerance(spark):
     """Sketch-based approximations land within documented error bounds of
     the exact answers (can't hash-match an HLL across engines — tolerance

@@ -379,3 +379,26 @@ def test_bm25_single_scan_topk(spark):
     assert "TakeOrderedAndProject" in s, s
     assert_no_python_eval(df)
     assert_broadcast_join(df, min_count=1)
+
+
+def test_weighted_sample_partial_group_limit(spark):
+    """A-ES weighted sampling: the per-lang top-N must pre-prune each
+    input partition to N rows (WindowGroupLimit) before the one shuffle,
+    and hash/key arithmetic stays JVM-side."""
+    from streamming_processing_pyspark_spark.operators import sampling
+
+    df = sampling.weighted_sample_per_lang(load_tables(spark, SF_DIR))
+    s = plan_string(df)
+    assert "WindowGroupLimit" in s, s
+    assert_no_python_eval(df)
+
+
+def test_gopher_flags_map_only(spark):
+    """Gopher rule flags evaluate inside the scan projection: zero
+    shuffles, zero Python eval."""
+    from streamming_processing_pyspark_spark.operators import sampling
+
+    df = sampling.gopher_quality_flags(load_tables(spark, SF_DIR))
+    s = plan_string(df)
+    assert "Exchange" not in s, s
+    assert_no_python_eval(df)
