@@ -248,6 +248,63 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream interval join: every view
+    joined to the same user's purchases within the following 10 minutes,
+    and views with NO qualifying purchase emitted once with nulls as soon
+    as the watermark proves no future match can arrive — the
+    abandoned-cart / unconverted-impression pattern, and the shape whose
+    state Spark provably evicts (the inner form never emits non-matches,
+    so unmatched state eviction is invisible there).
+
+    Emission rule for the null rows (empirically pinned in
+    tests/test_streaming.py::test_outer_interval_join_null_emission): an
+    unmatched view emits iff ``view_ts + 10 min < global watermark``
+    (STRICT; global watermark = min over both streams of max event time −
+    1 h). Rows the watermark still holds open at end-of-input are
+    (correctly) absent, and the oracle applies the identical cutoff.
+    """
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_to_memory
+
+    views = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+    )
+    q, table = run_to_memory(joined, "append")
+    q.stop()
+    return spark.table(table)
+
+
 def streaming_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming deduplication, demonstrated on a stream that
     REALLY contains duplicates: the events stream unioned with itself
@@ -314,6 +371,7 @@ _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_sliding_counts": streaming_sliding_counts,
     "streaming_trending_stateful": streaming_trending_stateful,
     "streaming_interval_join": streaming_interval_join,
+    "streaming_interval_join_outer": streaming_interval_join_outer,
 }
 
 _STREAMING_ORACLES: dict[str, str] = {
@@ -352,6 +410,33 @@ _STREAMING_ORACLES: dict[str, str] = {
          AND p.ts >= v.ts
          AND p.ts <= v.ts + INTERVAL 10 MINUTE
         WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    # null-row cutoff is STRICT <: an unmatched view emits iff
+    # view_ts + 10 min < min(max view ts, max purchase ts) - 1 h
+    # (pinned in tests/test_streaming.py::test_outer_interval_join_null_emission)
+    "streaming_interval_join_outer": """
+        WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+              FROM events WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+                            (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+                      - INTERVAL '1 hour' AS w)
+        SELECT v.view_id, p.purchase_id, v.user_id, v.view_ts, p.purchase_ts
+        FROM v JOIN p
+          ON v.user_id = p.user_id
+         AND p.purchase_ts >= v.view_ts
+         AND p.purchase_ts <= v.view_ts + INTERVAL 10 MINUTE
+        UNION ALL
+        SELECT v.view_id, CAST(NULL AS BIGINT) AS purchase_id, v.user_id,
+               v.view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+        FROM v, wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = v.user_id
+              AND p.purchase_ts >= v.view_ts
+              AND p.purchase_ts <= v.view_ts + INTERVAL 10 MINUTE)
+          AND v.view_ts + INTERVAL 10 MINUTE < wm.w
     """,
 }
 

@@ -970,3 +970,65 @@ def test_rocksdb_state_store_parity(spark):
     finally:
         spark.conf.set(key, prev)
     assert rocks == default and len(rocks) > 0
+
+
+def test_outer_interval_join_null_emission(spark, tmp_path):
+    """Pins the left-outer stream-stream join emission rule the
+    registry.streaming_interval_join_outer oracle encodes: an unmatched
+    view emits a null row iff view_ts + 10 min < global watermark
+    (STRICT) where the global watermark is min(max view ts, max purchase
+    ts) - 1 h. Three probes: clearly closed (emits), exactly at the
+    boundary (held), clearly open (held)."""
+    import pandas as pd
+
+    from streamming_processing_pyspark_spark.sources.streams import stream_events
+
+    T = pd.Timestamp("2026-01-01 12:00:00")
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, T, 101, "view", 1.0, "{}"),  # open: at max ts
+        (2, T - pd.Timedelta("70min"), 102, "view", 1.0, "{}"),  # +10min == wm
+        (3, T - pd.Timedelta("2h"), 103, "view", 1.0, "{}"),  # closed
+        (4, T, 999, "purchase", 1.0, "{}"),  # sets purchase-side max
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # a literal events.parquet FILE (the source's pathGlobFilter matches
+    # the testdata layout, not a directory-shaped parquet table)
+    d = str(tmp_path / "ev")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf), os.path.join(d, "events.parquet"))
+
+    def side(et, idc, tsc):
+        return (
+            stream_events(spark, d)
+            .where(F.col("event_type") == et)
+            .select(
+                F.col("event_id").alias(idc),
+                F.col("user_id").alias(idc[0] + "_user"),
+                F.col("ts").alias(tsc),
+            )
+            .withWatermark(tsc, "1 hour")
+        )
+
+    v = side("view", "view_id", "view_ts")
+    p = side("purchase", "purchase_id", "purchase_ts")
+    j = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("view_id", "purchase_id")
+    q, table = run_to_memory(j, "append")
+    try:
+        got = {r["view_id"] for r in spark.table(table).collect()}
+    finally:
+        q.stop()
+    # only the clearly-closed view emitted; the boundary row (+10min == wm)
+    # and the open row are still held by the watermark
+    assert got == {3}
