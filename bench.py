@@ -13,6 +13,7 @@ figure for our full classify+window+count pipeline over `events`.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -176,8 +177,11 @@ def main() -> None:
             # shared frames (minhash, dedup_clusters) are done with them
             # once the query is materialized — drop the blocks so later
             # queries aren't measured under another query's storage/GC
-            # pressure.
+            # pressure. clearCache only unpersists cached frames;
+            # localCheckpoint RDDs are freed by the ContextCleaner when
+            # their Python references die, so collect those too.
             spark.catalog.clearCache()
+            gc.collect()
         timings[name] = round(min(runs), 3)
         medians[name] = round(statistics.median(runs), 3)
 

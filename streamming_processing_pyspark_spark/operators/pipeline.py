@@ -353,6 +353,22 @@ def dedup_clusters(t: Tables) -> DataFrame:
     # checkpoint: a union of the raw pair plan with its swap would run the
     # whole shingle→posting→pair pipeline twice in one action
     pairs = ngram_jaccard_pairs(t).select("id_a", "id_b").localCheckpoint()
+    # size the loop's shuffles to the GRAPH, not the corpus: near-dup pairs
+    # are a tiny fraction of the input, so running every CC round at the
+    # corpus-sized shuffle width pays pure scheduling overhead per round.
+    # count() is free here (the checkpoint just materialized), and the
+    # width grows back to the configured shuffle partitions once the pair
+    # graph is big enough to need them.
+    n_pairs = pairs.count()
+    spark = pairs.sparkSession
+    width = max(
+        2,
+        min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            n_pairs // 50_000 + 2,
+        ),
+    )
+    pairs = pairs.repartition(width).localCheckpoint()
     edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF(
         "src", "dst"
     )

@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 
 from streamming_processing_pyspark_spark.session import get_spark
 from streamming_processing_pyspark_spark.tables import load_tables
-from streamming_processing_pyspark_spark.operators import curation, dedup, pipeline, similarity
+from streamming_processing_pyspark_spark.operators import (
+    curation,
+    dedup,
+    pipeline,
+    sampling,
+    similarity,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 KS = [int(k) for k in os.environ.get("SPARK_GRAFT_PROBE_KS", "1,2,4").split(",")]
@@ -43,6 +49,8 @@ OPS = {
     "dedup_clusters": pipeline.dedup_clusters,
     "perplexity_buckets": curation.perplexity_buckets,
     "quality_classifier_scores": curation.quality_classifier_scores,
+    "weighted_sample_per_lang": sampling.weighted_sample_per_lang,
+    "gopher_quality_flags": sampling.gopher_quality_flags,
 }
 
 #: embedding-table operators probed against a scaled embeddings table.
@@ -54,6 +62,7 @@ EMB_OPS = {
     "lsh_bucketed_pairs": similarity.lsh_bucketed_pairs,
     "semantic_dedup_pairs": similarity.semantic_dedup_pairs,
     "knn_join_topk": similarity.knn_join_topk,
+    "pq_topk": similarity.pq_topk,
 }
 
 
