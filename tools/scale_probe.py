@@ -143,6 +143,17 @@ def main() -> None:
         name: {} for name in (*OPS, *EMB_OPS)
     }
     rows: dict[int, int] = {}
+    # untimed warm-up pass: whole-stage-codegen compilation and JIT are
+    # session-global and land on whichever op runs first — without this,
+    # the k=KS[0] column absorbs all of it and growth ratios read as
+    # spuriously sub-linear.
+    warm_t = dict(base)
+    warm_t["documents"] = scaled_documents(base["documents"], KS[0])
+    warm_t["embeddings"] = scaled_embeddings(base["embeddings"], KS[0])
+    for name, fn in {**OPS, **EMB_OPS}.items():
+        spark.catalog.clearCache()
+        fn(warm_t).write.mode("overwrite").format("noop").save()
+    print("warm-up pass done", flush=True)
     for k in KS:
         docs = scaled_documents(base["documents"], k)
         emb_k = scaled_embeddings(base["embeddings"], k)
