@@ -26,7 +26,7 @@ keeps the reduction map-side-combinable so the shuffle payload is the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: decimal type wide enough that all moment sums below stay exact
@@ -162,15 +162,71 @@ def salted_customer_join(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def user_scd2_intervals(tables: dict[str, DataFrame]) -> DataFrame:
+    """Type-2 slowly-changing dimension build from the event log: each
+    user's event_type treated as a changing attribute, collapsed into
+    validity intervals [valid_from, valid_to) with an is_current flag —
+    the standard warehouse dimension-history pattern (gaps-and-islands).
+
+    Two stacked window functions over ONE (user_id, ts, event_id) sort:
+    a lag marks rows where the state actually changed (consecutive
+    duplicates collapse), then a lead over the change rows supplies each
+    interval's end. event_id breaks timestamp ties so both engines build
+    identical intervals. One shuffle; per-user history is bounded by that
+    user's event count, not the table.
+    """
+    ev = tables["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
 QUERIES = {
     "bitmap_distinct_users": bitmap_distinct_users,
     "user_event_paths": user_event_paths,
     "corr_qty_price_by_flag": corr_qty_price_by_flag,
     "value_histogram": value_histogram,
     "salted_customer_join": salted_customer_join,
+    "user_scd2_intervals": user_scd2_intervals,
 }
 
 ORACLES: dict[str, str] = {
+    "user_scd2_intervals": """
+        WITH marked AS (
+          SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER w AS prev_type
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+          SELECT user_id, event_type, ts, event_id FROM marked
+          WHERE prev_type IS NULL OR event_type != prev_type
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER w2 AS valid_to,
+               lead(ts) OVER w2 IS NULL AS is_current
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     "bitmap_distinct_users": """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type

@@ -178,10 +178,67 @@ def _profile_row(col: str, nn: str, nd: str, mn: str, mx: str) -> str:
           FROM one"""
 
 
+def value_drift_ks(tables: dict[str, DataFrame]) -> DataFrame:
+    """Distribution-drift monitor: two-sample Kolmogorov–Smirnov statistic
+    between the event ``value`` distributions of the first and second
+    halves of the time range — the pipeline-health check that catches a
+    silently changed upstream (new client version, schema default flip,
+    unit change) before it poisons training data.
+
+    All-integer formulation so the statistic itself is oracle-hashed:
+    values bucket to cents (``floor(value·100)``), the two halves reduce
+    to ONE conditional-sum histogram (single map-combinable shuffle of
+    |distinct cents| rows), CDFs are cumulative sums over that histogram,
+    and the sup-distance is cross-multiplied —
+    ``max |cum1·n2 − cum2·n1|`` — then reported in basis points as
+    ``ks_num·10000 div (n1·n2)``. No floats anywhere after bucketing, so
+    both engines agree exactly. The only input-sized stage is the
+    histogram aggregation: the same exact-quantile-shaped plan as
+    perplexity_buckets, fine at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    ev = tables["events"]
+    # integer microseconds on both engines (unix_micros ↔ epoch_us), so
+    # the midpoint split is identical row-for-row
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    half = ev.join(F.broadcast(bounds)).select(
+        F.floor(F.col("value") * 100).cast("long").alias("v_c"),
+        (F.unix_micros("ts") * 2 < F.col("t0") + F.col("t1")).alias("first_half"),
+    )
+    hist = half.groupBy("v_c").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("c2"),
+    )
+    w = Window.orderBy("v_c").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    return cum.agg(
+        F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))).alias(
+            "ks_num"
+        ),
+        F.max("n1").alias("n_first"),
+        F.max("n2").alias("n_second"),
+    ).select(
+        "n_first",
+        "n_second",
+        F.expr("ks_num * 10000 DIV (n_first * n_second)").alias("ks_bp"),
+    )
+
+
 QUERIES = {
     "events_column_profile": events_column_profile,
     "top_event_by_value_per_user": top_event_by_value_per_user,
     "data_quality_checks": data_quality_checks,
+    "value_drift_ks": value_drift_ks,
 }
 
 _DQ_EXPRS = {
@@ -194,6 +251,37 @@ _DQ_EXPRS = {
 }
 
 ORACLES: dict[str, str] = {
+    "value_drift_ks": """
+        WITH b AS (
+          SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS t0,
+                 CAST(epoch_us(max(ts)) AS BIGINT) AS t1
+          FROM events
+        ),
+        half AS (
+          SELECT CAST(floor(value * 100) AS BIGINT) AS v_c,
+                 CAST(epoch_us(ts) AS BIGINT) * 2 < b.t0 + b.t1 AS first_half
+          FROM events, b
+        ),
+        hist AS (
+          SELECT v_c,
+                 sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS c1,
+                 sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS c2
+          FROM half GROUP BY v_c
+        ),
+        cum AS (
+          SELECT CAST(sum(c1) OVER (ORDER BY v_c ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum1,
+                 CAST(sum(c2) OVER (ORDER BY v_c ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum2,
+                 CAST(sum(c1) OVER () AS BIGINT) AS n1,
+                 CAST(sum(c2) OVER () AS BIGINT) AS n2
+          FROM hist
+        )
+        SELECT max(n1) AS n_first, max(n2) AS n_second,
+               CAST(max(abs(cum1 * n2 - cum2 * n1)) * 10000
+                    // (max(n1) * max(n2)) AS BIGINT) AS ks_bp
+        FROM cum
+    """,
     "data_quality_checks": """
         WITH one AS (
           SELECT count(*) AS n,

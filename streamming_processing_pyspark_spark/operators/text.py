@@ -357,6 +357,51 @@ def hybrid_search_rrf(t: Tables) -> DataFrame:
     return fused.orderBy(F.desc("rrf_e6"), "doc_id").limit(HYBRID_TOPK)
 
 
+#: vocabulary sizes the coverage curve reports
+VOCAB_SIZES = (8, 16, 32, 64)
+
+
+def vocab_coverage(t: Tables) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve: for each candidate vocab size
+    V, the fraction (basis points) of all corpus token OCCURRENCES covered
+    by the V most frequent terms — the measurement that sizes a
+    tokenizer's vocabulary / OOV budget before training one.
+
+    Scale shape: the only input-sized stage is the term-count aggregation
+    (map-side combinable, one shuffle); ranking and the cumulative sum run
+    over the VOCAB-sized histogram (the same corpus≫vocab justification as
+    tfidf_top_terms), and the V-grid is a broadcast range join over that
+    tiny cumulative frame. Integer arithmetic end-to-end (basis points =
+    cum·10000 div total), so the oracle hash-matches.
+    """
+    terms = (
+        t["documents"]
+        .select(F.explode(raw_tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), "term")
+    w_all = Window.partitionBy()
+    ranked = terms.select(
+        F.row_number().over(w).alias("rk"),
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    sizes = ranked.sparkSession.createDataFrame(
+        [(v,) for v in VOCAB_SIZES], "vocab_size int"
+    )
+    per_v = ranked.join(
+        F.broadcast(sizes), F.col("rk") <= F.col("vocab_size")
+    ).groupBy("vocab_size").agg(
+        F.max(F.expr("cum * 10000 DIV total")).alias("covered_bp"),
+        F.max(F.when(F.col("rk") == F.col("vocab_size"), F.col("cnt"))).alias(
+            "marginal_term_cnt"
+        ),
+    )
+    return per_v.select("vocab_size", "covered_bp", "marginal_term_cnt")
+
+
 ORACLES: dict[str, str] = {
     "bm25_search": """
         WITH f AS (
@@ -469,6 +514,27 @@ ORACLES: dict[str, str] = {
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         GROUP BY word
     """,
+    "vocab_coverage": """
+        WITH terms AS (
+          SELECT term, count(*) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          GROUP BY term
+        ),
+        ranked AS (
+          SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rk, cnt,
+                 sum(cnt) OVER (ORDER BY cnt DESC, term
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cnt) OVER () AS total
+          FROM terms
+        ),
+        sizes AS (SELECT unnest([8, 16, 32, 64]) AS vocab_size)
+        SELECT CAST(s.vocab_size AS INTEGER) AS vocab_size,
+               CAST(max(r.cum * 10000 // r.total) AS BIGINT) AS covered_bp,
+               max(CASE WHEN r.rk = s.vocab_size THEN r.cnt END)
+                 AS marginal_term_cnt
+        FROM ranked r JOIN sizes s ON r.rk <= s.vocab_size
+        GROUP BY s.vocab_size
+    """,
     "token_stats": f"""
         SELECT doc_id,
                {_NTOK_DUCK} AS n_tokens,
@@ -537,4 +603,5 @@ QUERIES = {
     "array_functions_showcase": array_functions_showcase,
     "bm25_search": bm25_search,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "vocab_coverage": vocab_coverage,
 }

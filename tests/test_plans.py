@@ -402,3 +402,26 @@ def test_gopher_flags_map_only(spark):
     s = plan_string(df)
     assert "Exchange" not in s, s
     assert_no_python_eval(df)
+
+
+def test_scd2_single_sort_shuffle(spark):
+    """SCD2 gaps-and-islands: both window functions share ONE
+    (user_id, ts, event_id) sort — exactly one Exchange in the plan."""
+    from streamming_processing_pyspark_spark.operators import analytics2
+
+    df = analytics2.user_scd2_intervals(load_tables(spark, SF_DIR))
+    s = plan_string(df, "simple")
+    assert s.count("Exchange") == 1, s
+    assert s.count("Sort") == 1, s
+    assert_no_python_eval(df)
+
+
+def test_value_drift_ks_histogram_shaped(spark):
+    """KS drift: the only input-sized stage is the map-combinable
+    histogram aggregation; bounds broadcast; no Python."""
+    from streamming_processing_pyspark_spark.operators import profiling
+
+    df = profiling.value_drift_ks(load_tables(spark, SF_DIR))
+    assert_partial_aggregation(df)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_python_eval(df)
