@@ -82,6 +82,12 @@ HEADLINE = [
     "quality_mass_filter",
     "bm25_search",
     "hybrid_search_rrf",
+    "weighted_sample_per_lang",
+    "gopher_quality_flags",
+    "pq_topk",
+    "vocab_coverage",
+    "value_drift_ks",
+    "user_scd2_intervals",
 ]
 
 

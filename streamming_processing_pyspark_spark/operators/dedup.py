@@ -619,6 +619,38 @@ ORACLES: dict[str, str] = {
         FROM p JOIN n na ON p.id_a = na.doc_id JOIN n nb ON p.id_b = nb.doc_id
         WHERE round(common * 1.0 / (na.n + nb.n - common), 4) >= {JACCARD_THRESHOLD}
     """,
+    "dedup_graph_stats": f"""
+        WITH {_SHINGLE_DUCK},
+        pr AS (
+          SELECT id_a, id_b
+          FROM p JOIN n na ON p.id_a = na.doc_id
+                 JOIN n nb ON p.id_b = nb.doc_id
+          WHERE round(common * 1.0 / (na.n + nb.n - common), 4)
+                >= {JACCARD_THRESHOLD}
+        ),
+        deg AS (
+          SELECT node, count(*) AS d
+          FROM (SELECT id_a AS node FROM pr
+                UNION ALL SELECT id_b FROM pr)
+          GROUP BY node
+        ),
+        wd AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+          FROM deg
+        ),
+        tr AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM pr p1 JOIN pr p2 ON p1.id_b = p2.id_a
+               JOIN pr p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+        ),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pr)
+        SELECT np.n_pairs, wd.n_nodes, tr.n_triangles, wd.n_wedges,
+               CASE WHEN wd.n_wedges > 0
+                    THEN CAST(3 * tr.n_triangles * 10000 // wd.n_wedges
+                              AS BIGINT) END AS transitivity_bp
+        FROM np, wd, tr
+    """,
     # minhash_lsh_pairs / minhash_signatures / simhash_fingerprints:
     # xxhash64-based — rows-only driver check; minhash_recall_check below
     # turns the subset + recall contract into a hard driver check.
@@ -666,8 +698,62 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def dedup_graph_stats(t: Tables) -> DataFrame:
+    """Structure report over the near-dup pair graph: pair / node /
+    triangle / wedge counts and the global transitivity (clustering)
+    coefficient in basis points — the health check that tells you whether
+    near-duplicate similarity is behaving transitively (clean duplicate
+    clusters → transitivity near 10000) or the threshold is admitting
+    chainy false positives (low transitivity → clusters built from these
+    pairs will over-merge).
+
+    Scale shape: everything downstream of pair discovery runs on the PAIR
+    graph, which is ≪ corpus (same argument as :func:`~streamming_processing_pyspark_spark.operators.pipeline.dedup_clusters`).
+    Triangles are one two-hop equi-join closed by a second equi-join on
+    the (a, c) pair set — with pairs stored a<b, every triangle a<b<c is
+    counted exactly once. Wedges come from the degree table (Σ d·(d−1)/2,
+    integer). Transitivity = 3·triangles·10⁴ div wedges — all-integer, so
+    the DuckDB oracle hash-matches.
+    """
+    pairs = ngram_jaccard_pairs(t).select("id_a", "id_b").localCheckpoint()
+    n_pairs = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+    deg = (
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wedge = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    p1 = pairs.toDF("a", "b")
+    p2 = pairs.toDF("b", "c")
+    p3 = pairs.toDF("a", "c")
+    tri = (
+        p1.join(p2, "b")
+        .join(p3, ["a", "c"])
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        n_pairs.crossJoin(wedge)
+        .crossJoin(tri)
+        .select(
+            "n_pairs",
+            "n_nodes",
+            "n_triangles",
+            "n_wedges",
+            F.expr(
+                "CASE WHEN n_wedges > 0"
+                " THEN 3 * n_triangles * 10000 DIV n_wedges END"
+            ).alias("transitivity_bp"),
+        )
+    )
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "dedup_graph_stats": dedup_graph_stats,
     "dedup_keep_first": dedup_keep_first,
     "name_near_dup_pairs": name_near_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
