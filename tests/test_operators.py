@@ -474,3 +474,66 @@ def test_mllib_minhash_lsh_agreement(spark):
             len(mllib_pairs),
             len(exact_pairs),
         )
+
+
+def test_weighted_sample_invariants(spark):
+    """A-ES weighted sample: per-language caps, no duplicates, and the
+    sample is deterministic call-to-call."""
+    from streamming_processing_pyspark_spark.operators import sampling
+
+    t = load_tables(spark, SF_DIR)
+    out = sampling.weighted_sample_per_lang(t).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    langs = {}
+    for r in out:
+        langs[r["lang"]] = langs.get(r["lang"], 0) + 1
+    pop = {
+        r["lang"]: r["n"]
+        for r in t["documents"].groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in langs.items():
+        assert n == min(sampling.SAMPLE_PER_LANG, pop[lang])
+    again = {r["doc_id"] for r in sampling.weighted_sample_per_lang(t).collect()}
+    assert set(ids) == again
+
+
+def test_value_drift_ks_bounds_and_self_zero(spark):
+    """KS statistic lies in [0, 10000] bp; comparing a distribution to
+    itself (value column duplicated into both halves via a symmetric
+    time split of identical rows) yields 0."""
+    from streamming_processing_pyspark_spark.operators import profiling
+
+    t = load_tables(spark, SF_DIR)
+    row = profiling.value_drift_ks(t).collect()[0]
+    assert 0 <= row["ks_bp"] <= 10000
+    assert row["n_first"] + row["n_second"] == t["events"].count()
+    # self-comparison: duplicate every row into both halves → identical
+    # CDFs → KS = 0
+    ev = t["events"]
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    hi = ev.agg(F.max("ts")).collect()[0][0]
+    first = ev.withColumn("ts", F.lit(lo).cast("timestamp"))
+    second = ev.withColumn("ts", F.lit(hi).cast("timestamp"))
+    both = {"events": first.unionAll(second)}
+    row2 = profiling.value_drift_ks(both).collect()[0]
+    assert row2["ks_bp"] == 0
+
+
+def test_scd2_intervals_partition_users(spark):
+    """SCD2 output: intervals chain per user (valid_to of one row equals
+    valid_from of the next), exactly one current row per user."""
+    from streamming_processing_pyspark_spark.operators import analytics2
+
+    t = load_tables(spark, SF_DIR)
+    rows = analytics2.user_scd2_intervals(t).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"]
