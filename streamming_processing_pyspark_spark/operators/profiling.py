@@ -205,9 +205,18 @@ def value_drift_ks(tables: dict[str, DataFrame]) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("t0"),
         F.max(F.unix_micros("ts")).alias("t1"),
     )
-    half = ev.join(F.broadcast(bounds)).select(
-        F.floor(F.col("value") * 100).cast("long").alias("v_c"),
-        (F.unix_micros("ts") * 2 < F.col("t0") + F.col("t1")).alias("first_half"),
+    # drop NULL values explicitly: the two engines disagree on NULL
+    # placement in ORDER BY (Spark NULLS FIRST, DuckDB NULLS LAST), so a
+    # NULL bucket would silently shift both CDFs
+    half = (
+        ev.where(F.col("value").isNotNull())
+        .join(F.broadcast(bounds))
+        .select(
+            F.floor(F.col("value") * 100).cast("long").alias("v_c"),
+            (F.unix_micros("ts") * 2 < F.col("t0") + F.col("t1")).alias(
+                "first_half"
+            ),
+        )
     )
     hist = half.groupBy("v_c").agg(
         F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("c1"),
@@ -261,6 +270,7 @@ ORACLES: dict[str, str] = {
           SELECT CAST(floor(value * 100) AS BIGINT) AS v_c,
                  CAST(epoch_us(ts) AS BIGINT) * 2 < b.t0 + b.t1 AS first_half
           FROM events, b
+          WHERE value IS NOT NULL
         ),
         hist AS (
           SELECT v_c,

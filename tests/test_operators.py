@@ -507,7 +507,10 @@ def test_value_drift_ks_bounds_and_self_zero(spark):
     t = load_tables(spark, SF_DIR)
     row = profiling.value_drift_ks(t).collect()[0]
     assert 0 <= row["ks_bp"] <= 10000
-    assert row["n_first"] + row["n_second"] == t["events"].count()
+    assert (
+        row["n_first"] + row["n_second"]
+        == t["events"].where(F.col("value").isNotNull()).count()
+    )
     # self-comparison: duplicate every row into both halves → identical
     # CDFs → KS = 0
     ev = t["events"]
