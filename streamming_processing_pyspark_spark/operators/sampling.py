@@ -124,10 +124,98 @@ def gopher_quality_flags(t: Tables) -> DataFrame:
     )
 
 
+def filter_agreement_kappa(t: Tables) -> DataFrame:
+    """Cohen's kappa between the two independent quality filters (the
+    hashed-feature classifier's ``keep`` vs the Gopher rule gate's
+    ``keep``) — the standard check that a learned filter and a rule
+    filter are measuring the same thing before you stack them in a
+    pipeline (kappa ≈ 0 → they disagree beyond chance, stacking them
+    multiplies attrition arbitrarily).
+
+    All-integer formulation: with confusion counts n00/n01/n10/n11 and
+    n total, kappa = (po − pe)/(1 − pe) becomes
+    ``10000·(n·(n00+n11) − E) div (n² − E)`` where
+    ``E = (n00+n01)·(n00+n10) + (n10+n11)·(n01+n11)`` — so the statistic
+    itself hash-matches the oracle. One broadcast-joinable doc-keyed join
+    of two map-only filters, then a single global aggregate.
+    """
+    from .curation import quality_classifier_scores
+
+    clf = quality_classifier_scores(t).select(
+        "doc_id", F.col("keep").alias("k_clf")
+    )
+    rules = gopher_quality_flags(t).select("doc_id", F.col("keep").alias("k_rule"))
+    j = clf.join(rules, "doc_id")
+    counts = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((~F.col("k_clf") & ~F.col("k_rule")).cast("long")).alias("n00"),
+        F.sum((~F.col("k_clf") & F.col("k_rule")).cast("long")).alias("n01"),
+        F.sum((F.col("k_clf") & ~F.col("k_rule")).cast("long")).alias("n10"),
+        F.sum((F.col("k_clf") & F.col("k_rule")).cast("long")).alias("n11"),
+    )
+    return counts.select(
+        "n",
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.expr(
+            "CASE WHEN n * n > (n00 + n01) * (n00 + n10)"
+            " + (n10 + n11) * (n01 + n11)"
+            " THEN 10000 * (n * (n00 + n11)"
+            "   - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))"
+            " DIV (n * n"
+            "   - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))"
+            " END"
+        ).alias("kappa_bp"),
+    )
+
+
 QUERIES = {
     "weighted_sample_per_lang": weighted_sample_per_lang,
     "gopher_quality_flags": gopher_quality_flags,
+    "filter_agreement_kappa": filter_agreement_kappa,
 }
+
+def _kappa_oracle() -> str:
+    # compose from the two filters' own oracle SQL so the agreement
+    # statistic is checked against exactly the registered semantics
+    from .curation import ORACLES as CURATION_ORACLES
+
+    clf_sql = CURATION_ORACLES["quality_classifier_scores"]
+    gopher_sql = ORACLES["gopher_quality_flags"]
+    return f"""
+        WITH clf AS ({clf_sql}),
+        rules AS ({gopher_sql}),
+        j AS (
+          SELECT clf.keep AS k_clf, rules.keep AS k_rule
+          FROM clf JOIN rules USING (doc_id)
+        ),
+        c AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN NOT k_clf AND NOT k_rule THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n00,
+                 CAST(sum(CASE WHEN NOT k_clf AND k_rule THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n01,
+                 CAST(sum(CASE WHEN k_clf AND NOT k_rule THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n10,
+                 CAST(sum(CASE WHEN k_clf AND k_rule THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n11
+          FROM j
+        )
+        SELECT n, n00, n01, n10, n11,
+               CASE WHEN n * n > (n00 + n01) * (n00 + n10)
+                                 + (n10 + n11) * (n01 + n11)
+                    THEN CAST(10000 * (n * (n00 + n11)
+                          - ((n00 + n01) * (n00 + n10)
+                             + (n10 + n11) * (n01 + n11)))
+                         // (n * n
+                          - ((n00 + n01) * (n00 + n10)
+                             + (n10 + n11) * (n01 + n11))) AS BIGINT)
+               END AS kappa_bp
+        FROM c
+    """
+
 
 ORACLES: dict[str, str] = {
     "weighted_sample_per_lang": f"""
@@ -183,3 +271,5 @@ ORACLES: dict[str, str] = {
         FROM d
     """,
 }
+
+ORACLES["filter_agreement_kappa"] = _kappa_oracle()
