@@ -159,11 +159,19 @@ def filter_agreement_kappa(t: Tables) -> DataFrame:
         "n01",
         "n10",
         "n11",
+        # FLOOR division, not Spark's truncating DIV: kappa can be
+        # negative (systematic disagreement), and DuckDB's // floors —
+        # (num - pmod(num, den)) is exactly divisible, so DIV on it IS
+        # the floor for den > 0
         F.expr(
             "CASE WHEN n * n > (n00 + n01) * (n00 + n10)"
             " + (n10 + n11) * (n01 + n11)"
-            " THEN 10000 * (n * (n00 + n11)"
+            " THEN (10000 * (n * (n00 + n11)"
             "   - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))"
+            "  - pmod(10000 * (n * (n00 + n11)"
+            "   - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))),"
+            "   n * n"
+            "   - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))))"
             " DIV (n * n"
             "   - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))"
             " END"
