@@ -30,6 +30,7 @@ from .dedup import (
     INCR_BATCH_MOD,
     JACCARD_THRESHOLD,
     _SHINGLE_DUCK,
+    minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
 
@@ -332,28 +333,21 @@ def regex_scrub(t: Tables) -> DataFrame:
     )
 
 
-def dedup_clusters(t: Tables) -> DataFrame:
-    """Connected components over near-duplicate pairs → cluster labels.
+def _connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label connected components over a checkpointed (id_a, id_b)
+    pair frame → (doc_id, component) labels.
 
-    Turns :func:`dedup.ngram_jaccard_pairs` (a pair list) into the thing a
-    pipeline actually consumes: one canonical component id (= min doc_id
-    reachable) per clustered document. Iterative min-label propagation on
-    DataFrames — each round is one neighbor-min join + one pointer-doubling
-    self-join (label ← label[label]). Plain neighbor-min alone needs
-    O(component diameter) rounds; the doubling step halves the distance to
-    the component minimum every round, so chain-shaped clusters converge in
-    O(log diameter) — the same round bound as star-contraction CC.
-    ``localCheckpoint`` truncates lineage so plans don't grow exponentially
-    (on a cluster: ``checkpoint`` to a reliable dir). This is the scalable
-    GraphFrames-free formulation.
-
-    Oracle: DuckDB recursive CTE computing min reachable id.
+    Iterative min-label propagation on DataFrames — each round is one
+    neighbor-min join + one pointer-doubling self-join (label ←
+    label[label]). Plain neighbor-min alone needs O(component diameter)
+    rounds; the doubling step halves the distance to the component minimum
+    every round, so chain-shaped clusters converge in O(log diameter) —
+    the same round bound as star-contraction CC. ``localCheckpoint``
+    truncates lineage so plans don't grow exponentially (on a cluster:
+    ``checkpoint`` to a reliable dir). This is the scalable
+    GraphFrames-free formulation, shared by every registered pair source.
     """
-    # checkpoint the PAIR list, then build both edge directions from the
-    # checkpoint: a union of the raw pair plan with its swap would run the
-    # whole shingle→posting→pair pipeline twice in one action
-    pairs = ngram_jaccard_pairs(t).select("id_a", "id_b").localCheckpoint()
-    # size the loop's shuffles to the GRAPH, not the corpus: near-dup pairs
+    # Size the loop's shuffles to the GRAPH, not the corpus: near-dup pairs
     # are a tiny fraction of the input, so running every CC round at the
     # corpus-sized shuffle width pays pure scheduling overhead per round.
     # count() is free here (the checkpoint just materialized), and the
@@ -425,6 +419,40 @@ def dedup_clusters(t: Tables) -> DataFrame:
         raise RuntimeError("dedup_clusters did not converge")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+def dedup_clusters(t: Tables) -> DataFrame:
+    """Connected components over the exact near-duplicate pairs → cluster
+    labels: one canonical component id (= min doc_id reachable) per
+    clustered document. Pair source: :func:`dedup.ngram_jaccard_pairs`
+    (capped inverted index). Oracle: DuckDB recursive CTE computing min
+    reachable id. CC loop shared with :func:`dedup_clusters_minhash` —
+    see :func:`_connected_components` for the algorithm and its bounds.
+
+    The pair list is checkpointed BEFORE edge mirroring: a union of the
+    raw pair plan with its swap would run the whole
+    shingle→posting→pair pipeline twice in one action.
+    """
+    return _connected_components(
+        ngram_jaccard_pairs(t).select("id_a", "id_b").localCheckpoint()
+    )
+
+
+def dedup_clusters_minhash(t: Tables) -> DataFrame:
+    """The 100 TB dedup-campaign composition (DEPLOY.md §6): connected
+    components fed from :func:`dedup.minhash_lsh_pairs` — candidate
+    discovery is banded LSH (cost ∝ candidates, immune to the shingle
+    self-join's hot keys) and every candidate is exact-Jaccard verified,
+    so the edge set is a high-recall subset of the exact pairs. Labels
+    therefore REFINE the exact clustering (each MinHash cluster sits
+    inside one exact cluster — pinned in
+    tests/test_operators.py::test_minhash_clusters_refine_exact).
+    Rows-only driver check: the pair source is xxhash64-based and not
+    SQL-reproducible; its quality contract is ``minhash_recall_check``.
+    """
+    return _connected_components(
+        minhash_lsh_pairs(t).select("id_a", "id_b").localCheckpoint()
     )
 
 
@@ -623,5 +651,6 @@ QUERIES = {
     "heavy_hitter_bigrams": heavy_hitter_bigrams,
     "regex_scrub": regex_scrub,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_minhash": dedup_clusters_minhash,
     "dedup_canonical_docs": dedup_canonical_docs,
 }

@@ -540,3 +540,23 @@ def test_scd2_intervals_partition_users(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["event_type"] != b["event_type"]
+
+
+def test_minhash_clusters_refine_exact(spark):
+    """MinHash-fed CC labels refine the exact clustering: every MinHash
+    cluster sits entirely inside one exact cluster (its edges are a
+    verified subset of the exact pairs)."""
+    from streamming_processing_pyspark_spark.operators import pipeline
+
+    t = load_tables(spark, SF_DIR)
+    exact = {
+        r["doc_id"]: r["component"] for r in pipeline.dedup_clusters(t).collect()
+    }
+    approx = pipeline.dedup_clusters_minhash(t).collect()
+    assert approx, "minhash clustering found no components"
+    by_cluster = {}
+    for r in approx:
+        by_cluster.setdefault(r["component"], set()).add(r["doc_id"])
+    for members in by_cluster.values():
+        exact_labels = {exact[d] for d in members}
+        assert len(exact_labels) == 1, (members, exact_labels)
