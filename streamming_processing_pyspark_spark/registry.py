@@ -561,6 +561,15 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "hourly_avg_value_locf",
     "sentiment_scores",
     "array_functions_showcase",
+    # streaming queries registered after the round-3 budget line — ranked
+    # ahead of same-count batch queries (which have the stronger local
+    # DuckDB-parity evidence) so the driver reaches the streaming surface
+    # first; stream-static enrichment especially is the most-used
+    # production streaming pattern in the registry.
+    "streaming_static_enrich",
+    "streaming_available_now_counts",
+    "streaming_hourly_counts_append",
+    "streaming_interval_join_outer",
 )
 
 
