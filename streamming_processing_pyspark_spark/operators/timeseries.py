@@ -212,14 +212,80 @@ def similar_activity_users(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def value_ohlc_5min(tables: dict[str, DataFrame]) -> DataFrame:
+    """OHLC downsampling: per event type and 5-minute bucket, the opening
+    / highest / lowest / closing ``value`` plus the sample count — the
+    standard resampling step that turns a raw event stream into
+    fixed-interval bars for charting or feature windows.
+
+    One shared (event_type, bucket)-ordered window supplies both the
+    first and last row markers (row_number ascending and descending over
+    the SAME sort), then a single map-combinable aggregation finishes —
+    one shuffle for the window sort, and the aggregation reuses its
+    partitioning. Only order-independent columns are emitted
+    (open/high/low/close are picked values, never accumulated sums), so
+    raw doubles hash-match across engines; event_id breaks timestamp
+    ties so "first" and "last" are well-defined in both.
+    """
+    ev = tables["events"].select(
+        "event_type",
+        F.window("ts", "5 minutes")["start"].alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = ev.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(w).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return marked.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
 QUERIES = {
     "hourly_counts_gapfilled": hourly_counts_gapfilled,
     "hourly_avg_value_locf": hourly_avg_value_locf,
     "ewma_hourly_value": ewma_hourly_value,
     "similar_activity_users": similar_activity_users,
+    "value_ohlc_5min": value_ohlc_5min,
 }
 
 ORACLES: dict[str, str] = {
+    "value_ohlc_5min": """
+        WITH m AS (
+          SELECT event_type,
+                 time_bucket(INTERVAL '5 minutes', ts) AS bucket,
+                 value,
+                 row_number() OVER w AS rn_a,
+                 row_number() OVER (
+                   PARTITION BY event_type,
+                                time_bucket(INTERVAL '5 minutes', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events
+          WINDOW w AS (
+            PARTITION BY event_type, time_bucket(INTERVAL '5 minutes', ts)
+            ORDER BY ts, event_id)
+        )
+        SELECT event_type, bucket,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n
+        FROM m GROUP BY event_type, bucket
+    """,
     "ewma_hourly_value": """
         WITH RECURSIVE h AS (
           SELECT event_type, date_trunc('hour', ts) AS hour,
