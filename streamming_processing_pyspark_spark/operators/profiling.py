@@ -243,11 +243,65 @@ def value_drift_ks(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: winsorization percentile bounds (percent)
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+def value_winsorize(tables: dict[str, DataFrame]) -> DataFrame:
+    """Outlier clipping (winsorization) of ``value`` at the exact
+    per-event-type 5th/95th percentiles — the feature-preprocessing step
+    that stops heavy-tailed values from dominating normalization, done
+    WITHOUT a global sort: per-(type, cent) histogram → cumulative counts
+    over the tiny histogram → threshold pick → broadcast back → map-side
+    clip (the same exact-quantile machinery as
+    ``curation.perplexity_buckets``, applied to a numeric feature).
+    Thresholds use integer cross-multiplication (``100·cum ≥ p·n``) and
+    values bucket to cents, so the clipped output hash-matches the
+    oracle. NULL values are dropped explicitly (the engines disagree on
+    NULL sort placement).
+    """
+    from pyspark.sql import Window
+
+    ev = tables["events"].where(F.col("value").isNotNull())
+    d = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    hist = d.groupBy("event_type", "v_c").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("v_c")
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "v_c",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    th = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(100 * F.col("cum") >= WINSOR_LO_PCT * F.col("n"), F.col("v_c"))
+        ).alias("lo_c"),
+        F.min(
+            F.when(100 * F.col("cum") >= WINSOR_HI_PCT * F.col("n"), F.col("v_c"))
+        ).alias("hi_c"),
+    )
+    return d.join(F.broadcast(th), "event_type").select(
+        "event_id",
+        "event_type",
+        "v_c",
+        F.least(F.greatest(F.col("v_c"), F.col("lo_c")), F.col("hi_c")).alias(
+            "clipped_c"
+        ),
+    )
+
+
 QUERIES = {
     "events_column_profile": events_column_profile,
     "top_event_by_value_per_user": top_event_by_value_per_user,
     "data_quality_checks": data_quality_checks,
     "value_drift_ks": value_drift_ks,
+    "value_winsorize": value_winsorize,
 }
 
 _DQ_EXPRS = {
@@ -260,6 +314,33 @@ _DQ_EXPRS = {
 }
 
 ORACLES: dict[str, str] = {
+    "value_winsorize": f"""
+        WITH d AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS v_c
+          FROM events WHERE value IS NOT NULL
+        ),
+        hist AS (
+          SELECT event_type, v_c, count(*) AS cnt FROM d GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, v_c,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY v_c) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+          FROM hist
+        ),
+        th AS (
+          SELECT event_type,
+                 min(CASE WHEN 100 * cum >= {WINSOR_LO_PCT} * n
+                          THEN v_c END) AS lo_c,
+                 min(CASE WHEN 100 * cum >= {WINSOR_HI_PCT} * n
+                          THEN v_c END) AS hi_c
+          FROM cum GROUP BY event_type
+        )
+        SELECT d.event_id, d.event_type, d.v_c,
+               least(greatest(d.v_c, th.lo_c), th.hi_c) AS clipped_c
+        FROM d JOIN th USING (event_type)
+    """,
     "value_drift_ks": """
         WITH b AS (
           SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS t0,
