@@ -334,8 +334,13 @@ def regex_scrub(t: Tables) -> DataFrame:
 
 
 def _connected_components(pairs: DataFrame) -> DataFrame:
-    """Min-label connected components over a checkpointed (id_a, id_b)
-    pair frame → (doc_id, component) labels.
+    """Min-label connected components over an (id_a, id_b) pair frame →
+    (doc_id, component) labels. The pair plan is localCheckpointed here —
+    exactly once — so the (expensive) pair-discovery pipeline
+    materializes a single time and a single copy of the pair RDD sits in
+    executor storage; edge mirroring and every CC round replay from the
+    checkpoint (downstream stages reuse its shuffle files, they don't
+    recompute the source).
 
     Iterative min-label propagation on DataFrames — each round is one
     neighbor-min join + one pointer-doubling self-join (label ←
@@ -347,12 +352,17 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     ``checkpoint`` to a reliable dir). This is the scalable
     GraphFrames-free formulation, shared by every registered pair source.
     """
+    # ONE checkpoint: materializes pair discovery and makes the count
+    # below free. (A second checkpoint after the repartition would store
+    # the pair RDD twice until GC — the storage leak bench.py has to
+    # gc-collect around.)
+    pairs = pairs.localCheckpoint()
     # Size the loop's shuffles to the GRAPH, not the corpus: near-dup pairs
     # are a tiny fraction of the input, so running every CC round at the
-    # corpus-sized shuffle width pays pure scheduling overhead per round.
-    # count() is free here (the checkpoint just materialized), and the
-    # width grows back to the configured shuffle partitions once the pair
-    # graph is big enough to need them.
+    # corpus-sized shuffle width pays pure scheduling overhead per round;
+    # the width grows back to the configured shuffle partitions once the
+    # pair graph is big enough to need them. The repartition stays LAZY —
+    # its shuffle runs once and later jobs reuse the shuffle files.
     n_pairs = pairs.count()
     spark = pairs.sparkSession
     width = max(
@@ -362,7 +372,7 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
             n_pairs // 50_000 + 2,
         ),
     )
-    pairs = pairs.repartition(width).localCheckpoint()
+    pairs = pairs.repartition(width)
     edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF(
         "src", "dst"
     )
@@ -430,13 +440,11 @@ def dedup_clusters(t: Tables) -> DataFrame:
     reachable id. CC loop shared with :func:`dedup_clusters_minhash` —
     see :func:`_connected_components` for the algorithm and its bounds.
 
-    The pair list is checkpointed BEFORE edge mirroring: a union of the
-    raw pair plan with its swap would run the whole
+    The shared loop checkpoints the pair list BEFORE edge mirroring: a
+    union of the raw pair plan with its swap would run the whole
     shingle→posting→pair pipeline twice in one action.
     """
-    return _connected_components(
-        ngram_jaccard_pairs(t).select("id_a", "id_b").localCheckpoint()
-    )
+    return _connected_components(ngram_jaccard_pairs(t).select("id_a", "id_b"))
 
 
 def dedup_clusters_minhash(t: Tables) -> DataFrame:
@@ -451,9 +459,7 @@ def dedup_clusters_minhash(t: Tables) -> DataFrame:
     Rows-only driver check: the pair source is xxhash64-based and not
     SQL-reproducible; its quality contract is ``minhash_recall_check``.
     """
-    return _connected_components(
-        minhash_lsh_pairs(t).select("id_a", "id_b").localCheckpoint()
-    )
+    return _connected_components(minhash_lsh_pairs(t).select("id_a", "id_b"))
 
 
 def dedup_canonical_docs(t: Tables) -> DataFrame:

@@ -48,13 +48,13 @@ ALPHA_NUM, ALPHA_DEN = 4, 5
 
 
 def _doc_hash() -> Column:
-    """Portable per-doc uniform hash in [0, _HASH_MOD): the same affine
-    character fold as ``pipeline._group_hash``, applied to the decimal
-    doc_id string so DuckDB replays it exactly."""
-    return F.expr(
-        "aggregate(split(CAST(doc_id AS STRING), ''), CAST(7 AS BIGINT),"
-        f" (acc, c) -> (acc * 31 + ascii(c)) % {_HASH_MOD})"
-    )
+    """Portable per-doc uniform hash in [0, _HASH_MOD): reuses
+    ``pipeline._group_hash``'s affine character fold (the single source
+    of truth for the SQL-portable hash) on the decimal doc_id string so
+    DuckDB replays it exactly."""
+    from .pipeline import _group_hash
+
+    return _group_hash("CAST(doc_id AS STRING)")
 
 
 def weighted_sample_per_lang(t: Tables) -> DataFrame:
@@ -159,19 +159,15 @@ def filter_agreement_kappa(t: Tables) -> DataFrame:
         "n01",
         "n10",
         "n11",
-        # FLOOR division, not Spark's truncating DIV: kappa can be
-        # negative (systematic disagreement), and DuckDB's // floors —
-        # (num - pmod(num, den)) is exactly divisible, so DIV on it IS
-        # the floor for den > 0
+        # Plain DIV: kappa can be negative (systematic disagreement), and
+        # BOTH engines truncate integer division toward zero (Spark DIV;
+        # DuckDB // — verified: SELECT (0-5) // 2 = -2 on DuckDB 1.0.0),
+        # so truncating semantics are the cross-engine-identical choice.
         F.expr(
             "CASE WHEN n * n > (n00 + n01) * (n00 + n10)"
             " + (n10 + n11) * (n01 + n11)"
-            " THEN (10000 * (n * (n00 + n11)"
+            " THEN 10000 * (n * (n00 + n11)"
             "   - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))"
-            "  - pmod(10000 * (n * (n00 + n11)"
-            "   - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))),"
-            "   n * n"
-            "   - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))))"
             " DIV (n * n"
             "   - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))"
             " END"

@@ -218,11 +218,12 @@ def value_ohlc_5min(tables: dict[str, DataFrame]) -> DataFrame:
     standard resampling step that turns a raw event stream into
     fixed-interval bars for charting or feature windows.
 
-    One shared (event_type, bucket)-ordered window supplies both the
-    first and last row markers (row_number ascending and descending over
-    the SAME sort), then a single map-combinable aggregation finishes —
-    one shuffle for the window sort, and the aggregation reuses its
-    partitioning. Only order-independent columns are emitted
+    ONE (event_type, bucket)-ordered sort serves the whole plan
+    (plan-asserted): the ascending row_number marks the open, the last
+    row is ``rn == count() over the same partition`` (the unordered
+    count window needs only the partitioning, not a second opposite-order
+    sort), and the final aggregation reuses the partitioning —
+    one shuffle, one sort. Only order-independent columns are emitted
     (open/high/low/close are picked values, never accumulated sums), so
     raw doubles hash-match across engines; event_id breaks timestamp
     ties so "first" and "last" are well-defined in both.
@@ -235,21 +236,21 @@ def value_ohlc_5min(tables: dict[str, DataFrame]) -> DataFrame:
         "value",
     )
     w = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
-    w_desc = Window.partitionBy("event_type", "bucket").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
+    w_part = Window.partitionBy("event_type", "bucket")
     marked = ev.select(
         "event_type",
         "bucket",
         "value",
         F.row_number().over(w).alias("rn_a"),
-        F.row_number().over(w_desc).alias("rn_d"),
+        F.count("*").over(w_part).alias("n_rows"),
     )
     return marked.groupBy("event_type", "bucket").agg(
         F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.max(F.when(F.col("rn_a") == F.col("n_rows"), F.col("value"))).alias(
+            "close"
+        ),
         F.count("*").alias("n"),
     )
 

@@ -425,3 +425,15 @@ def test_value_drift_ks_histogram_shaped(spark):
     assert_partial_aggregation(df)
     assert_broadcast_join(df, min_count=1)
     assert_no_python_eval(df)
+
+
+def test_ohlc_single_sort(spark):
+    """OHLC resample: one shuffle and ONE sort serve both row markers
+    (the close marker uses an unordered count window on the same
+    partitioning, not an opposite-order second sort)."""
+    from streamming_processing_pyspark_spark.operators import timeseries
+
+    df = timeseries.value_ohlc_5min(load_tables(spark, SF_DIR))
+    s = plan_string(df, "simple")
+    assert s.count("Sort") == 1, s
+    assert_no_python_eval(df)
