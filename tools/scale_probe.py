@@ -187,14 +187,26 @@ def main() -> None:
         "| operator | " + " | ".join(f"k={k}" for k in KS) + " | growth |",
         "|---|" + "---|" * (len(KS) + 1),
     ]
+    import math
+
     for name, times in results.items():
         ratio = times[KS[-1]] / times[k0] if times[k0] else float("nan")
         cells = " | ".join(f"{times[k]:.2f}s" for k in KS)
-        verdict = (
-            "~linear or better"
-            if ratio <= KS[-1] / k0 * 1.3
-            else f"SUPER-LINEAR ({ratio:.1f}× time for {KS[-1] // k0}× data)"
+        # growth exponent α: time ∝ data^α over the measured span — a
+        # fixed multiplicative slack mislabels at larger spans (×10 time
+        # on ×8 data is NOT linear), the exponent doesn't
+        data_ratio = KS[-1] / k0
+        alpha = (
+            math.log(ratio) / math.log(data_ratio)
+            if ratio > 0 and data_ratio > 1
+            else float("nan")
         )
+        if alpha <= 1.05:
+            verdict = f"~linear or better (α≈{alpha:.2f})"
+        elif alpha <= 1.3:
+            verdict = f"mildly superlinear (α≈{alpha:.2f})"
+        else:
+            verdict = f"SUPER-LINEAR (α≈{alpha:.2f})"
         lines.append(f"| {name} | {cells} | ×{ratio:.1f} — {verdict} |")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
     with open(out, "w") as f:
