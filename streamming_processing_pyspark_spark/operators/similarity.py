@@ -300,11 +300,20 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
+#: CORPUS-SIZED TUNING: 16 bits / 4 bands holds expected bucket occupancy
+#: ≈ n / 2^(bits/band) per band-bucket — right for the 500–40,000-row test
+#: corpora (SCALE.md measures α≈1.04 with the constants FIXED as n grows
+#: 8×, which is exactly the expected occupancy-squared drift). At corpus
+#: scale, bits_per_band grows ~log2(n) to pin occupancy (e.g. 100 B rows
+#: → ~24-bit bands), keeping candidate volume ∝ true-pair volume; pass
+#: ``n_planes``/``n_bands`` to re-tune without touching the plan shape.
 N_PLANES = 16
 N_BANDS = 4  # 4 bands × 4 bits
 
 
-def lsh_bucketed_pairs(t: Tables, dim: int = 64) -> DataFrame:
+def lsh_bucketed_pairs(
+    t: Tables, dim: int = 64, n_planes: int = N_PLANES, n_bands: int = N_BANDS
+) -> DataFrame:
     """Random-hyperplane LSH near-dup: candidates per band-bucket, verified
     with exact cosine. The scale path for `embedding_near_dup_pairs`.
 
@@ -312,15 +321,17 @@ def lsh_bucketed_pairs(t: Tables, dim: int = 64) -> DataFrame:
     pandas UDF → sign bits → packed per-band keys), replacing 16
     interpreted higher-order dot products per row. Banding is a single
     equi-join on (band_id, band_key) — posexplode of the key array — so
-    candidate generation is one shuffle instead of N_BANDS unioned joins.
+    candidate generation is one shuffle instead of n_bands unioned joins.
+    ``n_planes``/``n_bands`` are the corpus-sized tuning knobs (see the
+    constants' comment); the registered query runs the defaults.
     """
     import numpy as np
 
     emb = fan_out(
         t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
     )
-    planes = np.array(_hyperplanes(dim, N_PLANES), dtype="float64")
-    bits_per_band = N_PLANES // N_BANDS
+    planes = np.array(_hyperplanes(dim, n_planes), dtype="float64")
+    bits_per_band = n_planes // n_bands
     weights = (1 << np.arange(bits_per_band, dtype="int64")).reshape(1, -1)
 
     from pyspark.sql.types import ArrayType, LongType
@@ -331,7 +342,7 @@ def lsh_bucketed_pairs(t: Tables, dim: int = 64) -> DataFrame:
         bits = (mat @ planes.T >= 0).astype("int64")  # n × N_PLANES
         keys = [
             bits[:, b * bits_per_band : (b + 1) * bits_per_band] @ weights.T
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
         packed = np.concatenate(keys, axis=1)  # n × N_BANDS
         return pd.Series(list(packed))
