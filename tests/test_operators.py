@@ -560,3 +560,23 @@ def test_minhash_clusters_refine_exact(spark):
     for members in by_cluster.values():
         exact_labels = {exact[d] for d in members}
         assert len(exact_labels) == 1, (members, exact_labels)
+
+
+def test_lsh_retuned_bits_still_subset(spark):
+    """The corpus-sized tuning knob works: doubling the signature bits
+    (tighter buckets — the 100 TB setting) still yields a verified subset
+    of the exact pairs, with no more pairs than the default tuning."""
+    t = load_tables(spark, SF_DIR)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(t).collect()
+    }
+    default = {
+        (r["id_a"], r["id_b"]) for r in similarity.lsh_bucketed_pairs(t).collect()
+    }
+    tight = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_bucketed_pairs(t, n_planes=32, n_bands=4).collect()
+    }
+    assert tight <= exact
+    assert len(tight) <= len(default)
