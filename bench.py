@@ -34,7 +34,9 @@ from streamming_processing_pyspark_spark.session import get_spark
 from streamming_processing_pyspark_spark.tables import DEFAULT_SF_DIR, load_table
 from streamming_processing_pyspark_spark.taxi_datagen import generate_taxi_day
 
-N_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+# iters≥3 so the carried median isn't hostage to one bad run on a shared
+# host (r4: vocab_coverage median 2.55 s vs min 1.31 s at iters=2)
+N_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
 HEADLINE = [
     # reference-surface queries
@@ -88,6 +90,7 @@ HEADLINE = [
     "vocab_coverage",
     "value_drift_ks",
     "user_scd2_intervals",
+    "dedup_campaign_summary",
 ]
 
 
@@ -202,6 +205,29 @@ def main() -> None:
         rows, rps, steady = taxi_replay_rows_per_sec()
         if i == 0 or steady > taxi_steady_rps:
             taxi_rows, taxi_rps, taxi_steady_rps = rows, rps, steady
+
+    # Output contract (r4 regression fix — BENCH_r04.json "parsed": null):
+    # the driver tail-captures stdout and parses the LAST line, so the
+    # final line must stay compact. Per-query MEDIAN detail goes on its
+    # own earlier line and into BENCH_DETAIL.json; the final line carries
+    # only the required headline fields (min-of-N per query).
+    detail = {
+        "metric": "headline_suite_detail",
+        "value_median": total_median,
+        "queries_median": medians,
+        "iters_per_query": N_ITERS,
+        "sf": sf,
+    }
+    print(json.dumps(detail), flush=True)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -209,8 +235,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "value_median": total_median,
-                "queries_median": medians,
                 "iters_per_query": N_ITERS,
                 "sf": sf,
                 "events_rows_per_sec": round(events_rows / pipeline_sec)
@@ -223,7 +247,8 @@ def main() -> None:
                 "taxi_replay_rows_per_sec": taxi_rps,
                 "taxi_replay_steady_rows_per_sec": taxi_steady_rps,
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -105,8 +105,100 @@ def asof_join(
     )
 
 
+def asof_join_window(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    right_tiebreak: str,
+) -> DataFrame:
+    """As-of join as ONE window over the tagged union of both sides — the
+    sort-merge formulation, all JVM-side.
+
+    Both sides are projected to a common schema (each side's absent
+    columns null), tagged (right=0, left=1) and unioned; a single
+    ``last(..., ignorenulls=True)`` window per right payload column,
+    partitioned by the key and ordered by ``(time, tag, tiebreak)``,
+    carries the latest right row forward onto every left row; left rows
+    with a match survive. Ordering encodes the semantics: at equal
+    timestamps right sorts before left (inclusive ``right_time <=
+    left_time``), and among equal-time right rows the greatest
+    ``right_tiebreak`` sorts last and wins — so the one-row-per-(key,time)
+    dedup of the cogroup form needs NO separate shuffle here.
+
+    Plan shape: scan+scan → union → ONE hash exchange on the key →
+    per-partition sort → window → filter. vs the cogrouped
+    :func:`asof_join`'s 3 exchanges + FlatMapCoGroupsInPandas (r4 plan
+    audit), this is 1 exchange and stays inside whole-stage codegen —
+    the right shape for a 100 TB fact stream. Skewed keys sort within
+    one partition either way; the window is linear per partition.
+    """
+    tag = "_is_left"
+    left_cols = [c for c in left.columns]
+    l_proj = left.select(
+        *left_cols,
+        F.col(left_time).alias("_t"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(1).alias(tag),
+    )
+    r_proj = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c != key
+        ],
+        F.col(key),
+        F.col(right_time).alias("_t"),
+        *right_cols,
+        F.lit(0).alias(tag),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", tag, right_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_proj.unionByName(r_proj).select(
+        *left_cols,
+        tag,
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in right_cols
+        ],
+    )
+    return carried.where(
+        (F.col(tag) == 1) & F.col(right_cols[0]).isNotNull()
+    ).select(*left_cols, *right_cols)
+
+
 def asof_latest_order(t: Tables) -> DataFrame:
-    """Each event joined to the user's most recent order at event time."""
+    """Each event joined to the user's most recent order at event time.
+
+    Runs the single-shuffle :func:`asof_join_window` plan (the cogrouped
+    :func:`asof_join` remains the generic carrier for wide right payloads;
+    equality of the two pinned in
+    tests/test_operators.py::test_asof_window_equals_cogroup). The
+    max-orderkey tie-break at equal (user, date) is expressed in the
+    window ordering, so no pre-dedup shuffle is needed."""
+    ev = t["events"].select("event_id", "user_id", "ts")
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    return asof_join_window(
+        ev,
+        orders,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        right_tiebreak="o_orderkey",
+    )
+
+
+def asof_latest_order_cogroup(t: Tables) -> DataFrame:
+    """The cogrouped-pandas form of :func:`asof_latest_order` (kept as the
+    equality twin and the template for wide right payloads)."""
     ev = t["events"].select("event_id", "user_id", "ts")
     orders = _dedup_orders(t["orders"]).withColumnRenamed("o_custkey", "user_id")
     return asof_join(

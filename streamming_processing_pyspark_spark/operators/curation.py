@@ -264,7 +264,7 @@ ORACLES: dict[str, str] = {
         WITH sc AS (
           SELECT doc_id,
                  list_sum(list_transform(
-                   string_split_regex(trim(text), '\s+'),
+                   string_split_regex(trim(text), '\\s+'),
                    tok -> list_reduce(
                      list_prepend(CAST(7 AS BIGINT),
                        list_transform(string_split_regex(tok, ''),
@@ -275,7 +275,7 @@ ORACLES: dict[str, str] = {
         ),
         j AS (
           SELECT d.doc_id, d.source,
-                 CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+                 CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
                    AS n_tokens,
                  CAST(sc.score AS BIGINT) AS score
           FROM documents d JOIN sc USING (doc_id)

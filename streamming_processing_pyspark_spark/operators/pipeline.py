@@ -462,6 +462,49 @@ def dedup_clusters_minhash(t: Tables) -> DataFrame:
     return _connected_components(minhash_lsh_pairs(t).select("id_a", "id_b"))
 
 
+def dedup_clusters_minhash_check(t: Tables) -> DataFrame:
+    """Hard driver contract for :func:`dedup_clusters_minhash` (itself
+    rows-only — xxhash64 MinHash isn't SQL-reproducible), following the
+    pattern of every other approximate op's ``*_check``: one row whose
+    exact fields the oracle RECOMPUTES and whose claim flags it expects
+    TRUE. Fields: the exact clustering's doc/component counts (DuckDB
+    recursive CTE recomputes both), ``refine_ok`` — every MinHash
+    component's members share ONE exact component (LSH edges are a
+    verified subset of exact edges, so MinHash clusters can only split,
+    never merge, exact clusters) — and ``covered_ok`` — every
+    MinHash-clustered doc is exact-clustered too."""
+    exact = dedup_clusters(t).select(
+        "doc_id", F.col("component").alias("exact_comp")
+    )
+    mh = dedup_clusters_minhash(t).select(
+        "doc_id", F.col("component").alias("mh_comp")
+    )
+    per_mh = (
+        mh.join(exact, "doc_id", "left")
+        .groupBy("mh_comp")
+        .agg(
+            F.countDistinct("exact_comp").alias("n_exact_in"),
+            F.sum(F.col("exact_comp").isNull().cast("long")).alias("n_uncovered"),
+        )
+    )
+    claims = per_mh.agg(
+        F.coalesce(
+            F.max((F.col("n_exact_in") > 1).cast("long")), F.lit(0)
+        ).alias("bad_refine"),
+        F.coalesce(F.sum("n_uncovered"), F.lit(0)).alias("n_uncov"),
+    )
+    stats = exact.agg(
+        F.count("*").alias("n_exact_docs"),
+        F.countDistinct("exact_comp").alias("n_exact_components"),
+    )
+    return stats.crossJoin(claims).select(
+        "n_exact_docs",
+        "n_exact_components",
+        (F.col("bad_refine") == 0).alias("refine_ok"),
+        (F.col("n_uncov") == 0).alias("covered_ok"),
+    )
+
+
 def dedup_canonical_docs(t: Tables) -> DataFrame:
     """The dedup pipeline's OUTPUT: doc_ids that survive near-dup removal.
 
@@ -644,6 +687,30 @@ ORACLES: dict[str, str] = {
         SELECT doc_id FROM documents LEFT JOIN comp ON doc_id = comp.node
         WHERE component IS NULL OR component = doc_id
     """,
+    # recomputes the exact clustering's size and expects both claim flags
+    # TRUE (MinHash clusters refine — never merge — exact clusters)
+    "dedup_clusters_minhash_check": f"""
+        WITH RECURSIVE {_SHINGLE_DUCK},
+        jp AS (
+          SELECT id_a, id_b
+          FROM p JOIN n na ON p.id_a = na.doc_id
+                 JOIN n nb ON p.id_b = nb.doc_id
+          WHERE round(common * 1.0 / (na.n + nb.n - common), 4)
+                >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (SELECT id_a AS s, id_b AS d FROM jp
+                  UNION SELECT id_b, id_a FROM jp),
+        reach(node, lab) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+        ),
+        comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+        SELECT CAST(count(*) AS BIGINT) AS n_exact_docs,
+               CAST(count(DISTINCT component) AS BIGINT) AS n_exact_components,
+               TRUE AS refine_ok, TRUE AS covered_ok
+        FROM comp
+    """,
 }
 
 QUERIES = {
@@ -658,5 +725,6 @@ QUERIES = {
     "regex_scrub": regex_scrub,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_minhash": dedup_clusters_minhash,
+    "dedup_clusters_minhash_check": dedup_clusters_minhash_check,
     "dedup_canonical_docs": dedup_canonical_docs,
 }

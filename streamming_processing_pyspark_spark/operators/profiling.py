@@ -239,7 +239,14 @@ def value_drift_ks(tables: dict[str, DataFrame]) -> DataFrame:
     ).select(
         "n_first",
         "n_second",
-        F.expr("ks_num * 10000 DIV (n_first * n_second)").alias("ks_bp"),
+        # zero guard: if every non-null value lands in one time-half (a
+        # column that starts being populated mid-stream), n_first or
+        # n_second is 0 and ANSI mode would raise DIVIDE_BY_ZERO — report
+        # NULL ("no comparison possible") instead of crashing the monitor
+        F.expr(
+            "CASE WHEN n_first * n_second > 0"
+            " THEN ks_num * 10000 DIV (n_first * n_second) END"
+        ).alias("ks_bp"),
     )
 
 
@@ -369,8 +376,9 @@ ORACLES: dict[str, str] = {
           FROM hist
         )
         SELECT max(n1) AS n_first, max(n2) AS n_second,
-               CAST(max(abs(cum1 * n2 - cum2 * n1)) * 10000
-                    // (max(n1) * max(n2)) AS BIGINT) AS ks_bp
+               CAST(CASE WHEN max(n1) * max(n2) > 0
+                         THEN max(abs(cum1 * n2 - cum2 * n1)) * 10000
+                              // (max(n1) * max(n2)) END AS BIGINT) AS ks_bp
         FROM cum
     """,
     "data_quality_checks": """

@@ -84,6 +84,36 @@ def weighted_sample_per_lang(t: Tables) -> DataFrame:
     )
 
 
+def _gopher_cols() -> tuple[Column, Column, Column]:
+    """(n_words, n_chars, alpha_words) as pure Columns over ``text`` —
+    the Gopher metrics, factored so composed pipelines
+    (:mod:`campaign`) can gate map-side on the scan instead of joining
+    the flags frame."""
+    words = F.split(F.trim("text"), r"\s+")
+    n_words = F.size(words).cast("long")
+    # total characters across words == len(trim) - (words-1) separators is
+    # wrong for multi-space runs; sum the token lengths instead
+    n_chars = F.expr(
+        "aggregate(transform(split(trim(text), '\\\\s+'), w -> length(w)),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    alpha_words = F.expr(
+        "size(filter(split(trim(text), '\\\\s+'), w -> w rlike '[a-z]'))"
+    ).cast("long")
+    return n_words, n_chars, alpha_words
+
+
+def gopher_keep_col() -> Column:
+    """The conjunctive Gopher keep decision as ONE Column over ``text``."""
+    n_words, n_chars, alpha_words = _gopher_cols()
+    ok_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_mwl = (F.lit(GOPHER_MIN_MWL) * n_words <= n_chars) & (
+        n_chars <= F.lit(GOPHER_MAX_MWL) * n_words
+    )
+    ok_alpha = F.lit(ALPHA_DEN) * alpha_words >= F.lit(ALPHA_NUM) * n_words
+    return ok_wc & ok_mwl & ok_alpha
+
+
 def gopher_quality_flags(t: Tables) -> DataFrame:
     """Gopher/MassiveText rule flags per document, map-only and exact.
 
@@ -97,17 +127,7 @@ def gopher_quality_flags(t: Tables) -> DataFrame:
     ``mean_word_len_milli`` = floor(1000·chars/words) is emitted so the
     distribution itself is oracle-checked, not just the booleans.
     """
-    words = F.split(F.trim("text"), r"\s+")
-    n_words = F.size(words).cast("long")
-    # total characters across words == len(trim) - (words-1) separators is
-    # wrong for multi-space runs; sum the token lengths instead
-    n_chars = F.expr(
-        "aggregate(transform(split(trim(text), '\\\\s+'), w -> length(w)),"
-        " CAST(0 AS BIGINT), (a, x) -> a + x)"
-    )
-    alpha_words = F.expr(
-        "size(filter(split(trim(text), '\\\\s+'), w -> w rlike '[a-z]'))"
-    ).cast("long")
+    n_words, n_chars, alpha_words = _gopher_cols()
     ok_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
     ok_mwl = (F.lit(GOPHER_MIN_MWL) * n_words <= n_chars) & (
         n_chars <= F.lit(GOPHER_MAX_MWL) * n_words

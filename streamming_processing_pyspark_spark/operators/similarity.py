@@ -300,19 +300,46 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
-#: CORPUS-SIZED TUNING: 16 bits / 4 bands holds expected bucket occupancy
-#: ≈ n / 2^(bits/band) per band-bucket — right for the 500–40,000-row test
-#: corpora (SCALE.md measures α≈1.04 with the constants FIXED as n grows
-#: 8×, which is exactly the expected occupancy-squared drift). At corpus
-#: scale, bits_per_band grows ~log2(n) to pin occupancy (e.g. 100 B rows
-#: → ~24-bit bands), keeping candidate volume ∝ true-pair volume; pass
-#: ``n_planes``/``n_bands`` to re-tune without touching the plan shape.
+#: CORPUS-SIZED TUNING (auto by default): expected band-bucket occupancy
+#: is ≈ n / 2^(bits/band), so per-band candidate volume is ≈ n·occ/2 —
+#: keeping occupancy PINNED as n grows (bits/band ~ log2(n/occ)) keeps
+#: candidate volume ∝ n instead of n²/2^bits. With the constants FIXED,
+#: SCALE.md r4 measured α≈1.04 over ×8 data — exactly the
+#: occupancy-squared drift the auto default removes. Floors below are the
+#: 500-row test-corpus setting (4 bands × 4 bits); band count grows
+#: gently with the bit width ((r−4)//2 extra bands) to hold recall while
+#: bits tighten — OR-amplification compensating the AND-amplification.
 N_PLANES = 16
 N_BANDS = 4  # 4 bands × 4 bits
+#: target rows per band-bucket for the auto tuning
+LSH_TARGET_OCCUPANCY = 32
+#: int64 band keys bound bits/band ≤ 62; 24 covers ~500 B rows at the
+#: target occupancy — past that, raise occupancy/bands via the knobs
+LSH_MAX_BITS_PER_BAND = 24
+
+
+def lsh_tuning_for(n_rows: int) -> tuple[int, int]:
+    """(n_planes, n_bands) for a corpus of ``n_rows``: bits/band =
+    ceil(log2(n/occupancy)) floored at the test-corpus default, bands
+    widened by (bits−4)//2 to hold recall as buckets tighten."""
+    import math
+
+    r = max(
+        N_PLANES // N_BANDS,
+        min(
+            LSH_MAX_BITS_PER_BAND,
+            math.ceil(math.log2(max(n_rows, 2) / LSH_TARGET_OCCUPANCY)),
+        ),
+    )
+    b = N_BANDS + max(0, (r - N_PLANES // N_BANDS) // 2)
+    return r * b, b
 
 
 def lsh_bucketed_pairs(
-    t: Tables, dim: int = 64, n_planes: int = N_PLANES, n_bands: int = N_BANDS
+    t: Tables,
+    dim: int = 64,
+    n_planes: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup: candidates per band-bucket, verified
     with exact cosine. The scale path for `embedding_near_dup_pairs`.
@@ -322,14 +349,23 @@ def lsh_bucketed_pairs(
     interpreted higher-order dot products per row. Banding is a single
     equi-join on (band_id, band_key) — posexplode of the key array — so
     candidate generation is one shuffle instead of n_bands unioned joins.
-    ``n_planes``/``n_bands`` are the corpus-sized tuning knobs (see the
-    constants' comment); the registered query runs the defaults.
+
+    By default the signature width is CORPUS-SIZED: one cheap ``count()``
+    picks bits/band ~ log2(n / target-occupancy) via :func:`lsh_tuning_for`
+    (500-row test corpus → the historical 16 planes / 4 bands, so the
+    registered default is unchanged at sf), which pins expected bucket
+    occupancy and keeps candidate volume ∝ n as the corpus grows — the
+    100 TB posture. Pass explicit ``n_planes``/``n_bands`` to override.
     """
     import numpy as np
 
     emb = fan_out(
         t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
     )
+    if n_planes is None or n_bands is None:
+        auto_planes, auto_bands = lsh_tuning_for(emb.count())
+        n_planes = auto_planes if n_planes is None else n_planes
+        n_bands = auto_bands if n_bands is None else n_bands
     planes = np.array(_hyperplanes(dim, n_planes), dtype="float64")
     bits_per_band = n_planes // n_bands
     weights = (1 << np.arange(bits_per_band, dtype="int64")).reshape(1, -1)

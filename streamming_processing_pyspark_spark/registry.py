@@ -19,6 +19,7 @@ from .functions.geo import classify_sql
 from .operators import (
     analytics2,
     asof,
+    campaign,
     curation,
     dedup,
     events_analytics,
@@ -442,6 +443,7 @@ _STREAMING_ORACLES: dict[str, str] = {
 
 #: modules whose queries take the full tables dict
 _TABLE_MODULES = (
+    campaign,
     curation,
     relational,
     relational2,
@@ -489,6 +491,19 @@ def _wrap_tables(fn):
 #: auto-rotates using the recorded CORRECTNESS_r*.json results (fewest
 #: green rows first), so coverage keeps extending without manual edits.
 _CHECK_PRIORITY: tuple[str, ...] = (
+    # round-5 front-load: the six queries that have never had a driver
+    # CORRECTNESS row (ADVICE r4) — rotation puts count-0 queries first
+    # anyway, but pinning them here makes the intent explicit and keeps
+    # them leading even under SPARK_GRAFT_CHECK_ORDER=static
+    "token_budget_sample",
+    "leakage_safe_split",
+    "dedup_clusters_minhash",
+    "weighted_sample_per_lang",
+    "gopher_quality_flags",
+    "filter_agreement_kappa",
+    # new round-5 contracts
+    "dedup_clusters_minhash_check",
+    "dedup_campaign_summary",
     # TPC-H analogues never checked
     "q8_market_share",
     "q9_product_profit",

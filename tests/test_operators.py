@@ -11,7 +11,13 @@ from streamming_processing_pyspark_spark.functions.geo import (
     classify_points_pandas_udf,
     classify_sql,
 )
-from streamming_processing_pyspark_spark.operators import dedup, pipeline, similarity, windowed
+from streamming_processing_pyspark_spark.operators import (
+    asof,
+    dedup,
+    pipeline,
+    similarity,
+    windowed,
+)
 from streamming_processing_pyspark_spark.operators.multimodal import decode_media_stub
 from streamming_processing_pyspark_spark.operators.windowed import with_coordinates
 from streamming_processing_pyspark_spark.tables import load_table, load_tables
@@ -26,6 +32,17 @@ def test_trending_lag_equals_selfjoin(spark):
     a = {tuple(r) for r in windowed.trending(ev).collect()}
     b = {tuple(r) for r in windowed.trending_selfjoin(ev).collect()}
     assert a == b
+
+
+def test_asof_window_equals_cogroup(spark):
+    """The single-shuffle window formulation of the as-of join must equal
+    the cogrouped merge_asof form row-for-row (same key/time/tie-break
+    semantics, radically different physical plan)."""
+    t = load_tables(spark, SF_DIR)
+    a = {tuple(r) for r in asof.asof_latest_order(t).collect()}
+    b = {tuple(r) for r in asof.asof_latest_order_cogroup(t).collect()}
+    assert a == b
+    assert a, "as-of join matched nothing at sf"
 
 
 def test_minhash_lsh_subset_and_recall(spark):
@@ -582,6 +599,26 @@ def test_lsh_retuned_bits_still_subset(spark):
     assert len(tight) <= len(default)
 
 
+def test_lsh_auto_tuning_is_corpus_sized():
+    """The auto default pins bucket occupancy: bits/band grows ~log2(n)
+    (bands widening to hold recall), and the 500-row test corpus maps to
+    the historical 16-plane/4-band setting so registered-query results
+    are unchanged at sf."""
+    assert similarity.lsh_tuning_for(500) == (16, 4)
+    assert similarity.lsh_tuning_for(5_000) == (48, 6)
+    assert similarity.lsh_tuning_for(40_000) == (77, 7)
+    # int64 band keys: bits/band stays within the packable bound even at
+    # absurd corpus sizes
+    planes, bands = similarity.lsh_tuning_for(10**11)
+    assert planes // bands <= similarity.LSH_MAX_BITS_PER_BAND
+    # monotone: a bigger corpus never gets looser buckets
+    prev_bits = 0
+    for n in (100, 1_000, 10_000, 100_000, 1_000_000):
+        p, b = similarity.lsh_tuning_for(n)
+        assert p // b >= prev_bits
+        prev_bits = p // b
+
+
 def test_ivf_retuned_probe_widens_recall(spark):
     """The IVF tuning knob works: probing every centroid recovers the
     exact brute-force top-k (recall 100% when n_probe == n_centroids),
@@ -596,3 +633,13 @@ def test_ivf_retuned_probe_widens_recall(spark):
         ).collect()
     }
     assert full_probe == exact
+    # default narrower probe: precision is exact — every returned score is
+    # the real brute-force cosine for that vec_id (same 6-dp rounding)
+    all_cos = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity._with_cosine_to_query(t).collect()
+    }
+    default_probe = similarity.ivf_topk(t).collect()
+    assert default_probe
+    for r in default_probe:
+        assert all_cos[r["vec_id"]] == r["cos_sim"], r
