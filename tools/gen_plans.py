@@ -107,6 +107,8 @@ QUERIES = [
     "filter_agreement_kappa",
     "value_ohlc_5min",
     "value_winsorize",
+    "dedup_clusters_minhash_check",
+    "dedup_campaign_summary",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
