@@ -437,3 +437,28 @@ def test_ohlc_single_sort(spark):
     s = plan_string(df, "simple")
     assert s.count("Sort") == 1, s
     assert_no_python_eval(df)
+
+
+def test_asof_window_single_exchange(spark):
+    """As-of join (window formulation): the whole join is ONE hash
+    exchange on the key — no Python, no extra dedup shuffle (tie-break is
+    folded into the window ordering), both scans column-pruned."""
+    from streamming_processing_pyspark_spark.operators import asof
+
+    df = asof.asof_latest_order(load_tables(spark, SF_DIR))
+    s = plan_string(df, "simple")
+    assert s.count("Exchange") == 1, s
+    assert_no_python_eval(df)
+    assert_read_schema_only(df, "orders", {"o_orderkey", "o_custkey", "o_orderdate"})
+
+
+def test_campaign_gate_is_mapside(spark):
+    """Campaign composition: the Gopher gate must be a filter ON the
+    documents scan (no flags-frame join), and the only Python stage is
+    the Arrow shingler inherited from the pair source."""
+    from streamming_processing_pyspark_spark.operators import campaign
+
+    df = campaign.dedup_campaign_summary(load_tables(spark, SF_DIR))
+    s = plan_string(df, "simple")
+    # no row-at-a-time Python; mapInPandas (ArrowEvalPython-free) only
+    assert "BatchEvalPython" not in s, s
