@@ -68,3 +68,46 @@ def test_fingerprint_matches_python_reimpl(spark, words):
     df = spark.createDataFrame([(text,)], "text string")
     got = df.select(fingerprint("text").alias("fp")).collect()[0]["fp"]
     assert got == py_fingerprint(text)
+
+
+_kt = st.tuples(st.integers(0, 3), st.integers(0, 20))
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(_kt, min_size=1, max_size=12),
+    st.lists(_kt, min_size=0, max_size=12),
+)
+def test_asof_window_matches_python_reimpl(spark, ev_kt, ord_kt):
+    """asof_join_window vs a brute-force Python as-of on randomized
+    (key, time) sets — including duplicate (key, time) right rows, where
+    the greatest tiebreak id must win, and keys with no match, which
+    must drop (inner semantics)."""
+    from streamming_processing_pyspark_spark.operators.asof import asof_join_window
+
+    events = [(i, k, t) for i, (k, t) in enumerate(ev_kt)]
+    orders = [(k, t, 100 + i) for i, (k, t) in enumerate(ord_kt)]
+
+    want = set()
+    for eid, k, t in events:
+        cands = [(ot, oid) for (ok, ot, oid) in orders if ok == k and ot <= t]
+        if cands:
+            mt = max(ot for ot, _ in cands)
+            mid = max(oid for ot, oid in cands if ot == mt)
+            want.add((eid, k, t, mid, mt))
+
+    left = spark.createDataFrame(events, "event_id long, user_id long, ts long")
+    right = spark.createDataFrame(orders, "user_id long, o_time long, o_id long")
+    got = {
+        tuple(r)
+        for r in asof_join_window(
+            left,
+            right,
+            key="user_id",
+            left_time="ts",
+            right_time="o_time",
+            right_cols=["o_id", "o_time"],
+            right_tiebreak="o_id",
+        ).collect()
+    }
+    assert got == want
