@@ -91,6 +91,7 @@ HEADLINE = [
     "value_drift_ks",
     "user_scd2_intervals",
     "dedup_campaign_summary",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -6,8 +6,10 @@ the DataFrame API so Catalyst handles join ordering, broadcast selection,
 and pushdown; the DuckDB oracle is the ANSI-SQL statement of the same
 semantics. Schema deltas vs. real TPC-H (no partsupp table, no
 l_commitdate/l_receiptdate/l_shipmode columns in the driver's testdata)
-mean Q2/Q11/Q12/Q16/Q20/Q21 are not expressible; Q9's profit term drops
-the ps_supplycost subtraction for the same reason.
+mean Q2/Q11/Q12/Q16/Q20/Q21 need adaptation — ``relational4.py`` carries
+those six with the plan shapes preserved and the predicates re-stated
+against available columns; Q9's profit term drops the ps_supplycost
+subtraction for the same reason.
 
 Reference scope note: the reference (SURVEY.md §2.4) has exactly one join —
 the Task4 self-join (`Task4.py:126-132`); everything here is §2.10 gap-list

@@ -31,6 +31,7 @@ from .operators import (
     relational2,
     timeseries,
     relational3,
+    relational4,
     sampling,
     similarity,
     text,
@@ -448,6 +449,7 @@ _TABLE_MODULES = (
     relational,
     relational2,
     relational3,
+    relational4,
     pipeline2,
     events_analytics,
     analytics2,
@@ -504,6 +506,13 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # new round-5 contracts
     "dedup_clusters_minhash_check",
     "dedup_campaign_summary",
+    # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_returnflag_priority",
+    "q16_supplier_part_counts",
+    "q20_excess_shipped",
+    "q21_waiting_suppliers",
     # TPC-H analogues never checked
     "q8_market_share",
     "q9_product_profit",

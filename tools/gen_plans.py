@@ -109,6 +109,12 @@ QUERIES = [
     "value_winsorize",
     "dedup_clusters_minhash_check",
     "dedup_campaign_summary",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_returnflag_priority",
+    "q16_supplier_part_counts",
+    "q20_excess_shipped",
+    "q21_waiting_suppliers",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
