@@ -92,6 +92,7 @@ HEADLINE = [
     "user_scd2_intervals",
     "dedup_campaign_summary",
     "q21_waiting_suppliers",
+    "cms_bigram_check",
 ]
 
 

@@ -34,6 +34,7 @@ from .operators import (
     relational4,
     sampling,
     similarity,
+    sketches,
     text,
     udtf,
     windowed,
@@ -361,7 +362,27 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained BY a stream: the same
+    (depth, cell) aggregation as ``sketches.cms_cells_from``, driven as a
+    Structured Streaming query over the documents file stream and drained
+    in complete mode. The sketch is the canonical bounded-state streaming
+    aggregate — state is capped at DEPTH x WIDTH rows no matter how much
+    data flows — and because the hashes are the SQL-portable affine fold,
+    the drained cells hash-match the same DuckDB oracle as the batch
+    sketch."""
+    from .operators.sketches import cms_cells_from
+    from .sources.streams import stream_parquet_table
+    from .streaming.jobs import run_to_memory
+
+    docs = stream_parquet_table(spark, sf_dir, "documents")
+    q, table = run_to_memory(cms_cells_from(docs), "complete")
+    q.stop()
+    return spark.table(table)
+
+
 _STREAMING_QUERIES: dict[str, QueryFn] = {
+    "streaming_cms_cells": streaming_cms_cells,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_union_dedup": streaming_union_dedup,
     "streaming_hourly_counts": streaming_hourly_counts,
@@ -377,6 +398,7 @@ _STREAMING_QUERIES: dict[str, QueryFn] = {
 }
 
 _STREAMING_ORACLES: dict[str, str] = {
+    "streaming_cms_cells": sketches.CELLS_ORACLE,
     "streaming_static_enrich": """
         SELECT n.n_name AS nation, e.event_type, count(*) AS cnt
         FROM events e
@@ -450,6 +472,7 @@ _TABLE_MODULES = (
     relational2,
     relational3,
     relational4,
+    sketches,
     pipeline2,
     events_analytics,
     analytics2,
@@ -513,6 +536,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q16_supplier_part_counts",
     "q20_excess_shipped",
     "q21_waiting_suppliers",
+    "cms_bigram_check",
+    "streaming_cms_cells",
     # TPC-H analogues never checked
     "q8_market_share",
     "q9_product_profit",

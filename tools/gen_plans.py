@@ -115,6 +115,7 @@ QUERIES = [
     "q16_supplier_part_counts",
     "q20_excess_shipped",
     "q21_waiting_suppliers",
+    "cms_bigram_check",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
