@@ -100,16 +100,30 @@ def cms_bigram_check(t: Tables) -> DataFrame:
     estimate, and the CMS guarantee ``est >= true`` as a flag — every
     column recomputed identically by the DuckDB oracle (portable hashes),
     so estimate VALUES are hash-matched, not just claimed.
+
+    Batch plan note: the interpreted portable hash is the expensive
+    expression here, so this check hashes each DISTINCT bigram once and
+    SUMS counts into cells (identical cell totals by associativity —
+    4x|vocab| hash evaluations instead of 4x|occurrences|, measured
+    4.3 s → sub-second at sf0.1). :func:`cms_cells_from` keeps the
+    single-phase per-occurrence fold because a streaming query allows
+    only one stateful aggregation — and production CMS ingestion hashes
+    per occurrence by definition. The per-bigram count frame is
+    persisted once and feeds both the cells and the top-k.
     """
-    bg = _bigrams(t)
+    from ..tables import persist_replacing
+
     cell_structs = _cell_structs()
-    cells = cms_cells_from(t["documents"])
-    top = (
-        bg.groupBy("bigram")
-        .agg(F.count("*").alias("true_cnt"))
-        .orderBy(F.col("true_cnt").desc(), "bigram")
-        .limit(CMS_TOPK)
+    cnt = persist_replacing(
+        _bigrams(t).groupBy("bigram").agg(F.count("*").alias("true_cnt")),
+        "cms_bigram_counts",
     )
+    cells = (
+        cnt.select("true_cnt", F.explode(cell_structs).alias("dc"))
+        .groupBy(F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+        .agg(F.sum("true_cnt").alias("cell_cnt"))
+    )
+    top = cnt.orderBy(F.col("true_cnt").desc(), "bigram").limit(CMS_TOPK)
     topx = top.select(
         "bigram", "true_cnt", F.explode(cell_structs).alias("dc")
     ).select("bigram", "true_cnt", F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
