@@ -67,6 +67,46 @@ def cosine_topk(t: Tables) -> DataFrame:
 FILTER_LABEL = 3
 
 
+def quality_filtered_ann(t: Tables) -> DataFrame:
+    """Cross-table filtered vector search: top-k cosine among vectors
+    whose DOCUMENT passes the Gopher quality gate (vec_id == doc_id in
+    this dataset) — the retrieval shape where the predicate lives in a
+    different table than the vectors, which is how real corpora store
+    quality metadata.
+
+    Pre-filter order: the keep-set semi-join prunes the embeddings scan
+    BEFORE any distance math (at sf the keep set broadcasts; at 100 TB
+    both sides are doc-keyed and co-partitionable, or the gate column is
+    denormalized onto the vector table at write time — either way the
+    scored set is the filtered one). Scoring is the BLAS pandas UDF
+    against the broadcast 1-row query vector; top-k is a
+    TakeOrderedAndProject.
+    """
+    from .sampling import gopher_keep_col
+
+    keep = (
+        t["documents"].where(gopher_keep_col()).select(F.col("doc_id").alias("vec_id"))
+    )
+    emb = t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    qvec = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec").alias("qvec")
+    )
+    return (
+        fan_out(
+            emb.join(keep, "vec_id", "left_semi").where(
+                F.col("vec_id") != QUERY_VEC_ID
+            )
+        )
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            F.round(cosine_pudf(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(TOPK)
+    )
+
+
 def filtered_cosine_topk(t: Tables) -> DataFrame:
     """Metadata-filtered vector search: top-k among rows matching a
     predicate (label = FILTER_LABEL), ranked by cosine to the query vector.
@@ -999,9 +1039,33 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+
+def _quality_filtered_ann_oracle() -> str:
+    # late import: campaign imports sampling/text at module level; nothing
+    # on that chain imports similarity back, but keeping it out of this
+    # module's top keeps the dependency one-directional and obvious
+    from .campaign import _GATE_DUCK
+
+    return f"""
+        WITH {_GATE_DUCK}
+        SELECT a.vec_id AS vec_id,
+               {_COS_DUCK.replace('b.embedding', 'q.embedding')} AS cos_sim
+        FROM embeddings a
+        JOIN g ON a.vec_id = g.doc_id
+        CROSS JOIN (SELECT embedding FROM embeddings
+                    WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE a.vec_id != {QUERY_VEC_ID}
+        ORDER BY cos_sim DESC, a.vec_id
+        LIMIT {TOPK}
+    """
+
+
+ORACLES["quality_filtered_ann"] = _quality_filtered_ann_oracle()
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "filtered_cosine_topk": filtered_cosine_topk,
+    "quality_filtered_ann": quality_filtered_ann,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lsh_bucketed_pairs": lsh_bucketed_pairs,
     "lsh_subset_check": lsh_subset_check,

@@ -538,6 +538,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "cms_bigram_check",
     "streaming_cms_cells",
+    "quality_filtered_ann",
     # TPC-H analogues never checked
     "q8_market_share",
     "q9_product_profit",

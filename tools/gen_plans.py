@@ -116,6 +116,7 @@ QUERIES = [
     "q20_excess_shipped",
     "q21_waiting_suppliers",
     "cms_bigram_check",
+    "quality_filtered_ann",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
