@@ -111,3 +111,27 @@ def test_asof_window_matches_python_reimpl(spark, ev_kt, ord_kt):
         ).collect()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_word, min_size=2, max_size=12), st.integers(0, 3))
+def test_cms_seeded_hash_matches_python_reimpl(spark, tokens, seed):
+    """The CMS's seeded portable hash must equal a character-fold Python
+    reimplementation (the same recurrence DuckDB's list_reduce mirrors),
+    including the space inside bigram keys."""
+    from streamming_processing_pyspark_spark.operators.sketches import (
+        _HASH_MOD,
+        _seeded_hash,
+    )
+
+    text = " ".join(tokens)
+
+    def py_hash(s: str, seed: int) -> int:
+        acc = 7 + seed
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % _HASH_MOD
+        return acc
+
+    df = spark.createDataFrame([(text,)], "bigram string")
+    got = df.select(_seeded_hash("bigram", seed).alias("h")).collect()[0]["h"]
+    assert got == py_hash(text, seed)

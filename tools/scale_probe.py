@@ -30,11 +30,13 @@ from pyspark.sql import functions as F
 from streamming_processing_pyspark_spark.session import get_spark
 from streamming_processing_pyspark_spark.tables import load_tables
 from streamming_processing_pyspark_spark.operators import (
+    campaign,
     curation,
     dedup,
     pipeline,
     sampling,
     similarity,
+    sketches,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,6 +53,8 @@ OPS = {
     "quality_classifier_scores": curation.quality_classifier_scores,
     "weighted_sample_per_lang": sampling.weighted_sample_per_lang,
     "gopher_quality_flags": sampling.gopher_quality_flags,
+    "cms_bigram_check": sketches.cms_bigram_check,
+    "dedup_campaign_summary": campaign.dedup_campaign_summary,
 }
 
 #: embedding-table operators probed against a scaled embeddings table.
