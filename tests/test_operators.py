@@ -643,3 +643,42 @@ def test_ivf_retuned_probe_widens_recall(spark):
     assert default_probe
     for r in default_probe:
         assert all_cos[r["vec_id"]] == r["cos_sim"], r
+
+
+def test_value_drift_ks_one_sided_guard(spark):
+    """A value column populated only in one time-half (the advertised
+    drift scenario) must report NULL ks_bp, not raise DIVIDE_BY_ZERO
+    under ANSI mode."""
+    from streamming_processing_pyspark_spark.operators import profiling
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", None),
+            (2, "2024-01-01 06:00:00", None),
+            (3, "2024-01-01 18:00:00", 1.25),
+            (4, "2024-01-01 23:00:00", 2.50),
+        ],
+        "event_id long, ts_s string, value double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+    row = profiling.value_drift_ks({"events": ev}).collect()[0]
+    assert row["n_first"] == 0 and row["n_second"] == 2
+    assert row["ks_bp"] is None
+
+
+def test_campaign_summary_empty_corpus(spark):
+    """The campaign composition degrades gracefully on an empty corpus:
+    one summary row of zeros, no empty-aggregate surprises in any stage."""
+    from streamming_processing_pyspark_spark.operators import campaign
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    row = campaign.dedup_campaign_summary({"documents": docs}).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (
+        r["n_ingested"],
+        r["n_quality"],
+        r["n_after_exact"],
+        r["n_after_neardup"],
+        r["n_tokens_packed"],
+        r["n_bins"],
+    ) == (0, 0, 0, 0, 0, 0)
