@@ -137,10 +137,28 @@ def asof_join_window(
     """
     tag = "_is_left"
     left_cols = [c for c in left.columns]
+    # the right payload travels as ONE nullable struct column: carrying
+    # each payload column through its own last(ignorenulls) would stitch
+    # together values from DIFFERENT right rows whenever a payload column
+    # is NULL (and would mis-drop matches on a NULL leading column); a
+    # struct is non-null for every right row regardless of its fields, so
+    # last(struct) always carries exactly one right row, and struct
+    # non-nullness is the match marker
+    r_struct = F.struct(*[F.col(c) for c in right_cols]).alias("_r")
     l_proj = left.select(
         *left_cols,
         F.col(left_time).alias("_t"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ", ".join(
+                f"{c}: {right.schema[c].dataType.simpleString()}"
+                for c in right_cols
+            )
+            + ">"
+        )
+        .alias("_r"),
+        F.lit(None).cast(right.schema[right_tiebreak].dataType).alias("_tb"),
         F.lit(1).alias(tag),
     )
     r_proj = right.select(
@@ -151,25 +169,23 @@ def asof_join_window(
         ],
         F.col(key),
         F.col(right_time).alias("_t"),
-        *right_cols,
+        r_struct,
+        F.col(right_tiebreak).alias("_tb"),
         F.lit(0).alias(tag),
     )
     w = (
         Window.partitionBy(key)
-        .orderBy("_t", tag, right_tiebreak)
+        .orderBy("_t", tag, "_tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_proj.unionByName(r_proj).select(
         *left_cols,
         tag,
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in right_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
     return carried.where(
-        (F.col(tag) == 1) & F.col(right_cols[0]).isNotNull()
-    ).select(*left_cols, *right_cols)
+        (F.col(tag) == 1) & F.col("_r").isNotNull()
+    ).select(*left_cols, *[F.col(f"_r.{c}").alias(c) for c in right_cols])
 
 
 def asof_latest_order(t: Tables) -> DataFrame:
