@@ -102,18 +102,25 @@ def dedup_campaign_summary(t: Tables) -> DataFrame:
         ).alias("bin_key"),
     )
 
-    # summary: four 1-row frames cross-joined
-    s_ingest = docs.agg(F.count("*").alias("n_ingested"))
-    s_gate = gated.agg(F.count("*").alias("n_quality"))
-    s_exact = exact.agg(F.count("*").alias("n_after_exact"))
+    # summary: three 1-row frames cross-joined. n_ingested and n_quality
+    # share ONE documents scan (conditional aggregation — the gate
+    # predicate is evaluated once for both counts, not in a second scan);
+    # n_after_exact is a partial-distinct aggregation, not a second
+    # keep-first dedup.
+    s_ingest = docs.agg(
+        F.count("*").alias("n_ingested"),
+        F.coalesce(F.sum(gopher_keep_col().cast("long")), F.lit(0)).alias(
+            "n_quality"
+        ),
+    )
+    s_exact = gated.agg(F.countDistinct("text").alias("n_after_exact"))
     s_pack = packed.agg(
         F.count("*").alias("n_after_neardup"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens_packed"),
         F.countDistinct("bin_key").alias("n_bins"),
     )
     return (
-        s_ingest.crossJoin(s_gate)
-        .crossJoin(s_exact)
+        s_ingest.crossJoin(s_exact)
         .crossJoin(s_pack)
         .select(
             "n_ingested",
