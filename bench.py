@@ -93,6 +93,7 @@ HEADLINE = [
     "dedup_campaign_summary",
     "q21_waiting_suppliers",
     "cms_bigram_check",
+    "observed_gate_metrics",
 ]
 
 

@@ -24,6 +24,7 @@ from .operators import (
     dedup,
     events_analytics,
     multimodal,
+    observability,
     pipeline,
     pipeline2,
     profiling,
@@ -383,6 +384,7 @@ def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_cms_cells": streaming_cms_cells,
+    "streaming_observed_metrics": observability.streaming_observed_metrics,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_union_dedup": streaming_union_dedup,
     "streaming_hourly_counts": streaming_hourly_counts,
@@ -399,6 +401,8 @@ _STREAMING_QUERIES: dict[str, QueryFn] = {
 
 _STREAMING_ORACLES: dict[str, str] = {
     "streaming_cms_cells": sketches.CELLS_ORACLE,
+    # batch/streaming twins: identical totals, identical oracle
+    "streaming_observed_metrics": observability.ORACLES["observed_gate_metrics"],
     "streaming_static_enrich": """
         SELECT n.n_name AS nation, e.event_type, count(*) AS cnt
         FROM events e
@@ -468,6 +472,7 @@ _STREAMING_ORACLES: dict[str, str] = {
 _TABLE_MODULES = (
     campaign,
     curation,
+    observability,
     relational,
     relational2,
     relational3,
@@ -529,6 +534,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # new round-5 contracts
     "dedup_clusters_minhash_check",
     "dedup_campaign_summary",
+    "observed_gate_metrics",
+    "streaming_observed_metrics",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -682,3 +682,22 @@ def test_campaign_summary_empty_corpus(spark):
         r["n_tokens_packed"],
         r["n_bins"],
     ) == (0, 0, 0, 0, 0, 0)
+
+
+def test_observed_gate_metrics_empty_corpus(spark):
+    """An empty corpus observes a well-defined all-zero metrics row (the
+    coalesced extrema), not nulls."""
+    from streamming_processing_pyspark_spark.operators import observability
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = observability.observed_gate_metrics({"documents": docs}).collect()[0]
+    assert (
+        r["n_rows"],
+        r["n_empty_text"],
+        r["total_chars"],
+        r["min_chars"],
+        r["max_chars"],
+        r["n_pass"],
+    ) == (0, 0, 0, 0, 0, 0)

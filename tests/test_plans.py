@@ -462,3 +462,21 @@ def test_campaign_gate_is_mapside(spark):
     s = plan_string(df, "simple")
     # no row-at-a-time Python; mapInPandas (ArrowEvalPython-free) only
     assert "BatchEvalPython" not in s, s
+
+
+def test_observe_single_scan(spark):
+    """Observability rides the gate pass: CollectMetrics sits on the ONE
+    documents scan (no second scan to compute ingest metrics) and the
+    whole pass is JVM-side."""
+    from pyspark.sql import Observation
+
+    from streamming_processing_pyspark_spark.operators import observability
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = observability.gated_pass(docs, Observation("probe"))
+    s = plan_string(df, "simple")
+    assert "CollectMetrics" in s, s
+    import re
+
+    assert len(re.findall(r"(?:File)?Scan parquet", s)) == 1, s
+    assert_no_python_eval(df)

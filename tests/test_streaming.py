@@ -1032,3 +1032,35 @@ def test_outer_interval_join_null_emission(spark, tmp_path):
     # only the clearly-closed view emitted; the boundary row (+10min == wm)
     # and the open row are still held by the watermark
     assert got == {3}
+
+
+def test_streaming_observed_metrics_multibatch(spark, tmp_path):
+    """Per-micro-batch observed metrics fold to the batch totals even when
+    the corpus arrives across several triggers (maxFilesPerTrigger=1 over
+    a 3-file corpus), including the extrema fold skipping empty batches."""
+    from streamming_processing_pyspark_spark.operators import observability
+    from streamming_processing_pyspark_spark.streaming.jobs import run_to_memory
+    from streamming_processing_pyspark_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    d = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(d)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(d)
+    gated = observability.gated_pass(stream, "ingest").select("doc_id")
+    q, table = run_to_memory(gated, "append")
+    rows = [
+        dict(p.observedMetrics["ingest"].asDict())
+        for p in q.recentProgress
+        if "ingest" in (p.observedMetrics or {})
+    ]
+    q.stop()
+    assert len(rows) >= 3, [r["n_rows"] for r in rows]
+    folded = observability.fold_batch_metrics(
+        rows, spark.table(table).count(), spark
+    ).collect()[0]
+
+    batch = observability.observed_gate_metrics({"documents": docs}).collect()[0]
+    assert folded.asDict() == batch.asDict()
