@@ -615,13 +615,18 @@ def _spherical_kmeans(emb: DataFrame, k: int, iters: int):
 
     Each iteration: map-side assignment against the BROADCAST centroid
     matrix (Arrow-batched matmul), then ONE applyInPandas shuffle reduces
-    each cluster to its mean. The driver only ever holds the k x d
-    centroid matrix (model state, same posture as ivf_topk's quantizer) —
-    per-iteration cost is one shuffle of n rows, independent of k.
+    each cluster to its mean. The assignment UDF CARRIES the vector
+    through to its output, so no iteration (and no downstream consumer)
+    ever joins the assignment back to the embeddings — the join-by-vec_id
+    exchange that formulation costs is gone; the only per-iteration
+    exchange is the groupBy(cluster) reduction itself. The driver only
+    ever holds the k x d centroid matrix (model state, same posture as
+    ivf_topk's quantizer) — per-iteration cost is one shuffle of n rows,
+    independent of k.
     Deterministic: init = the k lowest vec_ids; no RNG anywhere.
     Returns (centroids ndarray, assign_fn) where assign_fn(df, probes=P)
-    appends a ``cluster`` column map-side — one row per (vector, probed
-    cluster), P = 1 giving the plain hard assignment.
+    yields (vec_id, cluster, vec) rows map-side — one row per (vector,
+    probed cluster), P = 1 giving the plain hard assignment.
     """
     import numpy as np
 
@@ -648,10 +653,12 @@ def _spherical_kmeans(emb: DataFrame, k: int, iters: int):
                     top = sims.argmax(axis=1).astype("int32")[:, None]
                 else:
                     top = np.argsort(-sims, axis=1)[:, :probes].astype("int32")
+                p = top.shape[1]
                 yield pd.DataFrame(
                     {
-                        "vec_id": pdf["vec_id"].to_numpy().repeat(top.shape[1]),
+                        "vec_id": pdf["vec_id"].to_numpy().repeat(p),
                         "cluster": top.ravel(),
+                        "vec": pdf["vec"].to_numpy().repeat(p),
                     }
                 )
 
@@ -668,12 +675,11 @@ def _spherical_kmeans(emb: DataFrame, k: int, iters: int):
             }
         )
 
+    _ASSIGN_SCHEMA = "vec_id bigint, cluster int, vec array<double>"
+
     for _ in range(iters):
-        assigned = emb.mapInPandas(
-            make_assign(cents), schema="vec_id bigint, cluster int"
-        )
         upd = (
-            emb.join(assigned, "vec_id")
+            emb.mapInPandas(make_assign(cents), schema=_ASSIGN_SCHEMA)
             .groupBy("cluster")
             .applyInPandas(mean_vec, schema="cluster int, centroid array<double>")
             .toPandas()
@@ -685,10 +691,7 @@ def _spherical_kmeans(emb: DataFrame, k: int, iters: int):
                 cents[int(row["cluster"])] = v / n
 
     def assign_df(df: DataFrame, probes: int = 1) -> DataFrame:
-        a = df.mapInPandas(
-            make_assign(cents, probes), schema="vec_id bigint, cluster int"
-        )
-        return df.join(a, "vec_id")
+        return df.mapInPandas(make_assign(cents, probes), schema=_ASSIGN_SCHEMA)
 
     return cents, assign_df
 
