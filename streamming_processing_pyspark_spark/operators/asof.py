@@ -1,15 +1,22 @@
 """As-of (point-in-time) join — an operator Spark lacks natively.
 
-Implemented as cogrouped ``applyInPandas``: both sides hash-partition on the
-equi-key, and each key's group pair is merged with ``pd.merge_asof`` (sorted
-backward search) inside an Arrow batch. This is the scale-correct shape —
-one shuffle per side on the join key, then per-key linear merge; no range
-cross-product ever materializes.
+Two formulations, row-for-row equal (pinned in tests):
+
+- :func:`asof_join_window` (the registered plan): ONE window over the
+  tagged union of both sides — a single exchange on the key, fully
+  JVM-side, tie-break folded into the window ordering. The 100 TB
+  default.
+- :func:`asof_join` (cogrouped ``applyInPandas``): both sides
+  hash-partition on the equi-key and each bucket merges with
+  ``pd.merge_asof`` inside an Arrow batch — kept as the carrier for
+  wide right payloads, where unioning the two schemas would widen
+  every left row with mostly-null right columns before the filter.
 
 The DuckDB oracle uses its native ``ASOF JOIN``. To keep both engines
-deterministic the right side is first deduplicated to one row per
+deterministic the right side is deduplicated to one row per
 (key, time) — max o_orderkey wins — since as-of tie-breaking between equal
-timestamps is otherwise engine-defined.
+timestamps is otherwise engine-defined (the window form encodes the same
+tie-break in its ordering instead of a separate dedup pass).
 """
 
 from __future__ import annotations
