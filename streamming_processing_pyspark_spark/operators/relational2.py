@@ -24,6 +24,31 @@ def json_extract_props(t: Tables) -> DataFrame:
     )
 
 
+def variant_props_metrics(t: Tables) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VariantType:
+    ``parse_json`` decodes each props payload ONCE into the binary
+    Variant encoding and ``variant_get`` extracts typed fields from it —
+    unlike ``get_json_object``, which re-parses the JSON string per
+    extracted path. For wide semi-structured extraction (N fields per
+    row) Variant is the 100 TB path: one parse, N cheap binary reads,
+    and the whole pipeline stays codegen'd JVM expression work.
+
+    Buckets the extracted integer and aggregates per bucket — exact
+    integers plus a 2-dp value mean, hash-matched against DuckDB's JSON
+    reader."""
+    ev = t["events"].select(
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        "value",
+    )
+    return (
+        ev.groupBy(F.expr("k DIV 10").cast("int").alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+    )
+
+
 def sessionize_events(t: Tables) -> DataFrame:
     """Gap-based sessionization: a >30-min silence starts a new session.
 
@@ -278,6 +303,14 @@ ORACLES: dict[str, str] = {
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         FROM events
     """,
+    "variant_props_metrics": """
+        SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10
+                    AS INTEGER) AS k_bucket,
+               count(*) AS n_events,
+               round(avg(value), 2) AS avg_value
+        FROM events
+        GROUP BY 1
+    """,
     "sessionize_events": f"""
         WITH flagged AS (
           SELECT user_id, event_id, ts,
@@ -415,6 +448,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "json_extract_props": json_extract_props,
+    "variant_props_metrics": variant_props_metrics,
     "sessionize_events": sessionize_events,
     "stats_by_type": stats_by_type,
     "percentiles_by_type": percentiles_by_type,

@@ -23,6 +23,7 @@ from .operators import (
     curation,
     dedup,
     events_analytics,
+    hierarchy,
     multimodal,
     observability,
     pipeline,
@@ -472,6 +473,7 @@ _STREAMING_ORACLES: dict[str, str] = {
 _TABLE_MODULES = (
     campaign,
     curation,
+    hierarchy,
     observability,
     relational,
     relational2,
@@ -536,6 +538,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_campaign_summary",
     "observed_gate_metrics",
     "streaming_observed_metrics",
+    "referral_chain_depths",
+    "variant_props_metrics",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

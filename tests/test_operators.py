@@ -701,3 +701,38 @@ def test_observed_gate_metrics_empty_corpus(spark):
         r["max_chars"],
         r["n_pass"],
     ) == (0, 0, 0, 0, 0, 0)
+
+
+def test_variant_extraction_equals_json_path(spark):
+    """Variant-typed extraction (parse_json → variant_get) agrees value-
+    for-value with the classic get_json_object path on the same payloads."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, SF_DIR)
+    ev = t["events"].select(
+        F.get_json_object("props", "$.k").cast("int").alias("classic"),
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("via_variant"),
+    )
+    assert ev.where(
+        ~F.col("classic").eqNullSafe(F.col("via_variant"))
+    ).count() == 0
+
+
+def test_referral_chain_depth_is_log2(spark):
+    """The recursive-CTE ascent terminates with depth == floor(log2(key))
+    for every customer — the analytic closed form of the binary tree."""
+    import math
+
+    from streamming_processing_pyspark_spark.operators import hierarchy
+
+    t = load_tables(spark, SF_DIR)
+    got = {
+        r["depth"]: r["n_customers"]
+        for r in hierarchy.referral_chain_depths(t).collect()
+    }
+    keys = [r["c_custkey"] for r in t["customer"].select("c_custkey").collect()]
+    want: dict[int, int] = {}
+    for k in keys:
+        d = int(math.log2(k)) if k >= 1 else 0
+        want[d] = want.get(d, 0) + 1
+    assert got == want
