@@ -109,6 +109,8 @@ QUERIES = [
     "value_winsorize",
     "dedup_clusters_minhash_check",
     "dedup_campaign_summary",
+    "referral_chain_depths",
+    "variant_props_metrics",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_returnflag_priority",
