@@ -11,6 +11,24 @@ only adapts the registry to the driver's signatures.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# Python workers resolve cloudpickled module-level helpers by import, so the
+# package dir must be importable IN THE WORKER. When the driver's cwd is this
+# repo (the driver's own invocation) the pyspark daemon picks it up from its
+# cwd; exporting PYTHONPATH additionally covers harnesses that import this
+# file from elsewhere before creating their SparkSession.
+_REPO = _os.path.dirname(_os.path.abspath(__file__))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+if _REPO not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _REPO + _os.pathsep + _os.environ["PYTHONPATH"]
+        if _os.environ.get("PYTHONPATH")
+        else _REPO
+    )
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession

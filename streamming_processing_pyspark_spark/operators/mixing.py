@@ -1,0 +1,275 @@
+"""Data-mixing operators for training-corpus construction: importance
+resampling toward a target distribution (DSIR) and temperature-scaled
+source balancing.
+
+- :func:`dsir_resample` — Data Selection via Importance Resampling
+  (Xie et al. 2023, "Data Selection for Language Models via Importance
+  Resampling"): hashed-bigram bag-of-ngrams features, per-bucket
+  log-likelihood ratios between a *target* slice and the *raw* pool,
+  per-document importance scores, and a top-N selection of the raw docs
+  that look most like the target. The classic use: select from a 100 TB
+  crawl the slice that best matches a curated target corpus.
+- :func:`temperature_mix_sample` — temperature-flattened mixing across
+  an imbalanced group key (here ``lang``): each group is downsampled at
+  rate ``(n_min/n_g)^(1/2)`` (tau = 0.5), the standard move (mT5/XLM-R
+  style alpha-sampling) that keeps low-resource groups over-represented
+  relative to their raw share. The Bernoulli gate is *exact integer
+  arithmetic* — ``h² · n_g < MOD² · n_min`` — so both engines agree
+  bit-for-bit with zero float ops.
+
+Scale notes (100 TB): DSIR is two corpus scans (one to count bucket
+occupancies — B counters per task, map-side combined into a B-row frame —
+and one to score) plus a broadcast of the B-row log-ratio table; the
+per-doc fold is over that doc's own bigrams only. The top-N is a
+``TakeOrderedAndProject`` (per-partition heaps), never a global sort.
+Temperature mixing is one tiny per-group count aggregate broadcast back
+over a map-only filter. Neither moves corpus-sized data through a
+shuffle beyond the one aggregation each.
+
+Determinism contract: the bucket log-ratio is ONE ``ln`` of an exact
+integer rational and the per-doc score folds those terms in document
+position order on both engines (collect_list → array_sort → aggregate in
+Spark; ``list(lr ORDER BY pos)`` → list_reduce in DuckDB), so the only
+cross-engine divergence is the ≤1-ulp libm ``ln`` class already accepted
+for ``udtf._geomean`` / ``weighted_sample_per_lang``; the emitted score
+is floored to millis to keep that class away from the hash. At 100 TB
+the integer products inside the rational can exceed 2^53 — production
+would switch to the log-difference form and drop the hash-exactness
+claim, which is a contract choice, not a plan change.
+
+Reference scope note: the reference project (``/root/reference``,
+Task2-4/Client.py) has no data-mixing surface; these extend the engine
+for the training-data use case per the build plan (SURVEY.md §7 phase 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Tables = dict[str, DataFrame]
+
+#: modulus of the portable affine-fold hash (cf. pipeline._group_hash)
+_HASH_MOD = 1_000_000_007
+
+#: hashed-ngram feature buckets (DSIR uses 10k on real corpora; 512 keeps
+#: the synthetic vocab from spreading one word over many buckets)
+DSIR_BUCKETS = 512
+
+#: the target slice the importance weights point toward
+DSIR_TARGET_LANG = "en"
+
+#: how many raw docs the resampling step keeps
+DSIR_N = 100
+
+#: temperature-mix group key lives on documents.lang (en is ~3× fr in the
+#: synthetic corpus, so the flattening is visibly non-trivial)
+TEMP_TAU_NUM, TEMP_TAU_DEN = 1, 2  # tau = 1/2 → rate = sqrt(n_min/n_g)
+
+#: gate-grade hash constants: a Bernoulli accept gate needs a UNIFORM
+#: u = h/MOD, which the affine char-fold does not give for short keys
+#: (nearby ids differ by tiny deltas; measured mean(u) ≈ 0.25 on
+#: sequential doc_ids). For integer keys the multiplicative congruential
+#: hash h = (id·A + B) mod P is exact in both engines ((id mod P)·A
+#: < 10^18 fits BIGINT) and measured decile-uniform on 0..n ids.
+GATE_A, GATE_B = 736_338_717, 198_491_317
+
+
+def _gate_hash(col: str) -> F.Column:
+    """Uniform portable hash of a BIGINT column into [0, _HASH_MOD)."""
+    return F.expr(
+        f"(({col} % {_HASH_MOD}) * {GATE_A} + {GATE_B}) % {_HASH_MOD}"
+    )
+
+
+def _bigrams_sql(text_col: str = "text") -> str:
+    """Array of adjacent-token bigram strings, in document order."""
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    return (
+        f"transform(slice({toks}, 1, greatest(size({toks}) - 1, 0)),"
+        f" (w, i) -> concat(w, ' ', element_at({toks}, i + 2)))"
+    )
+
+
+def _bucket_sql(col: str) -> str:
+    """Portable affine-fold hash of a string column into a DSIR bucket."""
+    return (
+        f"aggregate(split({col}, ''), CAST(7 AS BIGINT),"
+        f" (a, c) -> (a * 31 + ascii(c)) % {_HASH_MOD}) % {DSIR_BUCKETS}"
+    )
+
+
+def _doc_bucket_hits(t: Tables) -> DataFrame:
+    """(doc_id, lang, pos, bucket) — one row per bigram occurrence."""
+    return (
+        t["documents"]
+        .select("doc_id", "lang", F.expr(_bigrams_sql()).alias("bgs"))
+        .select("doc_id", "lang", F.posexplode("bgs").alias("pos", "bg"))
+        .select("doc_id", "lang", "pos", F.expr(_bucket_sql("bg")).alias("bucket"))
+    )
+
+
+def dsir_resample(t: Tables) -> DataFrame:
+    """Top-``DSIR_N`` raw documents by DSIR importance toward the target.
+
+    Pipeline: hashed-bigram occurrences → per-bucket (target, raw)
+    counts with add-one smoothing → per-bucket log-likelihood ratio
+    ``ln(((t_b+1)·(R+B)) / ((r_b+1)·(T+B)))`` (one ln of an exact
+    rational) → per-raw-doc score = position-ordered fold of its
+    bigrams' ratios → top-N by score. The B-row ratio table broadcasts;
+    the heavy side is scanned twice and shuffled once per aggregate.
+    """
+    hits = _doc_bucket_hits(t)
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    counts = hits.groupBy("bucket").agg(
+        F.sum(is_t.cast("long")).alias("t_b"),
+        F.sum((~is_t).cast("long")).alias("r_b"),
+    )
+    totals = counts.agg(
+        F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot")
+    )
+    lr = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.log(
+                ((F.col("t_b") + 1) * (F.col("r_tot") + DSIR_BUCKETS))
+                / ((F.col("r_b") + 1) * (F.col("t_tot") + DSIR_BUCKETS))
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        hits.where(~is_t)
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.array_sort(F.collect_list(F.struct("pos", "lr"))).alias("parts"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.expr(
+                "aggregate(parts, CAST(0.0 AS DOUBLE), (a, x) -> a + x.lr)"
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(DSIR_N)
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.floor(F.col("score") * 1000).cast("long").alias("score_milli"),
+        )
+    )
+
+
+def temperature_mix_sample(t: Tables) -> DataFrame:
+    """Deterministic temperature-flattened sample across ``lang``.
+
+    Accept doc iff ``h² · n_g < MOD² · n_min`` where h is the uniform
+    multiplicative-congruential gate hash of doc_id — algebraically
+    ``u < sqrt(n_min/n_g)`` with u = h/MOD, i.e. per-group rate
+    ``(n_min/n_g)^tau`` at tau=1/2, with no float anywhere (h² fits a
+    BIGINT; the n-scaled products run in DECIMAL(38,0) / HUGEINT). The
+    group-count frame is lang-cardinality rows, broadcast; the accept
+    test is map-only.
+    """
+    d = t["documents"].select(
+        "doc_id",
+        "lang",
+        _gate_hash("doc_id").alias("h"),
+    )
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_g"))
+    nmin = counts.agg(F.min("n_g").alias("n_min"))
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(nmin))
+        .where(
+            F.expr(
+                "CAST(h * h AS DECIMAL(38,0)) * n_g"
+                f" < CAST({_HASH_MOD} AS DECIMAL(38,0)) * {_HASH_MOD} * n_min"
+            )
+        )
+        .select("doc_id", "lang")
+    )
+
+
+QUERIES = {
+    "dsir_resample": dsir_resample,
+    "temperature_mix_sample": temperature_mix_sample,
+}
+
+#: DuckDB mirror of the affine-fold hash over a string expression
+_FOLD = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT),"
+    " list_transform(string_split_regex({s}, ''),"
+    " c -> CAST(ascii(c) AS BIGINT))),"
+    f" (a, b) -> (a * 31 + b) % {_HASH_MOD})"
+)
+
+ORACLES: dict[str, str] = {
+    "dsir_resample": f"""
+        WITH toks AS (
+          SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS tk
+          FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, lang, tk,
+                 unnest(range(len(tk) - 1)) AS i
+          FROM toks
+        ),
+        bg AS (
+          SELECT doc_id, lang, CAST(i AS INT) AS pos,
+                 {_FOLD.format(s="tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)]")}
+                   % {DSIR_BUCKETS} AS bucket
+          FROM idx
+        ),
+        cnt AS (
+          SELECT bucket,
+                 sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                   AS t_b,
+                 sum(CASE WHEN lang != '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                   AS r_b
+          FROM bg GROUP BY bucket
+        ),
+        tot AS (SELECT sum(t_b) AS t_tot, sum(r_b) AS r_tot FROM cnt),
+        lr AS (
+          SELECT bucket,
+                 ln(((t_b + 1) * (r_tot + {DSIR_BUCKETS}))
+                    / ((r_b + 1) * (t_tot + {DSIR_BUCKETS}))) AS lr
+          FROM cnt, tot
+        ),
+        sc AS (
+          SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE), list(lr ORDER BY pos)),
+                   (a, b) -> a + b) AS score
+          FROM bg JOIN lr USING (bucket)
+          WHERE lang != '{DSIR_TARGET_LANG}'
+          GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, n_bigrams,
+               CAST(floor(score * 1000) AS BIGINT) AS score_milli
+        FROM sc
+        ORDER BY score DESC, doc_id
+        LIMIT {DSIR_N}
+    """,
+    "temperature_mix_sample": f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 ((doc_id % {_HASH_MOD}) * {GATE_A} + {GATE_B})
+                   % {_HASH_MOD} AS h
+          FROM documents
+        ),
+        g AS (SELECT lang, count(*) AS n_g FROM d GROUP BY lang),
+        m AS (SELECT min(n_g) AS n_min FROM g)
+        SELECT doc_id, lang
+        FROM d JOIN g USING (lang), m
+        WHERE CAST(h AS HUGEINT) * h * n_g
+              < CAST({_HASH_MOD} AS HUGEINT) * {_HASH_MOD} * n_min
+    """,
+}

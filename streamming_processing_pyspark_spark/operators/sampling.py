@@ -195,10 +195,43 @@ def filter_agreement_kappa(t: Tables) -> DataFrame:
     )
 
 
+def label_balanced_sample(t: Tables) -> DataFrame:
+    """Class rebalancing: an equal number of vectors per label, the quota
+    being the minority class's count — the standard downsampling move
+    before training a classifier on skewed labels.
+
+    Selection is deterministic (portable hash rank within each label, so
+    DuckDB replays the exact winner set). Plan: one row_number window
+    per label (single hash shuffle of (vec_id, label, hash) — narrow
+    rows, never the vectors) plus a 1-row quota aggregate broadcast back.
+    At 100 TB the quota is normally an explicit parameter (mixture
+    spec); the dynamic min-count form shown here costs one extra tiny
+    aggregation branch, nothing corpus-sized.
+    """
+    from .pipeline import _group_hash
+
+    emb = t["embeddings"].select(
+        "vec_id", "label", _group_hash("CAST(vec_id AS STRING)").alias("h")
+    )
+    quota = (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").alias("quota"))
+    )
+    w = Window.partitionBy("label").orderBy("h", "vec_id")
+    return (
+        emb.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(quota))
+        .where(F.col("rk") <= F.col("quota"))
+        .select("vec_id", "label")
+    )
+
+
 QUERIES = {
     "weighted_sample_per_lang": weighted_sample_per_lang,
     "gopher_quality_flags": gopher_quality_flags,
     "filter_agreement_kappa": filter_agreement_kappa,
+    "label_balanced_sample": label_balanced_sample,
 }
 
 def _kappa_oracle() -> str:
@@ -297,3 +330,22 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES["filter_agreement_kappa"] = _kappa_oracle()
+
+ORACLES["label_balanced_sample"] = f"""
+    WITH h AS (
+      SELECT vec_id, label,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split_regex(CAST(vec_id AS VARCHAR), ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % {_HASH_MOD}) AS hh
+      FROM embeddings
+    ),
+    q AS (SELECT min(cnt) AS quota
+          FROM (SELECT count(*) AS cnt FROM h GROUP BY label)),
+    r AS (SELECT vec_id, label,
+                 row_number() OVER (PARTITION BY label ORDER BY hh, vec_id)
+                   AS rk
+          FROM h)
+    SELECT vec_id, label FROM r, q WHERE rk <= quota
+"""

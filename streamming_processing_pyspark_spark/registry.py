@@ -24,6 +24,7 @@ from .operators import (
     dedup,
     events_analytics,
     hierarchy,
+    mixing,
     multimodal,
     observability,
     pipeline,
@@ -493,6 +494,7 @@ _TABLE_MODULES = (
     multimodal,
     pipeline,
     sampling,
+    mixing,
 )
 
 
@@ -540,6 +542,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_observed_metrics",
     "referral_chain_depths",
     "variant_props_metrics",
+    "label_balanced_sample",
+    "dsir_resample",
+    "temperature_mix_sample",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",
