@@ -119,24 +119,24 @@ def dsir_resample(t: Tables) -> DataFrame:
     bigrams' ratios → top-N by score. The B-row ratio table broadcasts;
     the heavy side is scanned twice and shuffled once per aggregate.
     """
+    from pyspark.sql import Window
+
     hits = _doc_bucket_hits(t)
     is_t = F.col("lang") == DSIR_TARGET_LANG
     counts = hits.groupBy("bucket").agg(
         F.sum(is_t.cast("long")).alias("t_b"),
         F.sum((~is_t).cast("long")).alias("r_b"),
     )
-    totals = counts.agg(
-        F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot")
-    )
-    lr = (
-        counts.crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            F.log(
-                ((F.col("t_b") + 1) * (F.col("r_tot") + DSIR_BUCKETS))
-                / ((F.col("r_b") + 1) * (F.col("t_tot") + DSIR_BUCKETS))
-            ).alias("lr"),
-        )
+    # corpus totals via an unpartitioned window over the B-row counts
+    # frame (tiny, post-aggregate) — a separate agg branch would recompute
+    # the whole tokenize-and-count subtree for a 1-row result
+    w_all = Window.partitionBy()
+    lr = counts.select(
+        "bucket",
+        F.log(
+            ((F.col("t_b") + 1) * (F.sum("r_b").over(w_all) + DSIR_BUCKETS))
+            / ((F.col("r_b") + 1) * (F.sum("t_b").over(w_all) + DSIR_BUCKETS))
+        ).alias("lr"),
     )
     scored = (
         hits.where(~is_t)
@@ -178,16 +178,23 @@ def temperature_mix_sample(t: Tables) -> DataFrame:
     group-count frame is lang-cardinality rows, broadcast; the accept
     test is map-only.
     """
+    from pyspark.sql import Window
+
     d = t["documents"].select(
         "doc_id",
         "lang",
         _gate_hash("doc_id").alias("h"),
     )
-    counts = d.groupBy("lang").agg(F.count("*").alias("n_g"))
-    nmin = counts.agg(F.min("n_g").alias("n_min"))
+    # n_min folded onto the group-count frame with an unpartitioned window
+    # (lang-cardinality rows, post-aggregate) instead of a second agg
+    # branch that would re-scan documents for one number
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_g"))
+        .withColumn("n_min", F.min("n_g").over(Window.partitionBy()))
+    )
     return (
         d.join(F.broadcast(counts), "lang")
-        .crossJoin(F.broadcast(nmin))
         .where(
             F.expr(
                 "CAST(h * h AS DECIMAL(38,0)) * n_g"

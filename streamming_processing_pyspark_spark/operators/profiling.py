@@ -303,12 +303,120 @@ def value_winsorize(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: Bloom prefilter sizing: m bits packed into m/64 BIGINT words. At the
+#: test SF the dim side is ~300 keys → k=3, m=16384 gives fp ≈ 2e-4; the
+#: words frame is ≤ 2 KB broadcast. At 100 TB the same shape holds with
+#: m sized to the dim-side cardinality (the words array is m/64 longs —
+#: 16 MB covers a billion-key dim at 1% fp).
+BLOOM_BITS = 16_384
+#: independent affine probe hashes (multiplicative-congruential family,
+#: cf. mixing.GATE_A: uniform on integer keys, portable to the oracle)
+BLOOM_SEEDS = (
+    (736_338_717, 198_491_317),
+    (613_651_349, 87_178_291),
+    (297_521_401, 514_229_077),
+)
+_BLOOM_MOD = 1_000_000_007
+#: dim-side predicate for the check query
+BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_positions(key_sql: str) -> list[str]:
+    """The k probe-bit positions of an integer key, as SQL expressions
+    portable to DuckDB (all intermediates < 10^18, BIGINT-safe)."""
+    return [
+        f"((({key_sql}) % {_BLOOM_MOD}) * {a} + {b}) % {_BLOOM_MOD} % {BLOOM_BITS}"
+        for a, b in BLOOM_SEEDS
+    ]
+
+
+def bloom_prefilter_check(tables: dict[str, DataFrame]) -> DataFrame:
+    """Runtime-filter join pruning, measured: build a Bloom filter from
+    the dim side (customers in one market segment) and probe every fact
+    row (orders) BEFORE the join — the semi-join pushdown that at 100 TB
+    turns a full fact shuffle into a scan-side drop of the ~80% of rows
+    that cannot match. Spark's own AQE injects this shape invisibly
+    (spark.sql.optimizer.runtime.bloomFilter.enabled); this operator is
+    the explicit, measurable form.
+
+    The filter is m bits packed into m/64 BIGINT words (``bit_or`` of
+    per-position masks → one map<widx,word> row, broadcast); membership
+    is k pure-SQL bit probes — no Python, no UDF. Because the probe
+    hashes are the portable multiplicative family, DuckDB rebuilds the
+    IDENTICAL bit set, so the contract row hash-matches on real numbers:
+    fact count, true-match count, bloom-pass count, false negatives
+    (must be 0 — Blooms have none), and the realized false-positive rate
+    in basis points of the true non-matches.
+    """
+    dim = (
+        tables["customer"]
+        .where(F.col("c_mktsegment") == BLOOM_SEGMENT)
+        .select("c_custkey")
+    )
+    positions = dim.select(
+        F.explode(
+            F.array(*[F.expr(p).cast("long") for p in _bloom_positions("c_custkey")])
+        ).alias("pos")
+    ).distinct()
+    bloom = (
+        positions.select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(mask)").alias("w"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("widx", "w"))).alias("bmap")
+        )
+    )
+    # one bit-test per probe: arithmetic >> keeps bit b at the low end
+    pass_expr = " AND ".join(
+        f"(shiftright(coalesce(element_at(bmap, CAST(({p}) DIV 64 AS INT)),"
+        f" CAST(0 AS BIGINT)), CAST(({p}) % 64 AS INT)) & 1) = 1"
+        for p in _bloom_positions("o_custkey")
+    )
+    fact = tables["orders"].select("o_custkey")
+    flags = (
+        fact.join(
+            F.broadcast(dim), fact["o_custkey"] == dim["c_custkey"], "left"
+        )
+        .crossJoin(F.broadcast(bloom))
+        .select(
+            F.col("c_custkey").isNotNull().alias("is_true"),
+            F.expr(pass_expr).alias("bloom_pass"),
+        )
+    )
+    return (
+        flags.agg(
+            F.count("*").alias("n_fact"),
+            F.sum(F.col("is_true").cast("long")).alias("n_true"),
+            F.sum(F.col("bloom_pass").cast("long")).alias("n_pass"),
+            F.sum((F.col("is_true") & ~F.col("bloom_pass")).cast("long")).alias(
+                "n_false_neg"
+            ),
+        )
+        .select(
+            "n_fact",
+            "n_true",
+            "n_pass",
+            "n_false_neg",
+            F.expr(
+                "CASE WHEN n_fact > n_true THEN"
+                " 10000 * (n_pass - n_true) DIV (n_fact - n_true) END"
+            ).alias("fp_bp"),
+        )
+    )
+
+
 QUERIES = {
     "events_column_profile": events_column_profile,
     "top_event_by_value_per_user": top_event_by_value_per_user,
     "data_quality_checks": data_quality_checks,
     "value_drift_ks": value_drift_ks,
     "value_winsorize": value_winsorize,
+    "bloom_prefilter_check": bloom_prefilter_check,
 }
 
 _DQ_EXPRS = {
@@ -456,3 +564,39 @@ ORACLES: dict[str, str] = {
         FROM ranked GROUP BY user_id
     """,
 }
+
+_BLOOM_SEEDS_SQL = ", ".join(f"({a}, {b})" for a, b in BLOOM_SEEDS)
+_BLOOM_PROBES_ORDERS = _bloom_positions("o.o_custkey")
+
+ORACLES["bloom_prefilter_check"] = f"""
+    WITH dim AS (
+      SELECT c_custkey AS k FROM customer
+      WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+    ),
+    seeds(a, b) AS (VALUES {_BLOOM_SEEDS_SQL}),
+    bits AS (
+      SELECT DISTINCT ((k % {_BLOOM_MOD}) * a + b) % {_BLOOM_MOD}
+                        % {BLOOM_BITS} AS pos
+      FROM dim, seeds
+    ),
+    flags AS (
+      SELECT (d.k IS NOT NULL) AS is_true,
+             ({_BLOOM_PROBES_ORDERS[0]}) IN (SELECT pos FROM bits)
+             AND ({_BLOOM_PROBES_ORDERS[1]}) IN (SELECT pos FROM bits)
+             AND ({_BLOOM_PROBES_ORDERS[2]}) IN (SELECT pos FROM bits)
+               AS bloom_pass
+      FROM orders o LEFT JOIN dim d ON o.o_custkey = d.k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_fact,
+           CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN is_true AND NOT bloom_pass THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_neg,
+           CASE WHEN count(*) > sum(CASE WHEN is_true THEN 1 ELSE 0 END)
+                THEN CAST(10000 * (sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)
+                            - sum(CASE WHEN is_true THEN 1 ELSE 0 END))
+                     // (count(*) - sum(CASE WHEN is_true THEN 1 ELSE 0 END))
+                     AS BIGINT)
+           END AS fp_bp
+    FROM flags
+"""

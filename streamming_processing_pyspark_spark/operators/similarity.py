@@ -107,6 +107,50 @@ def quality_filtered_ann(t: Tables) -> DataFrame:
     )
 
 
+#: cosine floor for range search (the top pairwise cosines to the query
+#: vector in the synthetic corpus sit ≈0.37; 0.25 returns a small
+#: multi-row neighborhood at every test SF)
+RANGE_THRESHOLD = 0.25
+
+
+def cosine_range_search(t: Tables) -> DataFrame:
+    """Radius search: every vector with cosine ≥ ``RANGE_THRESHOLD`` to
+    the query vector — the dual of top-k (fixed quality floor, unbounded
+    k), used for "collect ALL near-duplicates of this item" rather than
+    "the best k".
+
+    Same single-scan shape as :func:`cosine_topk` (broadcast 1-row query,
+    Arrow-batched BLAS scoring) but the reducer is a plain filter: no
+    ordering, no heap, so the output needs no global structure at all —
+    at 100 TB this is embarrassingly parallel end-to-end. The threshold
+    compares the 6-dp ROUNDED score (same value both engines emit), so
+    the boundary is exact, not a float race.
+
+    Plan note: the score UDF is marked nondeterministic HERE (it is in
+    fact pure) purely as an optimizer fence — otherwise Catalyst pushes
+    the threshold predicate into the broadcast join condition, then
+    ``ExtractPythonUDFFromJoinCondition`` hoists it back out as a SECOND
+    ``ArrowEvalPython`` node and every vector is scored twice. With the
+    fence the plan keeps one scoring pass and filters above it.
+    """
+    emb = fan_out(
+        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    )
+    qvec = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec").alias("qvec")
+    )
+    cos_once = cosine_pudf.asNondeterministic()
+    return (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            F.round(cos_once(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= RANGE_THRESHOLD)
+    )
+
+
 def filtered_cosine_topk(t: Tables) -> DataFrame:
     """Metadata-filtered vector search: top-k among rows matching a
     predicate (label = FILTER_LABEL), ranked by cosine to the query vector.
@@ -951,6 +995,14 @@ ORACLES: dict[str, str] = {
         ORDER BY cos_sim DESC, a.vec_id
         LIMIT {TOPK}
     """,
+    "cosine_range_search": f"""
+        SELECT a.vec_id AS vec_id,
+               {_COS_DUCK.replace('b.embedding', 'q.embedding')} AS cos_sim
+        FROM embeddings a,
+             (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE a.vec_id != {QUERY_VEC_ID}
+          AND {_COS_DUCK.replace('b.embedding', 'q.embedding')} >= {RANGE_THRESHOLD}
+    """,
     "filtered_cosine_topk": f"""
         SELECT a.vec_id AS vec_id, a.label AS label,
                {_COS_DUCK.replace('b.embedding', 'q.embedding')} AS cos_sim
@@ -1067,6 +1119,7 @@ ORACLES["quality_filtered_ann"] = _quality_filtered_ann_oracle()
 
 QUERIES = {
     "cosine_topk": cosine_topk,
+    "cosine_range_search": cosine_range_search,
     "filtered_cosine_topk": filtered_cosine_topk,
     "quality_filtered_ann": quality_filtered_ann,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,

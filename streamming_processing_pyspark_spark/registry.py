@@ -545,6 +545,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "label_balanced_sample",
     "dsir_resample",
     "temperature_mix_sample",
+    "bloom_prefilter_check",
+    "cosine_range_search",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -782,3 +782,30 @@ def test_dsir_resample_scores_target_lookalikes(spark):
     millis = [r["score_milli"] for r in rows]
     assert all(a >= b for a, b in zip(millis, millis[1:]))
     assert all(r["n_bigrams"] >= 1 for r in rows)
+
+
+def test_cosine_range_search_supersets_topk(spark):
+    """Range search at the floor must contain every top-k hit whose score
+    clears the floor (both read the same 6-dp rounded score)."""
+    t = load_tables(spark, SF_DIR)
+    topk = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.cosine_topk(t).collect()
+    }
+    rng = {r["vec_id"]: r["cos_sim"] for r in similarity.cosine_range_search(t).collect()}
+    for vid, sim in topk.items():
+        if sim >= similarity.RANGE_THRESHOLD:
+            assert rng.get(vid) == sim, (vid, sim)
+    assert all(sim >= similarity.RANGE_THRESHOLD for sim in rng.values())
+
+
+def test_bloom_prefilter_invariants(spark):
+    """Blooms never drop a true match, and the realized fp rate stays far
+    under the sizing bound (m=16384, k=3, n≈dim-side keys)."""
+    from streamming_processing_pyspark_spark.operators import profiling
+
+    t = load_tables(spark, SF_DIR)
+    row = profiling.bloom_prefilter_check(t).collect()[0]
+    assert row["n_false_neg"] == 0
+    assert row["n_pass"] >= row["n_true"]
+    assert row["fp_bp"] is None or row["fp_bp"] <= 100  # ≤1% at test sizing

@@ -119,6 +119,11 @@ QUERIES = [
     "q21_waiting_suppliers",
     "cms_bigram_check",
     "quality_filtered_ann",
+    "label_balanced_sample",
+    "dsir_resample",
+    "temperature_mix_sample",
+    "bloom_prefilter_check",
+    "cosine_range_search",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
