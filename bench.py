@@ -94,6 +94,12 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "cms_bigram_check",
     "observed_gate_metrics",
+    # round-5 additions: mixing, join prefilter, range search, overlap
+    "dsir_resample",
+    "temperature_mix_sample",
+    "bloom_prefilter_check",
+    "cosine_range_search",
+    "source_overlap_matrix",
 ]
 
 

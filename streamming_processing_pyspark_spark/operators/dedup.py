@@ -751,8 +751,64 @@ def dedup_graph_stats(t: Tables) -> DataFrame:
     )
 
 
+def source_overlap_matrix(t: Tables) -> DataFrame:
+    """Pairwise shingle overlap between sources — the corpus-composition
+    diagnostic run before mixing: which crawls/dumps duplicate each
+    other, and how badly (cross-source contamination drives both wasted
+    tokens and train/eval leakage when splits are drawn by source).
+
+    Shape: per-doc distinct 3-gram shingles (the Arrow-batched shingler
+    shared with the dedup ladder) → distinct (source, shingle) pairs →
+    equi-join on shingle with ``source_a < source_b`` → one count per
+    source pair, joined to broadcast per-source set sizes for the exact
+    Jaccard in integer basis points. The shingle join's fan-out per
+    shingle is bounded by the number of sources holding it (≤ |sources|,
+    20 here); for web-scale *domain* counts the frequent-shingle cap
+    from :func:`ngram_jaccard_pairs` applies unchanged. Everything past
+    the distinct is |sources|²-sized, i.e. tiny.
+    """
+    src = t["documents"].select("doc_id", "source")
+    ss = (
+        _exploded_shingles(t["documents"])
+        .join(src, "doc_id")
+        .select("source", "sh")
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        ss.alias("a")
+        .join(
+            ss.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("n_sh", "n_a"))
+    sb = F.broadcast(sizes.withColumnRenamed("source", "source_b").withColumnRenamed("n_sh", "n_b"))
+    return (
+        pairs.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(
+                "10000 * n_common DIV (n_a + n_b - n_common)"
+            ).alias("jaccard_bp"),
+        )
+    )
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "source_overlap_matrix": source_overlap_matrix,
     "dedup_graph_stats": dedup_graph_stats,
     "dedup_keep_first": dedup_keep_first,
     "name_near_dup_pairs": name_near_dup_pairs,
@@ -764,3 +820,34 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_locality_check": simhash_locality_check,
 }
+
+ORACLES["source_overlap_matrix"] = f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, len(ws) - {SHINGLE_WORDS - 1}),
+               i -> {" || ' ' || ".join(f"ws[i + {j}]" for j in range(SHINGLE_WORDS))}
+             )) AS shingles
+      FROM w WHERE len(ws) >= {SHINGLE_WORDS}
+    ),
+    ss AS (SELECT DISTINCT source, unnest(shingles) AS sh FROM s),
+    sizes AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+           n_common,
+           CAST(10000 * n_common // (sa.n_sh + sb.n_sh - n_common) AS BIGINT)
+             AS jaccard_bp
+    FROM p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+"""

@@ -82,30 +82,48 @@ def _gate_hash(col: str) -> F.Column:
     )
 
 
-def _bigrams_sql(text_col: str = "text") -> str:
-    """Array of adjacent-token bigram strings, in document order."""
-    toks = f"split(trim({text_col}), '\\\\s+')"
-    return (
-        f"transform(slice({toks}, 1, greatest(size({toks}) - 1, 0)),"
-        f" (w, i) -> concat(w, ' ', element_at({toks}, i + 2)))"
-    )
+def _doc_bucket_hits(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, pos, bucket) — one row per bigram occurrence.
 
+    Arrow-batched (mapInPandas) for the same measured reason as
+    ``dedup._shingles``: the pure-Catalyst form (posexplode of a
+    ``transform``-built bigram array + per-char ``aggregate`` fold) runs
+    interpreted per element and dominated the query (~15 s of an sf0.1
+    run); the batched form does identical string work in Python with a
+    per-batch memo on repeated bigrams. Semantics unchanged and
+    oracle-portable: whitespace split of trimmed text, 0-based bigram
+    position, affine char fold mod ``_HASH_MOD`` into ``DSIR_BUCKETS``.
+    """
 
-def _bucket_sql(col: str) -> str:
-    """Portable affine-fold hash of a string column into a DSIR bucket."""
-    return (
-        f"aggregate(split({col}, ''), CAST(7 AS BIGINT),"
-        f" (a, c) -> (a * 31 + ascii(c)) % {_HASH_MOD}) % {DSIR_BUCKETS}"
-    )
+    def hit_batches(batches):
+        import pandas as pd
 
+        mod, nb = _HASH_MOD, DSIR_BUCKETS
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids, langs, poss, buckets = [], [], [], []
+            for doc_id, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+                ws = text.strip().split()
+                for i in range(len(ws) - 1):
+                    bg = ws[i] + " " + ws[i + 1]
+                    b = memo.get(bg)
+                    if b is None:
+                        a = 7
+                        for c in bg:
+                            a = (a * 31 + ord(c)) % mod
+                        b = memo[bg] = a % nb
+                    ids.append(doc_id)
+                    langs.append(lang)
+                    poss.append(i)
+                    buckets.append(b)
+            yield pd.DataFrame(
+                {"doc_id": ids, "lang": langs, "pos": poss, "bucket": buckets}
+            )
 
-def _doc_bucket_hits(t: Tables) -> DataFrame:
-    """(doc_id, lang, pos, bucket) — one row per bigram occurrence."""
-    return (
-        t["documents"]
-        .select("doc_id", "lang", F.expr(_bigrams_sql()).alias("bgs"))
-        .select("doc_id", "lang", F.posexplode("bgs").alias("pos", "bg"))
-        .select("doc_id", "lang", "pos", F.expr(_bucket_sql("bg")).alias("bucket"))
+    from ..tables import fan_out
+
+    return fan_out(docs.select("doc_id", "lang", "text")).mapInPandas(
+        hit_batches, schema="doc_id bigint, lang string, pos int, bucket bigint"
     )
 
 
@@ -121,9 +139,8 @@ def dsir_resample(t: Tables) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    hits = _doc_bucket_hits(t)
     is_t = F.col("lang") == DSIR_TARGET_LANG
-    counts = hits.groupBy("bucket").agg(
+    counts = _doc_bucket_hits(t["documents"]).groupBy("bucket").agg(
         F.sum(is_t.cast("long")).alias("t_b"),
         F.sum((~is_t).cast("long")).alias("r_b"),
     )
@@ -138,8 +155,10 @@ def dsir_resample(t: Tables) -> DataFrame:
             / ((F.col("r_b") + 1) * (F.sum("t_b").over(w_all) + DSIR_BUCKETS))
         ).alias("lr"),
     )
+    # scoring pass reads only the raw pool: the lang filter sits on the
+    # scan side of the second mapInPandas, so it pushes to parquet
     scored = (
-        hits.where(~is_t)
+        _doc_bucket_hits(t["documents"].where(~is_t))
         .join(F.broadcast(lr), "bucket")
         .groupBy("doc_id", "lang")
         .agg(

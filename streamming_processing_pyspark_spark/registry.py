@@ -547,6 +547,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "temperature_mix_sample",
     "bloom_prefilter_check",
     "cosine_range_search",
+    "source_overlap_matrix",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -124,6 +124,7 @@ QUERIES = [
     "temperature_mix_sample",
     "bloom_prefilter_check",
     "cosine_range_search",
+    "source_overlap_matrix",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"

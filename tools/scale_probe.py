@@ -33,6 +33,7 @@ from streamming_processing_pyspark_spark.operators import (
     campaign,
     curation,
     dedup,
+    mixing,
     pipeline,
     sampling,
     similarity,
@@ -55,6 +56,8 @@ OPS = {
     "gopher_quality_flags": sampling.gopher_quality_flags,
     "cms_bigram_check": sketches.cms_bigram_check,
     "dedup_campaign_summary": campaign.dedup_campaign_summary,
+    "dsir_resample": mixing.dsir_resample,
+    "temperature_mix_sample": mixing.temperature_mix_sample,
 }
 
 #: embedding-table operators probed against a scaled embeddings table.
@@ -67,6 +70,8 @@ EMB_OPS = {
     "semantic_dedup_pairs": similarity.semantic_dedup_pairs,
     "knn_join_topk": similarity.knn_join_topk,
     "pq_topk": similarity.pq_topk,
+    "cosine_range_search": similarity.cosine_range_search,
+    "label_balanced_sample": sampling.label_balanced_sample,
 }
 
 
