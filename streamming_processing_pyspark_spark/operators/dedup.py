@@ -767,12 +767,18 @@ def source_overlap_matrix(t: Tables) -> DataFrame:
     from :func:`ngram_jaccard_pairs` applies unchanged. Everything past
     the distinct is |sources|²-sized, i.e. tiny.
     """
+    from ..tables import persist_replacing
+
     src = t["documents"].select("doc_id", "source")
-    ss = (
+    # persisted: ss feeds the self-join (both sides) AND the sizes frame —
+    # without the pin each consumer re-runs the Arrow shingler scan
+    # (plan audit showed 4 documents scans; with it, one)
+    ss = persist_replacing(
         _exploded_shingles(t["documents"])
         .join(src, "doc_id")
         .select("source", "sh")
-        .distinct()
+        .distinct(),
+        "source_shingles",
     )
     sizes = ss.groupBy("source").agg(F.count("*").alias("n_sh"))
     pairs = (
