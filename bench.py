@@ -100,6 +100,8 @@ HEADLINE = [
     "bloom_prefilter_check",
     "cosine_range_search",
     "source_overlap_matrix",
+    "psi_value_drift",
+    "shingle_novelty_scores",
 ]
 
 

@@ -812,9 +812,48 @@ def source_overlap_matrix(t: Tables) -> DataFrame:
     )
 
 
+def shingle_novelty_scores(t: Tables) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct 3-gram
+    shingles NOT already seen in any earlier document (by doc_id — the
+    ingest order in this dataset). The redundancy-growth curve curation
+    teams watch: when marginal novelty collapses, additional crawl of
+    that source is pure dedup fodder.
+
+    One pass, no join, no persist: a partition-only window over the
+    exploded shingles marks each occurrence against its shingle's
+    first-seen doc (``min(doc_id) over (partition by sh)``), then a
+    per-doc aggregate emits counts and the novel share in integer basis
+    points. Two shuffles total (shingle window + doc aggregate), both on
+    narrow rows — at 100 TB "first seen" would be defined against a
+    corpus index epoch rather than doc_id order, same plan.
+    """
+    from pyspark.sql import Window
+
+    e = _exploded_shingles(t["documents"])
+    w = Window.partitionBy("sh")
+    marked = e.select(
+        "doc_id",
+        (F.min("doc_id").over(w) < F.col("doc_id")).alias("seen_before"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((~F.col("seen_before")).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("10000 * n_novel DIV n_shingles").alias("novel_bp"),
+        )
+    )
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
     "source_overlap_matrix": source_overlap_matrix,
+    "shingle_novelty_scores": shingle_novelty_scores,
     "dedup_graph_stats": dedup_graph_stats,
     "dedup_keep_first": dedup_keep_first,
     "name_near_dup_pairs": name_near_dup_pairs,
@@ -856,4 +895,32 @@ ORACLES["source_overlap_matrix"] = f"""
     FROM p
     JOIN sizes sa ON sa.source = p.source_a
     JOIN sizes sb ON sb.source = p.source_b
+"""
+
+ORACLES["shingle_novelty_scores"] = f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(ws) - {SHINGLE_WORDS - 1}),
+               i -> {" || ' ' || ".join(f"ws[i + {j}]" for j in range(SHINGLE_WORDS))}
+             )) AS shingles
+      FROM w WHERE len(ws) >= {SHINGLE_WORDS}
+    ),
+    e AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+    m AS (
+      SELECT doc_id,
+             (min(doc_id) OVER (PARTITION BY sh) < doc_id) AS seen_before
+      FROM e
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN seen_before THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_novel,
+           CAST(10000 * sum(CASE WHEN seen_before THEN 0 ELSE 1 END)
+                // count(*) AS BIGINT) AS novel_bp
+    FROM m GROUP BY doc_id
 """

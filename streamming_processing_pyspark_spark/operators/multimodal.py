@@ -46,30 +46,35 @@ def with_binary_payload(documents: DataFrame) -> DataFrame:
     )
 
 
-def _extract_features(batches: Iterator) -> Iterator:
-    """Arrow-batched feature extraction over the binary payload.
+def multimodal_features(t: Tables) -> DataFrame:
+    """Binary-payload feature extraction via mapInPandas (the real plumbing).
 
     Pure-integer features so results are bit-exact and oracle-checkable:
     byte length, byte-sum checksum, frame count at FRAME_BYTES per frame.
+
+    The batch function is NESTED (like every other Arrow UDF in the
+    package) so cloudpickle ships it by value: a module-level function is
+    pickled by reference and requires the package to be importable on the
+    Python workers, which breaks when the driver process wasn't launched
+    from the repo root.
     """
-    import pandas as pd
 
-    for pdf in batches:
-        payloads = pdf["payload"]
-        byte_len = payloads.map(len)
-        checksum = payloads.map(lambda b: sum(b) % CHECKSUM_MOD)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "byte_len": byte_len.astype("int32"),
-                "checksum": checksum.astype("int32"),
-                "n_frames": (byte_len // FRAME_BYTES + 1).astype("int32"),
-            }
-        )
+    def _extract_features(batches: Iterator) -> Iterator:
+        import pandas as pd
 
+        for pdf in batches:
+            payloads = pdf["payload"]
+            byte_len = payloads.map(len)
+            checksum = payloads.map(lambda b: sum(b) % CHECKSUM_MOD)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": byte_len.astype("int32"),
+                    "checksum": checksum.astype("int32"),
+                    "n_frames": (byte_len // FRAME_BYTES + 1).astype("int32"),
+                }
+            )
 
-def multimodal_features(t: Tables) -> DataFrame:
-    """Binary-payload feature extraction via mapInPandas (the real plumbing)."""
     payload = with_binary_payload(t["documents"])
     return payload.select("doc_id", "payload").mapInPandas(
         _extract_features, schema=FEATURE_SCHEMA

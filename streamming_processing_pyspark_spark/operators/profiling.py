@@ -250,6 +250,129 @@ def value_drift_ks(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: PSI bucket count (deciles of the FIRST half — the "expected" side)
+PSI_BUCKETS = 10
+
+
+def psi_value_drift(tables: dict[str, DataFrame]) -> DataFrame:
+    """Population Stability Index between the first and second time-half
+    of ``value`` — the bucketed drift metric ML monitoring reports next
+    to KS (rule of thumb: PSI > 0.2 → investigate). Buckets are the
+    first half's own deciles, so the statistic asks "how far has the
+    incoming distribution moved relative to the reference's quantile
+    grid" — robust to scale/outliers in a way equal-width bins are not.
+
+    Shape: the SAME single conditional-sum histogram as
+    :func:`value_drift_ks` (one map-combinable shuffle of |distinct
+    cents| rows) → decile edges via histogram-cumsum (no global sort,
+    same trick as ``value_winsorize``) → bucket the histogram rows (not
+    the raw rows) against the broadcast 9-edge array → 10 add-one-
+    smoothed terms. Each term's log is ONE ``ln`` of an exact integer
+    rational and the 10 terms fold in bucket order (collect→sort→
+    aggregate, ``list(... ORDER BY)`` in DuckDB), so cross-engine
+    divergence is the documented ≤1-ulp libm class; the emitted value is
+    floored to micro-units to keep that class away from the hash. NULL
+    (not a crash) when either half is empty, matching the KS guard.
+    """
+    from pyspark.sql import Window
+
+    ev = tables["events"]
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    half = (
+        ev.where(F.col("value").isNotNull())
+        .join(F.broadcast(bounds))
+        .select(
+            F.floor(F.col("value") * 100).cast("long").alias("v_c"),
+            (F.unix_micros("ts") * 2 < F.col("t0") + F.col("t1")).alias(
+                "first_half"
+            ),
+        )
+    )
+    from ..tables import persist_replacing
+
+    # |distinct cents| rows; persisted because BOTH the decile-edge
+    # branch and the bucketing branch consume it — unpinned, each re-runs
+    # the corpus histogram scan (plan audit showed 4 events scans)
+    hist = persist_replacing(
+        half.groupBy("v_c").agg(
+            F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("c2"),
+        ),
+        "psi_hist",
+    )
+    w = Window.orderBy("v_c").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "v_c",
+        "c1",
+        "c2",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c1").over(w_all).alias("n1"),
+    )
+    edge_cols = [
+        F.min(
+            F.when(
+                F.lit(PSI_BUCKETS) * F.col("cum1") >= F.lit(j) * F.col("n1"),
+                F.col("v_c"),
+            )
+        ).alias(f"e{j}")
+        for j in range(1, PSI_BUCKETS)
+    ]
+    edges = cum.agg(*edge_cols)
+    edge_arr = "array(" + ", ".join(f"e{j}" for j in range(1, PSI_BUCKETS)) + ")"
+    bucketed = (
+        hist.crossJoin(F.broadcast(edges))
+        .select(
+            F.expr(f"size(filter({edge_arr}, e -> v_c > e))").alias("bucket"),
+            "c1",
+            "c2",
+        )
+        .groupBy("bucket")
+        .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+    )
+    terms = bucketed.select(
+        "bucket",
+        "c1",
+        "c2",
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    ).select(
+        "bucket",
+        "n1",
+        "n2",
+        (
+            (
+                (F.col("c1") + 1) / (F.col("n1") + PSI_BUCKETS)
+                - (F.col("c2") + 1) / (F.col("n2") + PSI_BUCKETS)
+            )
+            * F.log(
+                ((F.col("c1") + 1) * (F.col("n2") + PSI_BUCKETS))
+                / ((F.col("c2") + 1) * (F.col("n1") + PSI_BUCKETS))
+            )
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy()
+        .agg(
+            F.max("n1").alias("n_first"),
+            F.max("n2").alias("n_second"),
+            F.array_sort(F.collect_list(F.struct("bucket", "term"))).alias("parts"),
+        )
+        .select(
+            "n_first",
+            "n_second",
+            F.expr(
+                "CASE WHEN n_first * n_second > 0 THEN"
+                " CAST(floor(1000000 * aggregate(parts, CAST(0.0 AS DOUBLE),"
+                " (a, x) -> a + x.term)) AS BIGINT) END"
+            ).alias("psi_micro"),
+        )
+    )
+
+
 #: winsorization percentile bounds (percent)
 WINSOR_LO_PCT = 5
 WINSOR_HI_PCT = 95
@@ -415,6 +538,7 @@ QUERIES = {
     "top_event_by_value_per_user": top_event_by_value_per_user,
     "data_quality_checks": data_quality_checks,
     "value_drift_ks": value_drift_ks,
+    "psi_value_drift": psi_value_drift,
     "value_winsorize": value_winsorize,
     "bloom_prefilter_check": bloom_prefilter_check,
 }
@@ -599,4 +723,59 @@ ORACLES["bloom_prefilter_check"] = f"""
                      AS BIGINT)
            END AS fp_bp
     FROM flags
+"""
+
+_PSI_EDGES = ", ".join(
+    f"min(CASE WHEN {PSI_BUCKETS} * cum1 >= {j} * n1 THEN v_c END) AS e{j}"
+    for j in range(1, PSI_BUCKETS)
+)
+_PSI_EDGE_ARR = "[" + ", ".join(f"e{j}" for j in range(1, PSI_BUCKETS)) + "]"
+
+ORACLES["psi_value_drift"] = f"""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+    ),
+    h AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS v_c,
+             (epoch_us(ts) * 2 < t0 + t1) AS first_half
+      FROM events, b WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT v_c,
+             sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS c2
+      FROM h GROUP BY v_c
+    ),
+    cum AS (
+      SELECT v_c, c1, c2,
+             sum(c1) OVER (ORDER BY v_c) AS cum1,
+             sum(c1) OVER () AS n1
+      FROM hist
+    ),
+    edges AS (SELECT {_PSI_EDGES} FROM cum),
+    bk AS (
+      SELECT len(list_filter({_PSI_EDGE_ARR}, e -> v_c > e)) AS bucket, c1, c2
+      FROM hist, edges
+    ),
+    bc AS (SELECT bucket, sum(c1) AS c1, sum(c2) AS c2 FROM bk GROUP BY bucket),
+    t AS (
+      SELECT bucket, c1, c2,
+             sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+      FROM bc
+    ),
+    terms AS (
+      SELECT bucket, n1, n2,
+             ((c1 + 1) / (n1 + {PSI_BUCKETS})
+              - (c2 + 1) / (n2 + {PSI_BUCKETS}))
+             * ln(((c1 + 1) * (n2 + {PSI_BUCKETS}))
+                  / ((c2 + 1) * (n1 + {PSI_BUCKETS}))) AS term
+      FROM t
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n_first,
+           CAST(max(n2) AS BIGINT) AS n_second,
+           CASE WHEN max(n1) * max(n2) > 0 THEN
+             CAST(floor(1000000 * list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY bucket)),
+               (a, b) -> a + b)) AS BIGINT) END AS psi_micro
+    FROM terms
 """

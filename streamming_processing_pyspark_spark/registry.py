@@ -548,6 +548,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "bloom_prefilter_check",
     "cosine_range_search",
     "source_overlap_matrix",
+    "psi_value_drift",
+    "shingle_novelty_scores",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

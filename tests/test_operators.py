@@ -809,3 +809,51 @@ def test_bloom_prefilter_invariants(spark):
     assert row["n_false_neg"] == 0
     assert row["n_pass"] >= row["n_true"]
     assert row["fp_bp"] is None or row["fp_bp"] <= 100  # ≤1% at test sizing
+
+
+def test_psi_value_drift_guard_and_identity(spark):
+    """PSI reports NULL when a time-half is empty (same guard class as
+    KS), and ~0 when both halves share one distribution (identical
+    values in both halves -> every bucket's p == q -> each term is 0)."""
+    from streamming_processing_pyspark_spark.operators import profiling
+
+    one_sided = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", None),
+            (2, "2024-01-01 18:00:00", 1.25),
+            (3, "2024-01-01 23:00:00", 2.50),
+        ],
+        "event_id long, ts_s string, value double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+    row = profiling.psi_value_drift({"events": one_sided}).collect()[0]
+    assert row["n_first"] == 0 and row["psi_micro"] is None
+
+    same = spark.createDataFrame(
+        [
+            (i + 100 * half, f"2024-01-01 {3 + 12 * half:02d}:00:00", float(v))
+            for half in (0, 1)
+            for i, v in enumerate([1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 5.0])
+        ],
+        "event_id long, ts_s string, value double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+    row = profiling.psi_value_drift({"events": same}).collect()[0]
+    assert row["n_first"] == 8 and row["n_second"] == 8
+    # identical halves: psi exactly 0 -> floor(1e6 * 0.0) == 0, but allow
+    # the -1 a pure -0.0-side fold could floor to
+    assert row["psi_micro"] in (0, -1), row
+
+
+def test_shingle_novelty_first_doc_and_totals(spark):
+    """The first document is 100% novel; summed novel counts equal the
+    corpus's distinct-shingle count (each shingle novel exactly once)."""
+    from streamming_processing_pyspark_spark.operators import dedup as dd
+
+    t = load_tables(spark, SF_DIR)
+    rows = dd.shingle_novelty_scores(t).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    first = by_id[min(by_id)]
+    assert first["novel_bp"] == 10000
+    n_distinct = (
+        dd._exploded_shingles(t["documents"]).select("sh").distinct().count()
+    )
+    assert sum(r["n_novel"] for r in rows) == n_distinct

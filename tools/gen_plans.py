@@ -125,6 +125,8 @@ QUERIES = [
     "bloom_prefilter_check",
     "cosine_range_search",
     "source_overlap_matrix",
+    "psi_value_drift",
+    "shingle_novelty_scores",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
