@@ -102,6 +102,9 @@ HEADLINE = [
     "source_overlap_matrix",
     "psi_value_drift",
     "shingle_novelty_scores",
+    "cdc_chunks",
+    "kl_source_divergence",
+    "sorted_neighborhood_pairs",
 ]
 
 

@@ -60,14 +60,22 @@ def dedup_campaign_summary(t: Tables) -> DataFrame:
     - ``n_tokens_packed`` — whitespace tokens entering packing
     - ``n_bins``       — occupied (shard, bin) training sequences
     """
+    from ..tables import persist_replacing
+
     docs = t["documents"]
 
     # stage 1+2: map-side Gopher gate on the scan (no flags join)
     gated = docs.where(gopher_keep_col()).select("doc_id", "text")
 
     # stage 3: exact dedup, keep-first — one hash aggregation; text is
-    # carried (first() == any(): rows in a text-group share the text)
-    exact = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # carried (first() == any(): rows in a text-group share the text).
+    # Persisted: THREE branches consume it (the pair/CC chain, the
+    # survivor join, and the n_after_exact count) — unpinned, each re-runs
+    # the documents scan + gate + dedup aggregate.
+    exact = persist_replacing(
+        gated.groupBy("text").agg(F.min("doc_id").alias("doc_id")),
+        "campaign_exact",
+    )
 
     # stage 4: near-dup pairs + connected components over the deduped
     # sub-corpus (same capped inverted index / pointer-doubling CC as the
@@ -105,15 +113,15 @@ def dedup_campaign_summary(t: Tables) -> DataFrame:
     # summary: three 1-row frames cross-joined. n_ingested and n_quality
     # share ONE documents scan (conditional aggregation — the gate
     # predicate is evaluated once for both counts, not in a second scan);
-    # n_after_exact is a partial-distinct aggregation, not a second
-    # keep-first dedup.
+    # n_after_exact is a row count over the persisted dedup frame, not a
+    # second countDistinct scan of the corpus.
     s_ingest = docs.agg(
         F.count("*").alias("n_ingested"),
         F.coalesce(F.sum(gopher_keep_col().cast("long")), F.lit(0)).alias(
             "n_quality"
         ),
     )
-    s_exact = gated.agg(F.countDistinct("text").alias("n_after_exact"))
+    s_exact = exact.agg(F.count("*").alias("n_after_exact"))
     s_pack = packed.agg(
         F.count("*").alias("n_after_neardup"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens_packed"),

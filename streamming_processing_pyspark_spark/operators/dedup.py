@@ -154,6 +154,48 @@ def name_near_dup_pairs(t: Tables) -> DataFrame:
 
 NAME_EDIT_MAX = 3
 
+#: sorted-neighborhood scan width: each name is compared to the next
+#: SN_WINDOW-1 names in sort order
+SN_WINDOW = 4
+
+
+def sorted_neighborhood_pairs(t: Tables) -> DataFrame:
+    """Sorted-neighborhood entity-resolution pairs over ``part`` names —
+    the classic complement to :func:`name_near_dup_pairs`' equality
+    blocking (Hernández & Stolfo's merge/purge): sort the distinct names
+    and compare each to its next ``SN_WINDOW - 1`` neighbors, so near
+    duplicates that straddle a block boundary (different blocking token)
+    are still compared, and the candidate count is LINEAR in vocabulary
+    size by construction — (W-1)·|vocab| comparisons, no block-skew
+    blow-up.
+
+    Plan: collapse to the distinct-name frame first (vocabulary-sized,
+    ≪ rows — same move as the blocked variant), then ``lead(k)`` over one
+    global name sort supplies the neighbors. The unpartitioned window is
+    a deliberate, bounded single-partition stage on the VOCAB frame only;
+    at 100 TB scale-out the same plan runs as a range-partitioned sort
+    with a (W-1)-row boundary overlap per range — a layout change, not an
+    algorithm change.
+    """
+    from pyspark.sql import Window
+
+    names = t["part"].select("p_name").distinct()
+    w = Window.orderBy("p_name")
+    neighbors = names.select(
+        F.col("p_name").alias("name_a"),
+        F.array(
+            *[F.lead("p_name", k).over(w) for k in range(1, SN_WINDOW)]
+        ).alias("cands"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        neighbors.select(
+            "name_a", F.explode("cands").alias("name_b")
+        )
+        .where(dist <= NAME_EDIT_MAX)
+        .select("name_a", "name_b", dist.alias("edit_dist"))
+    )
+
 # "auto" hot-shingle cap: a CONSTANT document-frequency ceiling. Being
 # boilerplate is an absolute property of a shingle (appearing in >128
 # documents makes it non-discriminative no matter how big the corpus is),
@@ -852,6 +894,7 @@ def shingle_novelty_scores(t: Tables) -> DataFrame:
 
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "source_overlap_matrix": source_overlap_matrix,
     "shingle_novelty_scores": shingle_novelty_scores,
     "dedup_graph_stats": dedup_graph_stats,
@@ -923,4 +966,21 @@ ORACLES["shingle_novelty_scores"] = f"""
            CAST(10000 * sum(CASE WHEN seen_before THEN 0 ELSE 1 END)
                 // count(*) AS BIGINT) AS novel_bp
     FROM m GROUP BY doc_id
+"""
+
+ORACLES["sorted_neighborhood_pairs"] = f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    nb AS (
+      SELECT p_name AS name_a,
+             unnest([{", ".join(
+               f"lead(p_name, {k}) OVER (ORDER BY p_name)"
+               for k in range(1, SN_WINDOW)
+             )}]) AS name_b
+      FROM names
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist
+    FROM nb
+    WHERE name_b IS NOT NULL
+      AND levenshtein(name_a, name_b) <= {NAME_EDIT_MAX}
 """

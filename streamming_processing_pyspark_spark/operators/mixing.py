@@ -224,9 +224,116 @@ def temperature_mix_sample(t: Tables) -> DataFrame:
     )
 
 
+#: KL-divergence histogram width. Bounded-width bucketing is what makes
+#: the statistic scale-true: per-source state is KL_BUCKETS counters no
+#: matter the corpus size (the same sketch-not-vocab argument as the CMS),
+#: and the final fold is a fixed 64 terms so the PSI-style ordered-fold
+#: determinism contract holds.
+KL_BUCKETS = 64
+
+
+def kl_source_divergence(t: Tables) -> DataFrame:
+    """Per-source token-distribution KL divergence vs the whole corpus —
+    the data-mixing diagnostic next to :func:`dsir_resample`: which
+    sources are distributionally far from the blend they feed (candidates
+    for re-weighting), which are redundant with it.
+
+    Statistic: unigram occurrences hashed into ``KL_BUCKETS`` buckets
+    (portable affine fold, hashed once per DISTINCT (source, word), not
+    per occurrence — the ``cms_bigram_check`` trick); per source s,
+    ``KL(P_s || Q)`` with add-one smoothing over the bucket grid, where Q
+    is the full-corpus bucket distribution. Each term's log is ONE ``ln``
+    of an exact integer rational and the 64 terms fold in bucket order
+    (array_sort→aggregate / ``list(... ORDER BY)``), so cross-engine
+    divergence is the accepted ≤1-ulp libm class; the emitted value is
+    floored to micro-nats to keep it away from the hash.
+
+    Plan: one documents scan → explode words → (source, word) count
+    [the only corpus-sized shuffle, map-side combined] → per-row hash →
+    (source, bucket) sums [S×64 rows] → dense grid completion (sources ×
+    sequence(0..63), both tiny) → window totals → ordered fold. Missing
+    (source, bucket) cells are materialized as zero-count rows because
+    add-one smoothing gives them non-zero mass — dropping them would
+    understate the divergence.
+    """
+    from pyspark.sql import Window
+
+    toks = t["documents"].select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    sw = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    fold = F.expr(
+        "aggregate(split(w, ''), CAST(7 AS BIGINT),"
+        f" (acc, c) -> (acc * 31 + ascii(c)) % {_HASH_MOD})"
+    )
+    sb = (
+        sw.select("source", (fold % KL_BUCKETS).alias("bucket"), "c")
+        .groupBy("source", "bucket")
+        .agg(F.sum("c").alias("c_sb"))
+    )
+    # the source list comes from a single-column scan of documents (column
+    # pruning reaches parquet), NOT from sb — deriving it from sb would
+    # recompute the whole tokenize+count subtree a second time just to
+    # list ~20 strings. Equivalent: split() emits ≥1 token per doc, so
+    # every source present in documents is present in sb.
+    grid = (
+        t["documents"]
+        .select("source")
+        .distinct()
+        .crossJoin(
+            sb.sparkSession.range(KL_BUCKETS).select(
+                F.col("id").alias("bucket")
+            )
+        )
+        .join(sb, ["source", "bucket"], "left")
+        .select("source", "bucket", F.coalesce("c_sb", F.lit(0)).alias("c_sb"))
+    )
+    w_src = Window.partitionBy("source")
+    w_bkt = Window.partitionBy("bucket")
+    w_all = Window.partitionBy()
+    full = grid.select(
+        "source",
+        "bucket",
+        "c_sb",
+        F.sum("c_sb").over(w_src).alias("n_s"),
+        F.sum("c_sb").over(w_bkt).alias("c_b"),
+        F.sum("c_sb").over(w_all).alias("n_tot"),
+    )
+    terms = full.select(
+        "source",
+        "bucket",
+        "n_s",
+        (
+            ((F.col("c_sb") + 1) / (F.col("n_s") + KL_BUCKETS))
+            * F.log(
+                ((F.col("c_sb") + 1) * (F.col("n_tot") + KL_BUCKETS))
+                / ((F.col("c_b") + 1) * (F.col("n_s") + KL_BUCKETS))
+            )
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.array_sort(F.collect_list(F.struct("bucket", "term"))).alias(
+                "parts"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.expr(
+                "CAST(floor(1000000 * aggregate(parts, CAST(0.0 AS DOUBLE),"
+                " (a, x) -> a + x.term)) AS BIGINT)"
+            ).alias("kl_micro"),
+        )
+    )
+
+
 QUERIES = {
     "dsir_resample": dsir_resample,
     "temperature_mix_sample": temperature_mix_sample,
+    "kl_source_divergence": kl_source_divergence,
 }
 
 #: DuckDB mirror of the affine-fold hash over a string expression
@@ -283,6 +390,44 @@ ORACLES: dict[str, str] = {
         FROM sc
         ORDER BY score DESC, doc_id
         LIMIT {DSIR_N}
+    """,
+    "kl_source_divergence": f"""
+        WITH toks AS (
+          SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents
+        ),
+        sw AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w),
+        sb AS (
+          SELECT source, {_FOLD.format(s="w")} % {KL_BUCKETS} AS bucket,
+                 sum(c) AS c_sb
+          FROM sw GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT s.source, b.bucket, coalesce(sb.c_sb, 0) AS c_sb
+          FROM (SELECT DISTINCT source FROM sb) s
+          CROSS JOIN (SELECT unnest(range({KL_BUCKETS})) AS bucket) b
+          LEFT JOIN sb ON sb.source = s.source AND sb.bucket = b.bucket
+        ),
+        fullgrid AS (
+          SELECT source, bucket, c_sb,
+                 sum(c_sb) OVER (PARTITION BY source) AS n_s,
+                 sum(c_sb) OVER (PARTITION BY bucket) AS c_b,
+                 sum(c_sb) OVER () AS n_tot
+          FROM grid
+        ),
+        terms AS (
+          SELECT source, bucket, n_s,
+                 ((c_sb + 1) / (n_s + {KL_BUCKETS}))
+                 * ln(((c_sb + 1) * (n_tot + {KL_BUCKETS}))
+                      / ((c_b + 1) * (n_s + {KL_BUCKETS}))) AS term
+          FROM fullgrid
+        )
+        SELECT source,
+               CAST(max(n_s) AS BIGINT) AS n_tokens,
+               CAST(floor(1000000 * list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY bucket)),
+                 (a, b) -> a + b)) AS BIGINT) AS kl_micro
+        FROM terms GROUP BY source
     """,
     "temperature_mix_sample": f"""
         WITH d AS (

@@ -192,7 +192,130 @@ def span_dedup(t: Tables) -> DataFrame:
     )
 
 
+#: content-defined chunking: a word whose portable hash ≡ 0 (mod CDC_MOD)
+#: ENDS its chunk, so expected chunk length is CDC_MOD words. 12 ≈ the
+#: span/chunk granularity of the fixed-position variants above.
+CDC_MOD = 12
+
+#: modulus of the portable affine-fold hash (cf. pipeline._group_hash)
+_CDC_HASH_MOD = 1_000_000_007
+
+
+def cdc_chunks(t: Tables) -> DataFrame:
+    """Content-defined chunking — the dedup granularity between
+    :func:`span_dedup` (fixed word positions) and whole-document hashing.
+
+    Boundaries depend only on CONTENT (a word is a cut point iff its
+    portable hash ≡ 0 mod ``CDC_MOD``), which is the entire argument for
+    CDC in dedup: inserting one word near the top of a document shifts
+    every fixed-position span but leaves all chunk boundaries after the
+    edit untouched, so unchanged tails still hash-match across document
+    versions. Output is one row per chunk with its token count, md5, and
+    a ``cross_doc_dup`` flag (the chunk text occurs in more than one
+    document) — the sub-document exact-dedup signal.
+
+    Plan: the cut-point rule is evaluated once per DISTINCT word (the
+    ``cms_bigram_check`` trick — the interpreted char-fold is the
+    expensive expression, and |vocab| ≪ |occurrences|) and broadcast back
+    onto the exploded words; chunk ids are an exclusive running sum of
+    boundary flags per document (one doc-partitioned window shuffle);
+    chunk assembly is the following groupBy on the same key spine. The
+    dup flag is a chunk-hash-partitioned min≠max window — no DISTINCT
+    aggregate, no self-join. Per-doc state is bounded by document length,
+    per-chunk state by CDC_MOD-ish words; nothing corpus-sized sits in
+    one partition at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    toks = t["documents"].select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w")
+    )
+    fold = F.expr(
+        "aggregate(split(w, ''), CAST(7 AS BIGINT),"
+        f" (acc, c) -> (acc * 31 + ascii(c)) % {_CDC_HASH_MOD})"
+    )
+    vocab = (
+        toks.select("w")
+        .distinct()
+        .select("w", (fold % CDC_MOD == 0).cast("long").alias("b"))
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = toks.join(F.broadcast(vocab), "w").select(
+        "doc_id",
+        "pos",
+        "w",
+        F.coalesce(F.sum("b").over(w_run), F.lit(0)).alias("chunk_id"),
+    )
+    chunks = (
+        marked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_chunk_tokens"),
+            F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("parts"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_chunk_tokens",
+            F.md5(
+                F.array_join(F.expr("transform(parts, x -> x.w)"), " ")
+            ).alias("chunk_md5"),
+        )
+    )
+    w_h = Window.partitionBy("chunk_md5")
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        "chunk_md5",
+        (F.min("doc_id").over(w_h) != F.max("doc_id").over(w_h)).alias(
+            "cross_doc_dup"
+        ),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "cdc_chunks": f"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                 ws[CAST(pos AS INTEGER)] AS w
+          FROM w, unnest(generate_series(1, len(ws))) AS u(pos)
+        ),
+        vocab AS (
+          SELECT w,
+                 CASE WHEN list_reduce(list_prepend(CAST(7 AS BIGINT),
+                        list_transform(string_split_regex(w, ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+                        (a, b) -> (a * 31 + b) % {_CDC_HASH_MOD})
+                      % {CDC_MOD} = 0 THEN 1 ELSE 0 END AS b
+          FROM (SELECT DISTINCT w FROM toks)
+        ),
+        marked AS (
+          SELECT doc_id, pos, toks.w,
+                 coalesce(sum(b) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS chunk_id
+          FROM toks JOIN vocab ON toks.w = vocab.w
+        ),
+        chunks AS (
+          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                 CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+                 md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+          FROM marked GROUP BY doc_id, chunk_id
+        )
+        SELECT doc_id, chunk_id, n_chunk_tokens, chunk_md5,
+               min(doc_id) OVER (PARTITION BY chunk_md5)
+                 != max(doc_id) OVER (PARTITION BY chunk_md5) AS cross_doc_dup
+        FROM chunks
+    """,
     "span_dedup": f"""
         WITH w AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
@@ -276,6 +399,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "cdc_chunks": cdc_chunks,
     "doc_chunks": doc_chunks,
     "embedding_quantize": embedding_quantize,
     "benchmark_contamination": benchmark_contamination,

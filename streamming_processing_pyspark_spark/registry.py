@@ -550,6 +550,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "source_overlap_matrix",
     "psi_value_drift",
     "shingle_novelty_scores",
+    "cdc_chunks",
+    "kl_source_divergence",
+    "sorted_neighborhood_pairs",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

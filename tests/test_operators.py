@@ -857,3 +857,102 @@ def test_shingle_novelty_first_doc_and_totals(spark):
         dd._exploded_shingles(t["documents"]).select("sh").distinct().count()
     )
     assert sum(r["n_novel"] for r in rows) == n_distinct
+
+
+def test_cdc_chunks_content_defined_shift_resilience(spark):
+    """The CDC motivating property: prepending words to a document leaves
+    every chunk after the first content-defined boundary unchanged (a
+    fixed-position chunker would shift and rehash ALL of them), plus
+    bookkeeping invariants (token totals, contiguous chunk ids)."""
+    from streamming_processing_pyspark_spark.operators import pipeline2
+
+    t = load_tables(spark, SF_DIR)
+    base = t["documents"].where(F.col("doc_id") == 1).select("doc_id", "text")
+    text = base.collect()[0]["text"]
+    both = spark.createDataFrame(
+        [(1, text), (2, "zzz qq " + text)], "doc_id long, text string"
+    )
+    rows = pipeline2.cdc_chunks({"documents": both}).collect()
+    by_doc = {1: [], 2: []}
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    h1 = [r["chunk_md5"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])]
+    h2 = [r["chunk_md5"] for r in sorted(by_doc[2], key=lambda r: r["chunk_id"])]
+    # all original chunks except the (prefix-polluted) first survive
+    assert h1[1:] == h2[len(h2) - len(h1) + 1 :]
+    # every shared chunk is flagged as a cross-doc dup on both sides
+    shared = set(h1) & set(h2)
+    assert shared
+    for r in rows:
+        assert r["cross_doc_dup"] == (r["chunk_md5"] in shared)
+
+    # invariants on the real corpus: chunk ids contiguous from 0, token
+    # counts add back up to the doc's whitespace token count
+    full = pipeline2.cdc_chunks(t).collect()
+    agg = {}
+    for r in full:
+        a = agg.setdefault(r["doc_id"], {"n": 0, "ids": []})
+        a["n"] += r["n_chunk_tokens"]
+        a["ids"].append(r["chunk_id"])
+    tok = {
+        r["doc_id"]: r["n"]
+        for r in t["documents"]
+        .select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .collect()
+    }
+    for doc_id, a in agg.items():
+        assert a["n"] == tok[doc_id]
+        assert sorted(a["ids"]) == list(range(len(a["ids"])))
+
+
+def test_kl_source_divergence_identity_and_totals(spark):
+    """A single-source corpus has Q == P_s, so KL is exactly 0; over the
+    real corpus every KL is non-negative (information inequality) and
+    n_tokens sums to the corpus token count."""
+    from streamming_processing_pyspark_spark.operators import mixing
+
+    t = load_tables(spark, SF_DIR)
+    one = t["documents"].withColumn("source", F.lit("only"))
+    row = mixing.kl_source_divergence({"documents": one}).collect()
+    assert len(row) == 1
+    assert row[0]["kl_micro"] in (0, -1)  # floor of a pure-roundoff -0.0 side
+
+    rows = mixing.kl_source_divergence(t).collect()
+    total = (
+        t["documents"]
+        .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+"))))
+        .collect()[0][0]
+    )
+    assert sum(r["n_tokens"] for r in rows) == total
+    # smoothing keeps KL finite but information inequality keeps it >= 0
+    # (micro-floored: allow the -1 floor of a roundoff -0.0)
+    assert all(r["kl_micro"] >= -1 for r in rows)
+
+
+def test_sorted_neighborhood_complements_blocking(spark):
+    """Sorted-neighborhood invariants: ordered pairs of DISTINCT names,
+    edit distance within bound, and neighborhood containment — any
+    blocked-join pair whose two names are adjacent in global sort order
+    (rank gap < SN_WINDOW) must be recovered."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, SF_DIR)
+    rows = dedup.sorted_neighborhood_pairs(t).collect()
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert 0 < r["edit_dist"] <= dedup.NAME_EDIT_MAX
+
+    ranks = {
+        r["p_name"]: r["rk"]
+        for r in t["part"]
+        .select("p_name")
+        .distinct()
+        .select("p_name", F.row_number().over(Window.orderBy("p_name")).alias("rk"))
+        .collect()
+    }
+    got = {(r["name_a"], r["name_b"]) for r in rows}
+    blocked = dedup.name_near_dup_pairs(t).collect()
+    for r in blocked:
+        a, b = r["name_a"], r["name_b"]
+        if a != b and abs(ranks[a] - ranks[b]) < dedup.SN_WINDOW:
+            assert (min(a, b), max(a, b)) in got

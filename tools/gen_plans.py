@@ -127,6 +127,9 @@ QUERIES = [
     "source_overlap_matrix",
     "psi_value_drift",
     "shingle_novelty_scores",
+    "cdc_chunks",
+    "kl_source_divergence",
+    "sorted_neighborhood_pairs",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"

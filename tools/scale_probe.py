@@ -35,6 +35,7 @@ from streamming_processing_pyspark_spark.operators import (
     dedup,
     mixing,
     pipeline,
+    pipeline2,
     sampling,
     similarity,
     sketches,
@@ -58,6 +59,9 @@ OPS = {
     "dedup_campaign_summary": campaign.dedup_campaign_summary,
     "dsir_resample": mixing.dsir_resample,
     "temperature_mix_sample": mixing.temperature_mix_sample,
+    "kl_source_divergence": mixing.kl_source_divergence,
+    "cdc_chunks": pipeline2.cdc_chunks,
+    "shingle_novelty_scores": dedup.shingle_novelty_scores,
 }
 
 #: embedding-table operators probed against a scaled embeddings table.
