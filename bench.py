@@ -105,6 +105,7 @@ HEADLINE = [
     "cdc_chunks",
     "kl_source_divergence",
     "sorted_neighborhood_pairs",
+    "kmv_type_overlap",
 ]
 
 

@@ -255,6 +255,11 @@ def kl_source_divergence(t: Tables) -> DataFrame:
     (source, bucket) cells are materialized as zero-count rows because
     add-one smoothing gives them non-zero mass — dropping them would
     understate the divergence.
+
+    Same 2^53 caveat as the module determinism contract: at extreme
+    corpus sizes the integer products inside the ln rational overflow
+    BIGINT (~1e13 tokens); production would switch to the log-difference
+    form and drop the hash-exactness claim.
     """
     from pyspark.sql import Window
 

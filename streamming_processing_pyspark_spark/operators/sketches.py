@@ -168,7 +168,192 @@ CELLS_ORACLE = f"""
     FROM bg, depths GROUP BY 1, 2
 """
 
+
+
+#: KMV (k-minimum-values) sketch size per set. Error of the Jaccard
+#: estimate is ~sqrt(J(1-J)/K) — K=64 gives ~6 pp worst case.
+KMV_K = 64
+#: tolerance of the estimate vs exact, in basis points (≈3 sigma)
+KMV_TOL_BP = 2000
+
+#: gate-grade multiplicative congruential hash (same constants and
+#: rationale as mixing.GATE_A/GATE_B: the affine char-fold is rank-grade
+#: but NOT uniform on sequential integer keys, and KMV needs uniform
+#: order statistics; (id mod P)·A stays under 10^18 so both engines
+#: compute it exactly in BIGINT)
+_KMV_A, _KMV_B = 736_338_717, 198_491_317
+
+
+def _kmv_hash(col: str) -> Column:
+    return F.expr(f"(({col} % {_HASH_MOD}) * {_KMV_A} + {_KMV_B}) % {_HASH_MOD}")
+
+
+def kmv_type_overlap(t: Tables) -> DataFrame:
+    """Distinct-set OVERLAP between event types via KMV sketches — the
+    set operation the HLL family can't do (HLLs union but don't
+    intersect; ``events_analytics.hll_vs_exact_distinct`` covers plain
+    cardinality). One row per event-type pair: exact audience overlap
+    (count + Jaccard) next to the KMV estimate and a within-tolerance
+    claim flag, every column recomputed by DuckDB (the hash is the
+    portable multiplicative-congruential one), so estimate VALUES are
+    part of the driver-hashed contract.
+
+    KMV estimator: each type keeps its K smallest distinct user-id hash
+    values; for a pair, take the K smallest of the sketch union and count
+    how many sit in BOTH sketches — that fraction estimates Jaccard
+    (Beyer et al., "On synopses for distinct-value estimation under
+    multiset operations").
+
+    Scale shape: the ONLY corpus-sized work is the distinct
+    (type, user) aggregation; the per-type top-K is a bounded window over
+    per-type hash values, and all pair math runs on |types|²·K-element
+    arrays. The exact self-join side exists to state the claim as
+    checkable data — production reads the sketch columns alone, state
+    K·|types| forever (the sketch is mergeable, so it also runs as a
+    streaming fold or a datasketches-style rollup).
+    """
+    from pyspark.sql import Window
+
+    from ..tables import persist_replacing
+
+    du = persist_replacing(
+        t["events"].select("event_type", "user_id").distinct(), "kmv_du"
+    )
+    n = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    pairs = (
+        n.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+        .crossJoin(
+            n.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+        )
+        .where(F.col("type_a") < F.col("type_b"))
+    )
+    a, b = du.alias("a"), du.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    hashed = du.select("event_type", _kmv_hash("user_id").alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.select("event_type", "h", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
+    est = (
+        sk.select(F.col("event_type").alias("type_a"), F.col("hs").alias("hs_a"))
+        .join(
+            sk.select(
+                F.col("event_type").alias("type_b"), F.col("hs").alias("hs_b")
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.expr(
+                f"slice(array_sort(array_union(hs_a, hs_b)), 1, {KMV_K})"
+            ).alias("merged"),
+            "hs_a",
+            "hs_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.expr(
+                "size(filter(merged, x -> array_contains(hs_a, x)"
+                " AND array_contains(hs_b, x)))"
+            ).alias("n_in_both"),
+            F.size("merged").alias("n_merged"),
+        )
+    )
+    return (
+        pairs.join(common, ["type_a", "type_b"], "left")
+        .join(est, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.expr(
+                "10000 * coalesce(n_common, 0)"
+                " DIV (n_a + n_b - coalesce(n_common, 0))"
+            ).alias("jaccard_bp_exact"),
+            F.expr("10000 * n_in_both DIV n_merged").alias("jaccard_bp_est"),
+        )
+        .withColumn(
+            "est_ok",
+            F.abs(F.col("jaccard_bp_est") - F.col("jaccard_bp_exact"))
+            <= KMV_TOL_BP,
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "kmv_type_overlap": """
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        n AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+        pairs AS (
+          SELECT a.event_type AS type_a, a.n AS n_a,
+                 b.event_type AS type_b, b.n AS n_b
+          FROM n a, n b WHERE a.event_type < b.event_type
+        ),
+        cm AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 count(*) AS n_common
+          FROM du a JOIN du b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        ),
+        h AS (
+          SELECT DISTINCT event_type,
+                 ((user_id % 1000000007) * 736338717 + 198491317) % 1000000007 AS h
+          FROM du
+        ),
+        rk AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+          FROM h
+        ),
+        sk AS (
+          SELECT event_type, list_sort(list(h)) AS hs
+          FROM rk WHERE rk <= 64 GROUP BY 1
+        ),
+        est AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 len(list_filter(
+                   list_sort(list_distinct(list_concat(a.hs, b.hs)))[1:64],
+                   x -> list_contains(a.hs, x) AND list_contains(b.hs, x)))
+                   AS n_in_both,
+                 len(list_sort(list_distinct(list_concat(a.hs, b.hs)))[1:64])
+                   AS n_merged
+          FROM sk a, sk b WHERE a.event_type < b.event_type
+        )
+        SELECT p.type_a, p.type_b,
+               CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+               CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+               CAST(10000 * coalesce(cm.n_common, 0)
+                    // (p.n_a + p.n_b - coalesce(cm.n_common, 0)) AS BIGINT)
+                 AS jaccard_bp_exact,
+               CAST(10000 * e.n_in_both // e.n_merged AS BIGINT)
+                 AS jaccard_bp_est,
+               abs(10000 * e.n_in_both // e.n_merged
+                   - 10000 * coalesce(cm.n_common, 0)
+                     // (p.n_a + p.n_b - coalesce(cm.n_common, 0)))
+                 <= 2000 AS est_ok
+        FROM pairs p
+        LEFT JOIN cm ON cm.type_a = p.type_a AND cm.type_b = p.type_b
+        JOIN est e ON e.type_a = p.type_a AND e.type_b = p.type_b
+    """,
     "cms_bigram_check": f"""
         WITH wl AS (
           SELECT string_split_regex(trim(text), '\\s+') AS ws FROM documents
@@ -202,4 +387,5 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "cms_bigram_check": cms_bigram_check,
+    "kmv_type_overlap": kmv_type_overlap,
 }

@@ -553,6 +553,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "cdc_chunks",
     "kl_source_divergence",
     "sorted_neighborhood_pairs",
+    "kmv_type_overlap",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

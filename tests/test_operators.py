@@ -956,3 +956,21 @@ def test_sorted_neighborhood_complements_blocking(spark):
         a, b = r["name_a"], r["name_b"]
         if a != b and abs(ranks[a] - ranks[b]) < dedup.SN_WINDOW:
             assert (min(a, b), max(a, b)) in got
+
+
+def test_kmv_overlap_exact_when_sketch_holds_all(spark):
+    """When every per-type user set fits inside the K-sketch (sf0.001 has
+    ~50 distinct users), the KMV estimate IS the exact Jaccard — the
+    estimator degrades to exact set math; and the claim flag must hold on
+    every pair."""
+    from streamming_processing_pyspark_spark.operators import sketches
+
+    t = load_tables(spark, SF_DIR)
+    rows = sketches.kmv_type_overlap(t).collect()
+    assert rows
+    n_users = t["events"].select("user_id").distinct().count()
+    for r in rows:
+        assert r["est_ok"]
+        assert r["n_common"] <= min(r["n_a"], r["n_b"])
+        if n_users <= sketches.KMV_K:
+            assert r["jaccard_bp_est"] == r["jaccard_bp_exact"], r

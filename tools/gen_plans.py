@@ -130,6 +130,7 @@ QUERIES = [
     "cdc_chunks",
     "kl_source_divergence",
     "sorted_neighborhood_pairs",
+    "kmv_type_overlap",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"

@@ -19,6 +19,7 @@ Writes SCALE.md at the repo root.
 
 from __future__ import annotations
 
+import gc
 import os
 import sys
 import time
@@ -166,6 +167,7 @@ def main() -> None:
     for name, fn in {**OPS, **EMB_OPS}.items():
         spark.catalog.clearCache()
         fn(warm_t).write.mode("overwrite").format("noop").save()
+    gc.collect()
     print("warm-up pass done", flush=True)
     for k in KS:
         docs = scaled_documents(base["documents"], k)
@@ -184,6 +186,15 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(t).write.mode("overwrite").format("noop").save()
             results[name][k] = round(min(warm, time.perf_counter() - t0), 2)
+            # same hygiene as bench.py: clearCache only unpins cached
+            # frames; localCheckpoint RDDs (dedup_clusters, k-means) are
+            # freed by the ContextCleaner when their Python refs die —
+            # collect them so op N's leftover blocks don't squeeze op
+            # N+1's executor memory (measured: the k=8 embedding matmuls
+            # read 5-10x slower when run after the k=8 dedup ops without
+            # this, and normal in a fresh JVM).
+            spark.catalog.clearCache()
+            gc.collect()
             print(f"k={k} {name}: {results[name][k]}s", flush=True)
 
     k0 = KS[0]
