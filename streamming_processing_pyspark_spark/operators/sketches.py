@@ -298,6 +298,110 @@ def kmv_type_overlap(t: Tables) -> DataFrame:
     )
 
 
+
+
+#: DuckDB replay of the per-type KMV sketch rows (event_type, h) — shared
+#: by the streaming twin (``registry.streaming_kmv_sketch``), whose drained
+#: final state must equal the batch sketch exactly.
+KMV_SKETCH_ORACLE = f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ((user_id % {_HASH_MOD}) * {_KMV_A} + {_KMV_B}) % {_HASH_MOD} AS h
+      FROM events
+    ),
+    rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM h
+    )
+    SELECT event_type, CAST(h AS BIGINT) AS h
+    FROM rk WHERE rk <= {KMV_K}
+"""
+
+
+def make_kmv_state_fn(k: int = KMV_K):
+    """applyInPandasWithState function maintaining a per-key KMV sketch.
+
+    State is the sorted K-smallest DISTINCT hash list plus a
+    monotonically-increasing ingest counter; each invocation (= each
+    micro-batch containing the key) merges the batch's hashes and emits
+    the whole current sketch tagged with the counter, so the LAST
+    emission per key (max ``n_seen``) is the final sketch no matter how
+    file arrival slices the stream. The merge is associative and
+    commutative — exactly why a KMV survives as distributed streaming
+    state while an exact distinct-set would grow without bound: state is
+    ≤ K longs per key forever.
+    """
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            hs, n_seen = state.get
+            cur = set(hs)
+        else:
+            cur, n_seen = set(), 0
+        for pdf in pdf_iter:
+            n_seen += len(pdf)
+            cur.update(int(v) for v in pdf["h"])
+        merged = sorted(cur)[:k]
+        state.update((merged, n_seen))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n_seen],
+                "hs": [merged],
+            }
+        )
+
+    return fn
+
+
+def kmv_sketch_stream(events: DataFrame) -> DataFrame:
+    """The KMV sketch maintained BY a stream (events-shaped frame) —
+    custom bounded state via applyInPandasWithState, emitting the current
+    sketch per key per batch. Post-process with
+    :func:`latest_kmv_emission` after draining."""
+    from pyspark.sql import types as T
+
+    hashed = events.select("event_type", _kmv_hash("user_id").alias("h"))
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("hs", T.ArrayType(T.LongType())),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        make_kmv_state_fn(),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def latest_kmv_emission(drained: DataFrame) -> DataFrame:
+    """Final sketch rows (event_type, h) from the accumulated per-batch
+    emissions: keep each key's max-``n_seen`` row, explode its array."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("n_seen").desc())
+    return (
+        drained.select(
+            "event_type", "hs", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") == 1)
+        .select("event_type", F.explode("hs").alias("h"))
+    )
+
+
 ORACLES: dict[str, str] = {
     "kmv_type_overlap": """
         WITH du AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -384,8 +384,28 @@ def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV distinct sketch maintained as CUSTOM STREAMING STATE
+    (applyInPandasWithState, ≤K longs per key forever): each micro-batch
+    merges its user-id hashes into the per-type K-min set and emits the
+    current sketch; after the drain, the max-``n_seen`` emission per key
+    is the final state, exploded to (event_type, h) rows that hash-match
+    the SAME DuckDB replay as the batch sketch inside
+    ``sketches.kmv_type_overlap`` — the merge is associative+commutative,
+    so batch slicing can't change the result."""
+    from .operators.sketches import kmv_sketch_stream, latest_kmv_emission
+    from .sources.streams import stream_parquet_table
+    from .streaming.jobs import run_to_memory
+
+    ev = stream_parquet_table(spark, sf_dir, "events")
+    q, table = run_to_memory(kmv_sketch_stream(ev), "append")
+    q.stop()
+    return latest_kmv_emission(spark.table(table))
+
+
 _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_cms_cells": streaming_cms_cells,
+    "streaming_kmv_sketch": streaming_kmv_sketch,
     "streaming_observed_metrics": observability.streaming_observed_metrics,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_union_dedup": streaming_union_dedup,
@@ -403,6 +423,7 @@ _STREAMING_QUERIES: dict[str, QueryFn] = {
 
 _STREAMING_ORACLES: dict[str, str] = {
     "streaming_cms_cells": sketches.CELLS_ORACLE,
+    "streaming_kmv_sketch": sketches.KMV_SKETCH_ORACLE,
     # batch/streaming twins: identical totals, identical oracle
     "streaming_observed_metrics": observability.ORACLES["observed_gate_metrics"],
     "streaming_static_enrich": """
@@ -554,6 +575,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "kl_source_divergence",
     "sorted_neighborhood_pairs",
     "kmv_type_overlap",
+    "streaming_kmv_sketch",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -974,3 +974,45 @@ def test_kmv_overlap_exact_when_sketch_holds_all(spark):
         assert r["n_common"] <= min(r["n_a"], r["n_b"])
         if n_users <= sketches.KMV_K:
             assert r["jaccard_bp_est"] == r["jaccard_bp_exact"], r
+
+
+def test_kmv_state_fn_batch_slicing_invariant():
+    """The stateful KMV merge is associative: feeding hashes in two
+    micro-batches (or any slicing) must leave the same final state as one
+    batch — this is what makes the drained streaming sketch equal the
+    batch sketch regardless of trigger pacing. Pure-Python check of the
+    applyInPandasWithState function."""
+    import pandas as pd
+
+    from streamming_processing_pyspark_spark.operators.sketches import (
+        KMV_K,
+        make_kmv_state_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    fn = make_kmv_state_fn()
+    vals = [(i * 7919 + 13) % 1_000_003 for i in range(300)]
+
+    one = FakeState()
+    list(fn(("view",), iter([pd.DataFrame({"h": vals})]), one))
+
+    sliced = FakeState()
+    list(fn(("view",), iter([pd.DataFrame({"h": vals[:137]})]), sliced))
+    out = list(fn(("view",), iter([pd.DataFrame({"h": vals[137:]})]), sliced))
+
+    assert one._v == sliced._v
+    assert one._v[0] == sorted(set(vals))[:KMV_K]
+    assert one._v[1] == sliced._v[1] == 300
+    # the last emission carries the final sketch
+    assert list(out[-1]["hs"][0]) == one._v[0]
