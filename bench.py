@@ -106,6 +106,7 @@ HEADLINE = [
     "kl_source_divergence",
     "sorted_neighborhood_pairs",
     "kmv_type_overlap",
+    "cms_join_size_check",
 ]
 
 

@@ -300,6 +300,103 @@ def kmv_type_overlap(t: Tables) -> DataFrame:
 
 
 
+#: per-depth multipliers for the integer-key CMS (LCG-derived like
+#: dedup._minhash_coeffs; each odd, < _HASH_MOD, so (key%MOD)*A < 1e18
+#: stays inside int64 in both engines)
+CMS_KEY_AS = (736_338_717, 890_588_165, 214_580_541, 443_804_041)
+CMS_KEY_B = 198_491_317
+
+
+def _key_cell(col: str, d: int) -> Column:
+    a = CMS_KEY_AS[d]
+    return F.expr(
+        f"((({col} % {_HASH_MOD}) * {a} + {CMS_KEY_B}) % {_HASH_MOD})"
+        f" % {CMS_WIDTH}"
+    )
+
+
+def _key_cells(df: DataFrame, key: str) -> DataFrame:
+    """(d, cell) → summed count for an integer key column — the CMS of a
+    join key, built from the per-key count aggregate (identical cell
+    totals to per-occurrence folding by associativity, |distinct keys|
+    hash evaluations instead of |rows|)."""
+    cnt = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"), _key_cell("k", d).alias("cell")
+            )
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        cnt.select("c", F.explode(cells).alias("dc"))
+        .groupBy(F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+        .agg(F.sum("c").alias("cnt"))
+    )
+
+
+def cms_join_size_check(t: Tables) -> DataFrame:
+    """Join-cardinality estimation via CMS inner product — the classic
+    planner use of the count-min sketch (estimate |A ⋈ B| without
+    touching the join): est_d = Σ_cell a_d[cell]·b_d[cell], est = min_d.
+    Checked here on events.user_id ⋈ orders.o_custkey with the exact join
+    size computed alongside, plus the two CMS guarantees as data:
+    ``ge_ok`` (est ≥ exact, always — colliding keys only ADD mass) and
+    ``bound_ok`` (est − exact ≤ 4·n_a·n_b/width: Markov at 4× the
+    expected collision excess per depth, and the min over 4 independent
+    depths). Every number is integer arithmetic over portable hashes, so
+    the DuckDB oracle hash-matches the estimate itself.
+
+    Scale shape: each side reduces to per-key counts (one map-combinable
+    shuffle each — at 100 TB these aggregations are the join's own
+    build-side stats pass), then to DEPTH×WIDTH cells; the inner product
+    runs on sketch-sized frames. The exact join exists only to state the
+    claim as checkable data.
+    """
+    a = _key_cells(t["events"], "user_id")
+    b = _key_cells(t["orders"], "o_custkey")
+    est = (
+        a.join(
+            b.select("d", "cell", F.col("cnt").alias("cnt_b")), ["d", "cell"]
+        )
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("est_d"))
+        .agg(F.min("est_d").alias("est_join_rows"))
+    )
+    ca = t["events"].groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("c_a")
+    )
+    cb = t["orders"].groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("c_b")
+    )
+    exact = (
+        ca.join(cb, "k")
+        .agg(F.coalesce(F.sum(F.col("c_a") * F.col("c_b")), F.lit(0)).alias(
+            "exact_join_rows"
+        ))
+    )
+    na = t["events"].agg(F.count("*").alias("n_a"))
+    nb = t["orders"].agg(F.count("*").alias("n_b"))
+    return (
+        na.crossJoin(nb)
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_a",
+            "n_b",
+            "exact_join_rows",
+            "est_join_rows",
+            (F.col("est_join_rows") >= F.col("exact_join_rows")).alias("ge_ok"),
+            (
+                (F.col("est_join_rows") - F.col("exact_join_rows"))
+                * CMS_WIDTH
+                <= 4 * F.col("n_a") * F.col("n_b")
+            ).alias("bound_ok"),
+        )
+    )
+
+
 #: DuckDB replay of the per-type KMV sketch rows (event_type, h) — shared
 #: by the streaming twin (``registry.streaming_kmv_sketch``), whose drained
 #: final state must equal the batch sketch exactly.
@@ -403,6 +500,42 @@ def latest_kmv_emission(drained: DataFrame) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "cms_join_size_check": """
+        WITH ca AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        cb AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        depths AS (SELECT unnest(generate_series(0, 3)) AS d,
+                          unnest([736338717, 890588165, 214580541, 443804041]) AS a),
+        cells_a AS (
+          SELECT d, (((k % 1000000007) * a + 198491317) % 1000000007)
+                    % 1024 AS cell, sum(c) AS cnt
+          FROM ca, depths GROUP BY 1, 2
+        ),
+        cells_b AS (
+          SELECT d, (((k % 1000000007) * a + 198491317) % 1000000007)
+                    % 1024 AS cell, sum(c) AS cnt
+          FROM cb, depths GROUP BY 1, 2
+        ),
+        est AS (
+          SELECT CAST(min(est_d) AS BIGINT) AS est_join_rows FROM (
+            SELECT a.d, sum(a.cnt * b.cnt) AS est_d
+            FROM cells_a a JOIN cells_b b ON a.d = b.d AND a.cell = b.cell
+            GROUP BY a.d
+          )
+        ),
+        ex AS (
+          SELECT CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT)
+                   AS exact_join_rows
+          FROM ca JOIN cb ON ca.k = cb.k
+        ),
+        n AS (SELECT (SELECT count(*) FROM events) AS n_a,
+                     (SELECT count(*) FROM orders) AS n_b)
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               exact_join_rows, est_join_rows,
+               est_join_rows >= exact_join_rows AS ge_ok,
+               (est_join_rows - exact_join_rows) * 1024
+                 <= 4 * n_a * n_b AS bound_ok
+        FROM n, ex, est
+    """,
     "kmv_type_overlap": """
         WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
         n AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
@@ -491,5 +624,6 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "cms_bigram_check": cms_bigram_check,
+    "cms_join_size_check": cms_join_size_check,
     "kmv_type_overlap": kmv_type_overlap,
 }

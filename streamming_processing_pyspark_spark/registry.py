@@ -575,6 +575,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "kl_source_divergence",
     "sorted_neighborhood_pairs",
     "kmv_type_overlap",
+    "cms_join_size_check",
     "streaming_kmv_sketch",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",

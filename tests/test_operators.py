@@ -1016,3 +1016,21 @@ def test_kmv_state_fn_batch_slicing_invariant():
     assert one._v[1] == sliced._v[1] == 300
     # the last emission carries the final sketch
     assert list(out[-1]["hs"][0]) == one._v[0]
+
+
+def test_cms_join_size_guarantees(spark):
+    """The CMS inner-product estimator must honor its one-sided guarantee
+    (est >= exact: collisions only add mass) and sit within the 4x
+    expected-excess bound; exact_join_rows must equal the true join count."""
+    from streamming_processing_pyspark_spark.operators import sketches
+
+    t = load_tables(spark, SF_DIR)
+    row = sketches.cms_join_size_check(t).collect()[0]
+    true_join = (
+        t["events"]
+        .join(t["orders"], F.col("user_id") == F.col("o_custkey"))
+        .count()
+    )
+    assert row["exact_join_rows"] == true_join
+    assert row["ge_ok"] and row["est_join_rows"] >= row["exact_join_rows"]
+    assert row["bound_ok"]

@@ -131,6 +131,7 @@ QUERIES = [
     "kl_source_divergence",
     "sorted_neighborhood_pairs",
     "kmv_type_overlap",
+    "cms_join_size_check",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
