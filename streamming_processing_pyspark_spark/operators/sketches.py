@@ -275,9 +275,12 @@ def kmv_type_overlap(t: Tables) -> DataFrame:
             F.size("merged").alias("n_merged"),
         )
     )
+    # pair-grid, overlap-count, and sketch-estimate frames are all
+    # ≤|types|² rows but sit behind aggregates Catalyst has no stats for —
+    # hint them broadcast so the static plan never sort-merges
     return (
-        pairs.join(common, ["type_a", "type_b"], "left")
-        .join(est, ["type_a", "type_b"])
+        pairs.join(F.broadcast(common), ["type_a", "type_b"], "left")
+        .join(F.broadcast(est), ["type_a", "type_b"])
         .select(
             "type_a",
             "type_b",

@@ -480,3 +480,84 @@ def test_observe_single_scan(spark):
 
     assert len(re.findall(r"(?:File)?Scan parquet", s)) == 1, s
     assert_no_python_eval(df)
+
+
+def test_cdc_chunks_vocab_broadcast_no_python(spark):
+    """The CDC cut rule is evaluated per DISTINCT word and broadcast back
+    onto the exploded corpus (a shuffle join here would move |occurrences|
+    rows twice), and the whole operator stays JVM-side."""
+    from streamming_processing_pyspark_spark.operators import pipeline2
+
+    t = load_tables(spark, SF_DIR)
+    df = pipeline2.cdc_chunks(t)
+    assert_broadcast_join(df)
+    assert_no_python_eval(df)
+
+
+def test_kl_source_divergence_one_heavy_scan(spark):
+    """KL's second documents scan must read ONLY the source column (the
+    dense-grid source list) — deriving it from the token-count subtree
+    would tokenize the corpus twice."""
+    import re
+
+    from streamming_processing_pyspark_spark.operators import mixing
+
+    t = load_tables(spark, SF_DIR)
+    df = mixing.kl_source_divergence(t)
+    s = plan_string(df, "formatted")
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", s)
+    doc_scans = [c for c in scans if "text" in c or "source" in c]
+    assert len(doc_scans) == 2, s
+    assert any(c == "source:string" for c in doc_scans), doc_scans
+    assert_partial_aggregation(df)
+    assert_no_python_eval(df)
+
+
+def test_kmv_overlap_sketch_joins_broadcast(spark):
+    """All KMV pair math happens on sketch-sized frames: every join in
+    the plan is a broadcast (pair grid, sketch arrays, exact counts) —
+    the only corpus-sized work is the distinct aggregation."""
+    from streamming_processing_pyspark_spark.operators import sketches
+
+    t = load_tables(spark, SF_DIR)
+    df = sketches.kmv_type_overlap(t)
+    s = plan_string(df, "simple")
+    assert "SortMergeJoin" not in s, s
+    assert_no_python_eval(df)
+
+
+def test_cms_join_size_sketch_sized_inner_product(spark):
+    """The join-size estimate never materializes the join: the plan's
+    only parquet scans are the two per-key count aggregations (plus the
+    claim's exact-join branch), and the inner product runs on hash
+    aggregates with map-side combine."""
+    from streamming_processing_pyspark_spark.operators import sketches
+
+    t = load_tables(spark, SF_DIR)
+    df = sketches.cms_join_size_check(t)
+    assert_partial_aggregation(df)
+    assert_no_python_eval(df)
+
+
+def test_psi_value_drift_one_corpus_shuffle(spark):
+    """PSI runs on the conditional-sum histogram: the EXECUTED plan (the
+    persisted histogram dedups its two consumer branches at runtime)
+    hash-partitions corpus-sized data exactly once (the v_c histogram
+    build); every other exchange moves the bounded histogram/grid. All
+    decile/bucket math is JVM-side."""
+    import re
+
+    from streamming_processing_pyspark_spark.operators import profiling
+    from streamming_processing_pyspark_spark.plans.explain import (
+        executed_plan_string,
+    )
+
+    t = load_tables(spark, SF_DIR)
+    df = profiling.psi_value_drift(t)
+    s = executed_plan_string(df)
+    corpus_shuffles = {
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", s)
+    }
+    assert corpus_shuffles <= {"v_c", "bucket"}, s
+    assert_no_python_eval(df)
