@@ -16,6 +16,10 @@ source balancing.
   relative to their raw share. The Bernoulli gate is *exact integer
   arithmetic* — ``h² · n_g < MOD² · n_min`` — so both engines agree
   bit-for-bit with zero float ops.
+- :func:`kl_source_divergence` — bucketed per-source KL divergence vs
+  the corpus blend: which sources are distributionally far from the mix
+  they feed (re-weighting candidates), which are redundant with it.
+  Bounded S×64 bucket state regardless of corpus size.
 
 Scale notes (100 TB): DSIR is two corpus scans (one to count bucket
 occupancies — B counters per task, map-side combined into a B-row frame —

@@ -1,13 +1,23 @@
-"""Count-min sketch over bigram frequencies — oracle-REPRODUCIBLE, not
-just oracle-checked.
+"""Oracle-REPRODUCIBLE sketches — not just oracle-checked.
 
 ``events_analytics`` already carries the HLL / bitmap sketch family with
 claim-style contracts (exact value + within-tolerance flag). This module
-adds the frequency sketch with a stronger property: the hash rows use the
-repo's SQL-portable affine fold (``pipeline._group_hash``, seeded per
-depth) instead of xxhash64, so DuckDB replays the ENTIRE sketch —
-cells, estimates, and the CMS guarantee — and the driver hash-matches
-every number, not just a boolean.
+adds three sketches with a stronger property: their hashes are
+SQL-portable (the seeded affine char fold / the multiplicative
+congruential integer hash), so DuckDB replays the ENTIRE sketch — cells,
+estimates, and guarantees — and the driver hash-matches every number,
+not just a boolean:
+
+- count-min over bigram frequencies (``cms_bigram_check`` /
+  ``cms_cells_from`` — the latter runs unchanged as a streaming
+  aggregation);
+- CMS inner-product JOIN-SIZE estimation (``cms_join_size_check`` — the
+  planner use: |A ⋈ B| without touching the join, with the ≥-guarantee
+  and the expected-excess bound emitted as data);
+- KMV (k-minimum-values) distinct sketches (``kmv_type_overlap`` — set
+  INTERSECTION estimates HLL can't express, plus
+  ``registry.streaming_kmv_sketch`` maintaining the same sketch as
+  custom bounded streaming state).
 
 Reference scope note: the reference (/root/reference) has no sketch
 surface; this is 100 TB training-pipeline breadth per SURVEY.md §7
