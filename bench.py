@@ -107,6 +107,8 @@ HEADLINE = [
     "sorted_neighborhood_pairs",
     "kmv_type_overlap",
     "cms_join_size_check",
+    "epoch_upsample_manifest",
+    "hourly_value_interpolated",
 ]
 
 

@@ -20,6 +20,11 @@ source balancing.
   the corpus blend: which sources are distributionally far from the mix
   they feed (re-weighting candidates), which are redundant with it.
   Bounded S×64 bucket state regardless of corpus size.
+- :func:`epoch_upsample_manifest` — the UP-sampling half of the family:
+  data-recipe style multi-epoch repetition of rare sources at rate
+  ``sqrt(n_max/n_s)`` (largest source anchored at exactly 1 epoch),
+  split into a guaranteed integer floor plus a hash-gated fractional
+  epoch, all-integer on the comparison path.
 
 Scale notes (100 TB): DSIR is two corpus scans (one to count bucket
 occupancies — B counters per task, map-side combined into a B-row frame —
@@ -339,10 +344,80 @@ def kl_source_divergence(t: Tables) -> DataFrame:
     )
 
 
+def epoch_upsample_manifest(t: Tables) -> DataFrame:
+    """Deterministic epoch-upsampling manifest per document — the
+    UP-sampling half of the mixing family (:func:`temperature_mix_sample`
+    flattens by dropping from over-represented groups; real data recipes
+    instead repeat curated/rare sources for >1 epoch while the largest
+    source runs a single epoch).
+
+    Target: per-source repeat rate ``r_s = sqrt(n_max / n_s)`` (the same
+    tau=1/2 flattening as the downsampler, anchored so the LARGEST source
+    gets exactly 1 epoch). Each doc receives ``floor(r_s)`` guaranteed
+    epochs plus one more with probability ``frac(r_s)``, decided by the
+    uniform gate hash — so per-source expected epochs equal ``n_s · r_s``
+    and the output is bit-reproducible.
+
+    All-integer arithmetic, no float sqrt on the comparison path:
+    ``f = floor(sqrt(n_max/n_s))`` is seeded by one double sqrt and then
+    corrected against the exact integer inequality ``f²·n_s ≤ n_max <
+    (f+1)²·n_s`` (a ±1 fix-up, so the double seed only needs to be within
+    1 — far beyond IEEE guarantees); the fractional gate ``u+f < r_s``
+    squares to ``(h + f·MOD)²·n_s < n_max·MOD²``, run in DECIMAL(38,0) /
+    HUGEINT. Cross-engine hash-exact with zero accepted-divergence class.
+
+    Plan shape: one per-source count aggregate (map-side combined,
+    |sources| rows) with the max folded on by an unpartitioned window over
+    that tiny frame, broadcast back over a map-only epoch computation —
+    the same one-aggregate-one-broadcast shape as the downsampler, safe at
+    any corpus size.
+    """
+    from pyspark.sql import Window
+
+    d = t["documents"].select(
+        "doc_id", "source", _gate_hash("doc_id").alias("h")
+    )
+    counts = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_s"))
+        .withColumn("n_max", F.max("n_s").over(Window.partitionBy()))
+    )
+    rates = (
+        counts.withColumn(
+            "f0",
+            F.expr("CAST(floor(sqrt(CAST(n_max AS DOUBLE) / n_s)) AS BIGINT)"),
+        )
+        .select(
+            "source",
+            "n_s",
+            "n_max",
+            F.expr(
+                "CASE WHEN f0 * f0 * n_s > n_max THEN f0 - 1"
+                " WHEN (f0 + 1) * (f0 + 1) * n_s <= n_max THEN f0 + 1"
+                " ELSE f0 END"
+            ).alias("f"),
+        )
+    )
+    extra = F.expr(
+        "CASE WHEN CAST(h + f * {mod} AS DECIMAL(38,0)) * (h + f * {mod}) * n_s"
+        " < CAST({mod} AS DECIMAL(38,0)) * {mod} * n_max"
+        " THEN 1 ELSE 0 END".format(mod=_HASH_MOD)
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("f") + extra).cast("long").alias("n_epochs"),
+        )
+    )
+
+
 QUERIES = {
     "dsir_resample": dsir_resample,
     "temperature_mix_sample": temperature_mix_sample,
     "kl_source_divergence": kl_source_divergence,
+    "epoch_upsample_manifest": epoch_upsample_manifest,
 }
 
 #: DuckDB mirror of the affine-fold hash over a string expression
@@ -451,5 +526,35 @@ ORACLES: dict[str, str] = {
         FROM d JOIN g USING (lang), m
         WHERE CAST(h AS HUGEINT) * h * n_g
               < CAST({_HASH_MOD} AS HUGEINT) * {_HASH_MOD} * n_min
+    """,
+    "epoch_upsample_manifest": f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 ((doc_id % {_HASH_MOD}) * {GATE_A} + {GATE_B})
+                   % {_HASH_MOD} AS h
+          FROM documents
+        ),
+        g AS (SELECT source, count(*) AS n_s FROM d GROUP BY source),
+        m AS (SELECT max(n_s) AS n_max FROM g),
+        f0 AS (
+          SELECT source, n_s, n_max,
+                 CAST(floor(sqrt(CAST(n_max AS DOUBLE) / n_s)) AS BIGINT)
+                   AS f0
+          FROM g, m
+        ),
+        fx AS (
+          SELECT source, n_s, n_max,
+                 CASE WHEN f0 * f0 * n_s > n_max THEN f0 - 1
+                      WHEN (f0 + 1) * (f0 + 1) * n_s <= n_max THEN f0 + 1
+                      ELSE f0 END AS f
+          FROM f0
+        )
+        SELECT doc_id, source,
+               CAST(f + CASE WHEN CAST(h + f * {_HASH_MOD} AS HUGEINT)
+                                  * (h + f * {_HASH_MOD}) * n_s
+                                < CAST({_HASH_MOD} AS HUGEINT)
+                                  * {_HASH_MOD} * n_max
+                        THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+        FROM d JOIN fx USING (source)
     """,
 }

@@ -255,9 +255,84 @@ def value_ohlc_5min(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def hourly_value_interpolated(tables: dict[str, DataFrame]) -> DataFrame:
+    """Hourly average value per type with gaps LINEARLY interpolated —
+    the third member of the gap-fill family (zero-fill in
+    :func:`hourly_counts_gapfilled`, step-fill in
+    :func:`hourly_avg_value_locf`), i.e. TimescaleDB's
+    ``time_bucket_gapfill(...) + interpolate(...)`` shape.
+
+    Gap hours get ``prev + (next − prev) · Δn/Δd`` where prev/next are the
+    nearest observed hourly averages on either side and Δn/Δd are exact
+    integer hour offsets; hours outside the first/last observation stay
+    NULL (interpolation has no second anchor there — step-fill is the
+    LOCF query's contract, not this one's). Observed hours pass through
+    unchanged.
+
+    Hash-exactness: the anchors are exact by construction (integer cent
+    sum / count, one IEEE division), the hour offsets are exact integers,
+    and both engines evaluate the one identical multiply-add expression
+    tree — same zero-divergence argument as LOCF, so the oracle
+    hash-matches on raw doubles.
+
+    Scale shape: identical to LOCF — the only input-sized work is the
+    map-side-combinable (hour, type) aggregation; the spine join and the
+    four ignore-null window passes run on the hours × types grid
+    (time-range bounded, not data bounded).
+    """
+    ev = tables["events"]
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            (F.col("s").cast("double") / F.col("c").cast("double")).alias("avg_raw"),
+        )
+    )
+    dense = _hour_spine(ev).join(F.broadcast(hourly), ["hour", "event_type"], "left")
+    obs_hour = F.when(F.col("avg_raw").isNotNull(), F.col("hour"))
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    anchored = dense.select(
+        "hour",
+        "event_type",
+        "avg_raw",
+        F.last("avg_raw", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("avg_raw", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    dt_n = (F.unix_timestamp("hour") - F.unix_timestamp("ph")) / F.lit(3600)
+    dt_d = (F.unix_timestamp("nh") - F.unix_timestamp("ph")) / F.lit(3600)
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        dt_n.cast("long").cast("double") / dt_d.cast("long").cast("double")
+    )
+    return anchored.select(
+        "hour",
+        "event_type",
+        F.when(F.col("avg_raw").isNotNull(), F.col("avg_raw"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("value_interp"),
+        F.col("avg_raw").isNull().alias("filled"),
+    )
+
+
 QUERIES = {
     "hourly_counts_gapfilled": hourly_counts_gapfilled,
     "hourly_avg_value_locf": hourly_avg_value_locf,
+    "hourly_value_interpolated": hourly_value_interpolated,
     "ewma_hourly_value": ewma_hourly_value,
     "similar_activity_users": similar_activity_users,
     "value_ohlc_5min": value_ohlc_5min,
@@ -370,5 +445,49 @@ ORACLES: dict[str, str] = {
                ) AS avg_value_cents,
                avg_raw IS NULL AS filled
         FROM dense
+    """,
+    "hourly_value_interpolated": """
+        WITH bounds AS (
+          SELECT date_trunc('hour', min(ts)) AS h0,
+                 date_trunc('hour', max(ts)) AS h1
+          FROM events
+        ), spine AS (
+          SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds
+        ), grid AS (
+          SELECT hour, event_type
+          FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)
+        ), hourly AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_raw
+          FROM events GROUP BY ALL
+        ), dense AS (
+          SELECT g.hour, g.event_type, h.avg_raw
+          FROM grid g LEFT JOIN hourly h USING (hour, event_type)
+        ), anchored AS (
+          SELECT hour, event_type, avg_raw,
+                 last_value(avg_raw IGNORE NULLS) OVER w_prev AS pv,
+                 last_value(CASE WHEN avg_raw IS NOT NULL THEN hour END
+                            IGNORE NULLS) OVER w_prev AS ph,
+                 first_value(avg_raw IGNORE NULLS) OVER w_next AS nv,
+                 first_value(CASE WHEN avg_raw IS NOT NULL THEN hour END
+                             IGNORE NULLS) OVER w_next AS nh
+          FROM dense
+          WINDOW
+            w_prev AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_next AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT hour, event_type,
+               CASE WHEN avg_raw IS NOT NULL THEN avg_raw
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                      pv + (nv - pv)
+                         * (CAST(date_diff('hour', ph, hour) AS DOUBLE)
+                            / CAST(date_diff('hour', ph, nh) AS DOUBLE))
+               END AS value_interp,
+               avg_raw IS NULL AS filled
+        FROM anchored
     """,
 }

@@ -784,6 +784,86 @@ def test_dsir_resample_scores_target_lookalikes(spark):
     assert all(r["n_bigrams"] >= 1 for r in rows)
 
 
+def test_epoch_upsample_floor_and_rates(spark):
+    """Epoch upsampling invariants: every doc gets >= 1 epoch; every doc
+    of the LARGEST source gets exactly 1 (the anchor); each source's
+    epochs are within the guaranteed {f, f+1} band around sqrt(n_max/n_s)
+    with the fractional share landing in a 4-sigma binomial band."""
+    from streamming_processing_pyspark_spark.operators import mixing
+
+    t = load_tables(spark, SF_DIR)
+    rows = mixing.epoch_upsample_manifest(t).collect()
+    assert rows, "empty manifest"
+    before = {
+        r["source"]: r["n"]
+        for r in t["documents"]
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_max = max(before.values())
+    max_source = max(before, key=lambda s: (before[s], s))
+    per_src: dict[str, list[int]] = {}
+    for r in rows:
+        assert r["n_epochs"] >= 1
+        per_src.setdefault(r["source"], []).append(r["n_epochs"])
+    assert set(per_src) == set(before)  # every doc appears exactly once
+    assert all(len(v) == before[s] for s, v in per_src.items())
+    assert set(per_src[max_source]) == {1}
+    for s, epochs in per_src.items():
+        rate = (n_max / before[s]) ** 0.5
+        f = int(rate)
+        if (f + 1) * (f + 1) * before[s] <= n_max:
+            f += 1
+        elif f * f * before[s] > n_max:
+            f -= 1
+        assert set(epochs) <= {f, f + 1}, (s, f, set(epochs))
+        frac = rate - f
+        got = sum(e - f for e in epochs) / len(epochs)
+        sigma = (frac * (1 - frac) / len(epochs)) ** 0.5
+        assert abs(got - frac) <= 4 * sigma + 1 / len(epochs), (s, got, frac)
+
+
+def test_hourly_value_interpolated_matches_bruteforce(spark):
+    """Observed hours pass through the exact hourly average; gap hours
+    are linear between the surrounding anchors; hours outside the
+    first/last observation of a type stay NULL."""
+    from streamming_processing_pyspark_spark.operators import timeseries
+
+    t = load_tables(spark, SF_DIR)
+    got = {
+        (r["event_type"], r["hour"]): (r["value_interp"], r["filled"])
+        for r in timeseries.hourly_value_interpolated(t).collect()
+    }
+    obs: dict[str, dict] = {}
+    for r in (
+        t["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .collect()
+    ):
+        obs.setdefault(r["event_type"], {})[r["hour"]] = r["s"] / r["c"]
+    assert got, "empty result"
+    for (et, hour), (v, filled) in got.items():
+        series = obs[et]
+        if hour in series:
+            assert not filled and v == series[hour]
+            continue
+        assert filled
+        prevs = [h for h in series if h < hour]
+        nexts = [h for h in series if h > hour]
+        if not prevs or not nexts:
+            assert v is None  # no second anchor: stays NULL
+            continue
+        ph, nh = max(prevs), min(nexts)
+        frac = (hour - ph) / (nh - ph)
+        want = series[ph] + (series[nh] - series[ph]) * frac
+        assert v is not None and abs(v - want) < 1e-9, (et, hour, v, want)
+
+
 def test_cosine_range_search_supersets_topk(spark):
     """Range search at the floor must contain every top-k hit whose score
     clears the floor (both read the same 6-dp rounded score)."""

@@ -135,3 +135,28 @@ def test_cms_seeded_hash_matches_python_reimpl(spark, tokens, seed):
     df = spark.createDataFrame([(text,)], "bigram string")
     got = df.select(_seeded_hash("bigram", seed).alias("h")).collect()[0]["h"]
     assert got == py_hash(text, seed)
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10**12),
+    st.integers(min_value=1, max_value=10**12),
+)
+def test_epoch_floor_correction_is_exact(n_a, n_b):
+    """The epoch upsampler's floor(sqrt(n_max/n_s)) — one double sqrt
+    seed corrected by the exact integer inequality — must equal the
+    exact integer answer math.isqrt(n_max // n_s) for ANY counts (the
+    identity floor(sqrt(a/b)) == isqrt(a // b) holds because f² <= a/b
+    iff f² <= floor(a/b) for integer f). 500 randomized examples up to
+    1e12 cover far past any realistic per-source corpus count."""
+    import math
+
+    n_max, n_s = max(n_a, n_b), min(n_a, n_b)
+    f0 = int(math.floor(math.sqrt(n_max / n_s)))
+    if f0 * f0 * n_s > n_max:
+        f = f0 - 1
+    elif (f0 + 1) * (f0 + 1) * n_s <= n_max:
+        f = f0 + 1
+    else:
+        f = f0
+    assert f == math.isqrt(n_max // n_s), (n_max, n_s, f0, f)

@@ -132,6 +132,8 @@ QUERIES = [
     "sorted_neighborhood_pairs",
     "kmv_type_overlap",
     "cms_join_size_check",
+    "epoch_upsample_manifest",
+    "hourly_value_interpolated",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
