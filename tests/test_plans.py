@@ -561,3 +561,41 @@ def test_psi_value_drift_one_corpus_shuffle(spark):
     }
     assert corpus_shuffles <= {"v_c", "bucket"}, s
     assert_no_python_eval(df)
+
+
+def test_epoch_upsample_one_corpus_aggregate(spark):
+    """The epoch manifest's only corpus-sized shuffle is the per-source
+    count aggregate (map-side combined); the rate table comes back as a
+    broadcast, the epoch computation is map-only, and both documents
+    scans are column-pruned to (doc_id, source) / (source)."""
+    import re
+
+    from streamming_processing_pyspark_spark.operators import mixing
+
+    t = load_tables(spark, SF_DIR)
+    df = mixing.epoch_upsample_manifest(t)
+    s = plan_string(df, "formatted")
+    assert "SortMergeJoin" not in s, s
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", s)
+    assert all("text" not in c for c in scans), scans
+    assert_partial_aggregation(df)
+    assert_no_python_eval(df)
+
+
+def test_interpolated_gapfill_grid_windows(spark):
+    """Linear gap fill does its input-sized work in ONE map-side
+    combinable (hour, type) aggregation; the window passes run on the
+    hours-by-types grid, partitioned by event_type (no unpartitioned
+    window over corpus-sized data), and no scan reads props/user_id."""
+    import re
+
+    from streamming_processing_pyspark_spark.operators import timeseries
+
+    t = load_tables(spark, SF_DIR)
+    df = timeseries.hourly_value_interpolated(t)
+    s = plan_string(df, "formatted")
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", s)
+    assert all("props" not in c and "user_id" not in c for c in scans), scans
+    assert "windowspecdefinition(event_type" in s, s
+    assert_partial_aggregation(df)
+    assert_no_python_eval(df)
