@@ -109,6 +109,8 @@ HEADLINE = [
     "cms_join_size_check",
     "epoch_upsample_manifest",
     "hourly_value_interpolated",
+    "lm_bigram_nll",
+    "bpe_merge_candidates",
 ]
 
 

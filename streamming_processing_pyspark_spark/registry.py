@@ -24,6 +24,7 @@ from .operators import (
     dedup,
     events_analytics,
     hierarchy,
+    lm,
     mixing,
     multimodal,
     observability,
@@ -516,6 +517,7 @@ _TABLE_MODULES = (
     pipeline,
     sampling,
     mixing,
+    lm,
 )
 
 
@@ -577,6 +579,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "kmv_type_overlap",
     "cms_join_size_check",
     "streaming_kmv_sketch",
+    "lm_bigram_nll",
+    "bpe_merge_candidates",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

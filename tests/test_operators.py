@@ -1114,3 +1114,47 @@ def test_cms_join_size_guarantees(spark):
     assert row["exact_join_rows"] == true_join
     assert row["ge_ok"] and row["est_join_rows"] >= row["exact_join_rows"]
     assert row["bound_ok"]
+
+
+def test_lm_bigram_nll_matches_manual(spark):
+    """The corpus-trained bigram LM must reproduce a hand computation on a
+    3-document corpus (add-one smoothing, context counts, position-ordered
+    fold, micro-nat floor); bigram-less documents are excluded."""
+    import math
+
+    from streamming_processing_pyspark_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm.lm_bigram_nll({"documents": docs}).collect()}
+    assert set(rows) == {1, 2}  # doc 3 has no bigram
+
+    # trained model: c12 = {ab:3, ba:1, bc:1}; contexts c1 = {a:3, b:2}; V=3
+    t_ab = -2.0 * math.log((3 + 1.0) / (3 + 3))
+    t_ba = -1.0 * math.log((1 + 1.0) / (2 + 3))
+    t_bc = -1.0 * math.log((1 + 1.0) / (2 + 3))
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["nll_micro"] == math.floor(1000000 * (t_ab + t_ba) / 3)
+    assert rows[2]["n_bigrams"] == 2
+    t2_ab = -1.0 * math.log((3 + 1.0) / (3 + 3))
+    assert rows[2]["nll_micro"] == math.floor(1000000 * (t2_ab + t_bc) / 2)
+
+
+def test_bpe_merge_candidates_manual(spark):
+    """BPE step-1 pair counting: within-word adjacent char pairs weighted
+    by word frequency, deterministic (freq desc, pair asc) order."""
+    from streamming_processing_pyspark_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "ab c")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["pair"], r["freq"])
+        for r in lm.bpe_merge_candidates({"documents": docs}).collect()
+    ]
+    # abab (freq 2): pairs ab, ba, ab -> ab x2, ba x1; ab (freq 1): ab x1
+    # single-char word "c" contributes nothing
+    assert got == [("ab", 5), ("ba", 2)]
