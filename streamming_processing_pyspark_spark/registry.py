@@ -30,6 +30,7 @@ from .operators import (
     observability,
     pipeline,
     pipeline2,
+    preference,
     profiling,
     relational,
     relational2,
@@ -504,6 +505,7 @@ _TABLE_MODULES = (
     relational4,
     sketches,
     pipeline2,
+    preference,
     events_analytics,
     analytics2,
     profiling,
@@ -585,6 +587,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "bpe_encode_stats",
     "tokenizer_fertility",
     "doremi_mixture_weights",
+    "bradley_terry_event_prefs",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -1213,3 +1213,30 @@ def test_bpe_merge_word_non_overlap():
     assert _merge_word(("aa", "a", "a"), "aa", "a") == ("aaa", "a")
     assert _merge_word(tuple("abab"), "a", "b") == ("ab", "ab")
     assert _merge_word((), "a", "b") == ()
+
+
+def test_bradley_terry_manual(spark):
+    """BT strengths on a 2-type tournament with a closed-form fixpoint
+    (W_A=2, W_B=1 over 3 comparisons -> s = (2/3, 1/3)); equal-value and
+    same-type adjacencies contribute no trial."""
+    from datetime import datetime
+
+    from streamming_processing_pyspark_spark.operators import preference
+
+    def e(i, u, ts, tp, v):
+        return (i, datetime(2024, 1, 1, 0, 0, ts), u, tp, v)
+
+    events = spark.createDataFrame(
+        [
+            e(1, 1, 1, "A", 1.0), e(2, 1, 2, "B", 2.0), e(3, 1, 3, "A", 3.0),
+            e(4, 2, 1, "A", 5.0), e(5, 2, 2, "B", 1.0),
+            e(6, 3, 1, "A", 1.0), e(7, 3, 2, "B", 1.0),  # tie: skipped
+            e(8, 4, 1, "A", 1.0), e(9, 4, 2, "A", 2.0),  # same type: skipped
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = [
+        tuple(r)
+        for r in preference.bradley_terry_event_prefs({"events": events}).collect()
+    ]
+    assert got == [("A", 2, 1, 666666), ("B", 1, 2, 333333)]
