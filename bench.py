@@ -111,6 +111,14 @@ HEADLINE = [
     "hourly_value_interpolated",
     "lm_bigram_nll",
     "bpe_merge_candidates",
+    "bpe_learn_merges",
+    "bpe_encode_stats",
+    "tokenizer_fertility",
+    "doremi_mixture_weights",
+    "bradley_terry_event_prefs",
+    "kcenter_coreset",
+    "k_anonymity_check",
+    "hard_negative_mining",
 ]
 
 

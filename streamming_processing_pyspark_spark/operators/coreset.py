@@ -1,0 +1,241 @@
+"""Diversity-based coreset selection over the embedding table: greedy
+k-center (farthest-point traversal) on a fixed-size candidate pool, then
+a distributed assignment/radius pass — the data-efficient-finetuning
+subset-selection pattern (pick k maximally-diverse exemplars, report how
+well they cover the corpus).
+
+Why this shape at 100 TB: greedy k-center is inherently sequential (each
+pick depends on all previous picks), so running it over the corpus would
+serialize k full scans. The production pattern separates concerns:
+
+1. POOL — a deterministic pseudo-random fixed-size candidate pool via
+   ``TakeOrdered`` on a Lehmer permutation of ``vec_id`` (per-partition
+   heaps; pool size is corpus-independent, so the driver-side state
+   never grows with the data).
+2. GREEDY — exact farthest-point traversal over the pool on the driver
+   (O(k·POOL) float ops on ≤``POOL_N`` rows — the same tiny-fixpoint
+   placement as ``lm.bpe_learn_merges`` / ``preference``'s MM loop).
+3. ASSIGN — ONE distributed map-only pass: every embedding row computes
+   its distance to the k broadcast centers (array-literal expressions,
+   no join), takes the nearest, and a map-side-combined groupBy emits
+   per-center population and max radius.
+
+Determinism: every dot product / norm is a LEFT FOLD over the dimension
+index in all three engines (Python loop, Spark ``aggregate`` over
+``zip_with``, DuckDB ``list_reduce`` — never ``list_dot_product`` or
+numpy, whose summation order is unspecified), embeddings are widened
+float32→float64 (exact) first, and +,·,/ and ``sqrt`` are all
+correctly-rounded IEEE ops — so distances are BIT-IDENTICAL across
+engines and every argmax/argmin tie-break (``vec_id`` / center rank) is
+total. ``max_radius_micro`` hash-matches exactly.
+
+Reference scope note: the reference project (``/root/reference``,
+Task2-4/Client.py) has no coreset surface; this extends the engine for
+the training-data use case per SURVEY.md §7 phase 4.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Tables = dict[str, DataFrame]
+
+#: candidate-pool size (corpus-independent driver state)
+POOL_N = 64
+
+#: number of centers the greedy traversal picks
+KCENTER_K = 8
+
+#: Lehmer-permutation constants for the pool order — Park–Miller minimal
+#: standard generator applied once to vec_id; (2^31-2)·48271 < 2^63, so
+#: the product is overflow-safe BIGINT arithmetic in both engines
+_LEHMER_MOD = 2147483647
+_LEHMER_MUL = 48271
+
+
+def _dot(a: list[float], b: list[float]) -> float:
+    """Left-fold dot product — the pinned summation order."""
+    acc = 0.0
+    for i in range(len(a)):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def kcenter_coreset(t: Tables) -> DataFrame:
+    """Greedy k-center coreset + coverage report.
+
+    Output (``KCENTER_K`` rows): ``center_rank`` (pick order, 1-based),
+    ``center_vec_id``, ``n_assigned`` (corpus rows nearest this center,
+    ties to the earlier pick), ``max_radius_micro`` =
+    ``floor(1e6 · max cosine distance)`` within the cell. The max of the
+    radii is the k-center objective — the coverage guarantee the
+    selected exemplars give (greedy is the classic 2-approximation).
+    Seed: the pool row with the smallest ``vec_id``; each next center is
+    the pool row farthest (max min-cosine-distance, ties to smaller
+    ``vec_id``) from the chosen set.
+    """
+    spark = t["embeddings"].sparkSession
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "e", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pool_rows = (
+        emb.select("vec_id", "e", norm.alias("nr"))
+        .orderBy(
+            (F.col("vec_id") % _LEHMER_MOD) * _LEHMER_MUL % _LEHMER_MOD,
+            "vec_id",
+        )
+        .limit(POOL_N)
+        .collect()
+    )
+    pool = sorted(
+        ((r["vec_id"], list(r["e"]), r["nr"]) for r in pool_rows)
+    )
+    centers = [pool[0]]  # seed: smallest vec_id in the pool
+    md = {
+        vid: 1.0 - _dot(e, centers[0][1]) / (nr * centers[0][2])
+        for vid, e, nr in pool
+    }
+    for _ in range(1, KCENTER_K):
+        far = max(pool, key=lambda p: (md[p[0]], -p[0]))
+        centers.append(far)
+        for vid, e, nr in pool:
+            d = 1.0 - _dot(e, far[1]) / (nr * far[2])
+            if d < md[vid]:
+                md[vid] = d
+    # ASSIGN: one map-only pass, centers baked in as array literals
+    def dist_to(c_e: list[float], c_nr: float):
+        dot = F.aggregate(
+            F.zip_with("e", F.array(*[F.lit(v) for v in c_e]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.lit(1.0) - dot / (F.col("nr") * F.lit(c_nr))
+
+    choice = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    dist_to(e, nr).alias("d"),
+                    F.lit(rank + 1).alias("center_rank"),
+                    F.lit(vid).cast("long").alias("center_vec_id"),
+                )
+                for rank, (vid, e, nr) in enumerate(centers)
+            ]
+        )
+    )
+    return (
+        emb.select("vec_id", "e", norm.alias("nr"))
+        .select(choice.alias("c"))
+        .groupBy(
+            F.col("c.center_rank").alias("center_rank"),
+            F.col("c.center_vec_id").alias("center_vec_id"),
+        )
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.floor(1000000 * F.max("c.d")).cast("long").alias(
+                "max_radius_micro"
+            ),
+        )
+    )
+
+
+_FOLD_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(generate_series(1, len({a})),"
+    " i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+
+
+def _kcenter_oracle_sql(k: int) -> str:
+    """DuckDB twin: same Lehmer pool, ``k`` unrolled farthest-point picks
+    (each round folds the new center's distance into the running min via
+    ``CASE WHEN d < md``), then the cross-join assignment with the
+    identical left-fold distance."""
+    dot_pc = _FOLD_DOT.format(a="p.e", b="c.e")
+    parts = [
+        f"""
+        WITH n AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt({_FOLD_DOT.format(a="CAST(embedding AS DOUBLE[])",
+                                        b="CAST(embedding AS DOUBLE[])")}) AS nr
+          FROM embeddings
+        ),
+        pool AS MATERIALIZED (
+          SELECT vec_id, e, nr FROM n
+          ORDER BY (vec_id % {_LEHMER_MOD}) * {_LEHMER_MUL} % {_LEHMER_MOD},
+                   vec_id
+          LIMIT {POOL_N}
+        ),
+        c1 AS MATERIALIZED (
+          SELECT vec_id, e, nr FROM pool ORDER BY vec_id LIMIT 1
+        ),
+        m1 AS MATERIALIZED (
+          SELECT p.vec_id, p.e, p.nr,
+                 1.0 - {dot_pc} / (p.nr * c.nr) AS md
+          FROM pool p, c1 c
+        )"""
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f"""
+        , c{j} AS MATERIALIZED (
+          SELECT vec_id, e, nr FROM m{j - 1}
+          ORDER BY md DESC, vec_id LIMIT 1
+        ),
+        m{j} AS MATERIALIZED (
+          SELECT p.vec_id, p.e, p.nr,
+                 CASE WHEN 1.0 - {dot_pc} / (p.nr * c.nr) < p.md
+                      THEN 1.0 - {dot_pc} / (p.nr * c.nr)
+                      ELSE p.md END AS md
+          FROM m{j - 1} p, c{j} c
+        )"""
+        )
+    centers_union = "\n            UNION ALL ".join(
+        f"SELECT {j} AS center_rank, vec_id, e, nr FROM c{j}"
+        for j in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+        , centers AS MATERIALIZED (
+            {centers_union}
+        ),
+        d AS (
+          SELECT a.vec_id,
+                 c.center_rank,
+                 c.vec_id AS center_vec_id,
+                 1.0 - {_FOLD_DOT.format(a="a.e", b="c.e")} / (a.nr * c.nr)
+                   AS dist
+          FROM n a CROSS JOIN centers c
+        ),
+        best AS (
+          SELECT vec_id, center_rank, center_vec_id, dist FROM d
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, center_rank) = 1
+        )
+        SELECT center_rank,
+               any_value(center_vec_id) AS center_vec_id,
+               CAST(count(*) AS BIGINT) AS n_assigned,
+               CAST(floor(1000000 * max(dist)) AS BIGINT)
+                 AS max_radius_micro
+        FROM best GROUP BY center_rank"""
+    )
+    return "".join(parts)
+
+
+QUERIES = {
+    "kcenter_coreset": kcenter_coreset,
+}
+
+ORACLES: dict[str, str] = {
+    "kcenter_coreset": _kcenter_oracle_sql(KCENTER_K),
+}

@@ -16,6 +16,18 @@ and BPE merge-candidate extraction.
   at corpus scale is this counting step, and it is the step that needs a
   distributed engine — the iteration loop operates on the (tiny)
   vocabulary table.
+- :func:`bpe_learn_merges` — the full Sennrich et al. (2016) training
+  loop run to a fixed merge budget: ONE distributed word-frequency
+  aggregation, then the strictly-sequential merge iterations on the
+  ``BPE_VOCAB_CAP``-bounded frequency table (see its docstring for why
+  per-merge Spark jobs would be the wrong plan at any scale).
+- :func:`bpe_encode_stats` — the corpus-sized other half: apply the
+  learned merge table back to every document (merge folds once per
+  DISTINCT word, broadcast join to per-doc word counts) and account
+  tokens/chars/words per document.
+- :func:`tokenizer_fertility` — per-language tokens-per-word /
+  chars-per-token under the trained tokenizer, THE standard
+  multilingual tokenizer-quality diagnostic.
 
 Scale notes (100 TB): ``lm_bigram_nll`` is two corpus scans (train
 counts + vocab size) and two shuffle joins of per-document DISTINCT

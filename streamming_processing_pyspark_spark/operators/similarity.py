@@ -370,6 +370,100 @@ def knn_join_topk(t: Tables) -> DataFrame:
     )
 
 
+#: negatives reported per anchor by hard_negative_mining
+HARDNEG_K = 5
+
+
+def hard_negative_mining(t: Tables) -> DataFrame:
+    """Contrastive-training hard negatives: for EVERY vector, the
+    ``HARDNEG_K`` most-similar vectors with a DIFFERENT label — the
+    standard mining step for embedding/reranker training data (the
+    near-misses the model must learn to push apart; easy random negatives
+    teach nothing).
+
+    Same distributed blocked-matmul harness and budget as
+    :func:`knn_join_topk` (two blocks per task, candidates
+    O(n·NB·K + ties) after the matmul stage) — the only change is the
+    mask: SAME-label pairs are excluded instead of just self, so the
+    block-local top-K cut is taken over valid negatives only. Ties at the
+    k-th block-local score are all emitted and the global per-anchor
+    window resolves them with the deterministic (score DESC, nbr_id)
+    order, exactly as knn_join_topk does.
+
+    Output: ``vec_id``, ``label``, ``nbr_id``, ``nbr_label``,
+    ``cos_sim`` (6 dp), ``rk`` (1..K).
+    """
+    import numpy as np
+
+    emb = t["embeddings"].select(
+        "vec_id", as_double("embedding").alias("vec"), "label"
+    )
+
+    def block_topk(key, a_pdf, b_pdf):
+        cols = ["vec_id", "label", "nbr_id", "nbr_label", "cos_sim"]
+        if not len(a_pdf) or not len(b_pdf):
+            return pd.DataFrame({c: [] for c in cols})
+        a_ids = a_pdf["vec_id"].to_numpy()
+        b_ids = b_pdf["vec_id"].to_numpy()
+        a_lab = a_pdf["label"].to_numpy()
+        b_lab = b_pdf["label"].to_numpy()
+        a_mat = np.array(a_pdf["vec"].tolist(), dtype="float64")
+        b_mat = np.array(b_pdf["vec"].tolist(), dtype="float64")
+        norms = np.outer(
+            np.linalg.norm(a_mat, axis=1), np.linalg.norm(b_mat, axis=1)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((a_mat @ b_mat.T) / norms, 6)
+        sims[~np.isfinite(sims)] = -np.inf
+        sims[a_lab[:, None] == b_lab[None, :]] = -np.inf  # mask same label
+        if key[0] == key[1]:
+            views = [(a_ids, a_lab, b_ids, b_lab, sims)]
+        else:
+            views = [
+                (a_ids, a_lab, b_ids, b_lab, sims),
+                (b_ids, b_lab, a_ids, a_lab, sims.T),
+            ]
+        frames = []
+        for q_ids, q_lab, c_ids, c_lab, m in views:
+            k = min(HARDNEG_K, m.shape[1])
+            kth = -np.partition(-m, k - 1, axis=1)[:, k - 1]
+            rows, cc = np.nonzero((m >= kth[:, None]) & np.isfinite(m))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": q_ids[rows],
+                        "label": q_lab[rows],
+                        "nbr_id": c_ids[cc],
+                        "nbr_label": c_lab[cc],
+                        "cos_sim": m[rows, cc],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    cands = _block_pair_groups(
+        emb,
+        block_topk,
+        "vec_id bigint, label int, nbr_id bigint, nbr_label int,"
+        " cos_sim double",
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id")
+    )
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= HARDNEG_K)
+        .select(
+            "vec_id",
+            "label",
+            "nbr_id",
+            "nbr_label",
+            "cos_sim",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (no RNG dependency:
     digits of a fixed LCG so results are reproducible everywhere)."""
@@ -1063,6 +1157,22 @@ ORACLES: dict[str, str] = {
           WHERE {_COS_DUCK} >= {NEAR_DUP_THRESHOLD}
         )
     """,
+    "hard_negative_mining": f"""
+        WITH sims AS (
+          SELECT a.vec_id AS vec_id, a.label AS label,
+                 b.vec_id AS nbr_id, b.label AS nbr_label,
+                 {_COS_DUCK} AS cos_sim
+          FROM embeddings a JOIN embeddings b ON a.label != b.label
+        )
+        SELECT vec_id, label, nbr_id, nbr_label, cos_sim,
+               CAST(rk AS INTEGER) AS rk
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos_sim DESC, nbr_id) AS rk
+          FROM sims
+        )
+        WHERE rk <= {HARDNEG_K}
+    """,
     "knn_join_topk": f"""
         WITH sims AS (
           SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, {_COS_DUCK} AS cos_sim
@@ -1132,6 +1242,7 @@ QUERIES = {
     "pq_recall_check": pq_recall_check,
     "label_centroid_sim": label_centroid_sim,
     "knn_join_topk": knn_join_topk,
+    "hard_negative_mining": hard_negative_mining,
     # SemDeDup: rows-only pairs + hard driver contract
     "semantic_dedup_pairs": semantic_dedup_pairs,
     "semdedup_check": semdedup_check,

@@ -20,9 +20,11 @@ from .operators import (
     analytics2,
     asof,
     campaign,
+    coreset,
     curation,
     dedup,
     events_analytics,
+    governance,
     hierarchy,
     lm,
     mixing,
@@ -506,6 +508,8 @@ _TABLE_MODULES = (
     sketches,
     pipeline2,
     preference,
+    coreset,
+    governance,
     events_analytics,
     analytics2,
     profiling,
@@ -588,6 +592,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "tokenizer_fertility",
     "doremi_mixture_weights",
     "bradley_terry_event_prefs",
+    "kcenter_coreset",
+    "k_anonymity_check",
+    "riskiest_qi_cells",
+    "hard_negative_mining",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

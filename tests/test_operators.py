@@ -1240,3 +1240,31 @@ def test_bradley_terry_manual(spark):
         for r in preference.bradley_terry_event_prefs({"events": events}).collect()
     ]
     assert got == [("A", 2, 1, 666666), ("B", 1, 2, 333333)]
+
+
+def test_kcenter_coreset_orthogonal_clusters(spark):
+    """Greedy k-center on 4 orthogonal directions x 3 power-of-two
+    magnitudes: the first 4 picks cover the 4 directions (radius 0 cells,
+    exact in floating point for power-of-two components), later picks are
+    zero-distance duplicates that attract no assignments (ties go to the
+    earlier rank), so exactly 4 cells of 3 points each come back."""
+    from streamming_processing_pyspark_spark.operators import coreset
+
+    rows = []
+    vid = 0
+    for mag in (1.0, 2.0, 4.0):
+        for d in range(4):
+            v = [0.0] * 4
+            v[d] = mag
+            rows.append((vid, v, 0))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = sorted(
+        tuple(r) for r in coreset.kcenter_coreset({"embeddings": emb}).collect()
+    )
+    assert len(got) == 4
+    assert all(r[3] == 0 for r in got), got  # radius exactly 0 per cell
+    assert all(r[2] == 3 for r in got), got  # 3 magnitudes per direction
+    assert got[0][0] == 1 and got[0][1] == 0  # seed = min vec_id in pool

@@ -134,9 +134,38 @@ QUERIES = [
     "cms_join_size_check",
     "epoch_upsample_manifest",
     "hourly_value_interpolated",
+    "lm_bigram_nll",
+    "bpe_encode_stats",
+    "tokenizer_fertility",
+    "doremi_mixture_weights",
+    "bradley_terry_event_prefs",
+    "kcenter_coreset",
+    "k_anonymity_check",
+    "hard_negative_mining",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
+
+#: queries whose returned DataFrame is a driver-side fixpoint result — the
+#: corpus-sized work runs in the jobs that feed the loop, not in the final
+#: (local-table) plan, so the bare shuffle count would mislead
+NOTES = {
+    "bpe_learn_merges": (
+        "- NOTE: result is the driver-side merge loop's table; the corpus-"
+        "sized stage is the word-frequency aggregation + TakeOrdered cap "
+        "that feeds it (see bpe_encode_stats for the distributed plan)"
+    ),
+    "doremi_mixture_weights": (
+        "- NOTE: result is the S-row multiplicative-weights fixpoint; the "
+        "corpus-sized stage is the per-source NLL fold (scan documents -> "
+        "2 map-combined shuffles + broadcast total) that feeds it"
+    ),
+    "bradley_terry_event_prefs": (
+        "- NOTE: result is the E-row MM fixpoint; the corpus-sized stage is "
+        "one user_id window shuffle + map-combined (winner, loser) groupBy "
+        "that feeds it"
+    ),
+}
 
 
 def summarize_scans(formatted: str) -> list[str]:
@@ -208,6 +237,8 @@ def main() -> None:
         parts.append(f"## {name}\n")
         parts.extend(summarize_scans(formatted))
         parts.extend(summarize(plan))
+        if name in NOTES:
+            parts.append(NOTES[name])
         parts.append("")
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("\n".join(parts) + "\n")

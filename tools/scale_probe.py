@@ -36,7 +36,9 @@ from streamming_processing_pyspark_spark.operators import (
     dedup,
     mixing,
     pipeline,
+    lm,
     pipeline2,
+    preference,
     sampling,
     similarity,
     sketches,
@@ -63,6 +65,10 @@ OPS = {
     "kl_source_divergence": mixing.kl_source_divergence,
     "cdc_chunks": pipeline2.cdc_chunks,
     "shingle_novelty_scores": dedup.shingle_novelty_scores,
+    "lm_bigram_nll": lm.lm_bigram_nll,
+    "bpe_learn_merges": lm.bpe_learn_merges,
+    "bpe_encode_stats": lm.bpe_encode_stats,
+    "doremi_mixture_weights": mixing.doremi_mixture_weights,
 }
 
 #: embedding-table operators probed against a scaled embeddings table.
