@@ -119,6 +119,8 @@ HEADLINE = [
     "kcenter_coreset",
     "k_anonymity_check",
     "hard_negative_mining",
+    "woe_value_bins",
+    "target_encode_oof",
 ]
 
 

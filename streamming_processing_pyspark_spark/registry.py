@@ -24,6 +24,7 @@ from .operators import (
     curation,
     dedup,
     events_analytics,
+    featurize,
     governance,
     hierarchy,
     lm,
@@ -510,6 +511,7 @@ _TABLE_MODULES = (
     preference,
     coreset,
     governance,
+    featurize,
     events_analytics,
     analytics2,
     profiling,
@@ -596,6 +598,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "k_anonymity_check",
     "riskiest_qi_cells",
     "hard_negative_mining",
+    "woe_value_bins",
+    "target_encode_oof",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -1268,3 +1268,78 @@ def test_kcenter_coreset_orthogonal_clusters(spark):
     assert all(r[3] == 0 for r in got), got  # radius exactly 0 per cell
     assert all(r[2] == 3 for r in got), got  # 3 magnitudes per direction
     assert got[0][0] == 1 and got[0][1] == 0  # seed = min vec_id in pool
+
+
+def test_target_encode_oof_manual(spark):
+    """Out-of-fold mean = complement mean: a cell's encoding uses every
+    fold but its own, and a single-fold category gets NULL (no
+    leakage-safe encoding exists)."""
+    from datetime import datetime
+
+    from streamming_processing_pyspark_spark.operators import featurize
+
+    # category = user_id % 100; fold = lehmer(event_id) % 5
+    def fold(eid):
+        return (eid % 2147483647) * 48271 % 2147483647 % 5
+
+    rows = []
+    # category 1: event_ids chosen to land in >= 2 folds; y=1 for even ids
+    for eid in range(1, 9):
+        rows.append((eid, datetime(2024, 1, 1), 1,
+                     "purchase" if eid % 2 == 0 else "view", 1.0))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        (r["category"], r["fold"]): (r["n_rows"], r["oof_mean_bp"])
+        for r in featurize.target_encode_oof({"events": ev}).collect()
+    }
+    from collections import Counter
+
+    cells = Counter()
+    ysum = Counter()
+    for eid in range(1, 9):
+        f = fold(eid)
+        cells[f] += 1
+        ysum[f] += 1 if eid % 2 == 0 else 0
+    tot_n, tot_y = sum(cells.values()), sum(ysum.values())
+    assert len(cells) >= 2  # the chosen ids must spread over folds
+    for f, n in cells.items():
+        want = (tot_y - ysum[f]) * 10000 // (tot_n - n)
+        assert got[(1, f)] == (n, want), (f, got[(1, f)], (n, want))
+
+
+def test_woe_value_bins_manual(spark):
+    """WOE/IV on two buckets with hand-computed smoothed ratios."""
+    import math
+    from datetime import datetime
+
+    from streamming_processing_pyspark_spark.operators import featurize
+
+    rows = [
+        # bucket 0 (value < 50): 3 purchases, 1 other
+        (1, datetime(2024, 1, 1), 1, "purchase", 10.0),
+        (2, datetime(2024, 1, 1), 1, "purchase", 20.0),
+        (3, datetime(2024, 1, 1), 1, "purchase", 30.0),
+        (4, datetime(2024, 1, 1), 1, "view", 40.0),
+        # bucket 1: 1 purchase, 3 others
+        (5, datetime(2024, 1, 1), 1, "purchase", 60.0),
+        (6, datetime(2024, 1, 1), 1, "view", 70.0),
+        (7, datetime(2024, 1, 1), 1, "view", 80.0),
+        (8, datetime(2024, 1, 1), 1, "click", 90.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        r["bucket"]: r for r in featurize.woe_value_bins({"events": ev}).collect()
+    }
+    # good_tot=4, bad_tot=4, B=2
+    for b, (ng, nb) in {0: (3, 1), 1: (1, 3)}.items():
+        woe = math.log(((ng + 1) * (4 + 2)) / ((nb + 1) * (4 + 2)))
+        dr = (ng + 1) / (4 + 2) - (nb + 1) / (4 + 2)
+        assert got[b]["n_good"] == ng and got[b]["n_bad"] == nb
+        assert got[b]["woe_micro"] == math.floor(1000000 * woe)
+        assert got[b]["iv_micro"] == math.floor(1000000 * (dr * woe))

@@ -142,6 +142,8 @@ QUERIES = [
     "kcenter_coreset",
     "k_anonymity_check",
     "hard_negative_mining",
+    "woe_value_bins",
+    "target_encode_oof",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
