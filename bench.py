@@ -121,6 +121,7 @@ HEADLINE = [
     "hard_negative_mining",
     "woe_value_bins",
     "target_encode_oof",
+    "lsh_query_topk",
 ]
 
 

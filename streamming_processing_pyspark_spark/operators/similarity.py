@@ -478,6 +478,154 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
+#: query-time LSH: signature width of the REGISTERED contract (kept
+#: constant so the DuckDB oracle can inline the hyperplanes as literals;
+#: production sizes it with lsh_tuning_for — the knob is the n_bits
+#: parameter). 2^5 = 32 buckets; multi-probe covers the exact bucket plus
+#: every 1-bit flip, so ~(bits+1)/2^bits of the corpus is re-ranked.
+LSH_QUERY_BITS = 5
+
+
+def lsh_query_topk(t: Tables, n_bits: int = LSH_QUERY_BITS) -> DataFrame:
+    """Query-time LSH ANN: hash every vector to a ``n_bits`` hyperplane
+    signature ONCE, probe the query's bucket plus all 1-bit flips
+    (multi-probe), exact-cosine re-rank the candidates, return the top
+    ``TOPK``.
+
+    This is the query-serving half of the LSH ladder
+    (:func:`lsh_bucketed_pairs` is the pair-mining half) — and the one
+    LSH operator with a FULL hash-match oracle: signatures here are
+    computed with JVM ``aggregate`` folds over the float64-widened
+    embedding (pinned left-to-right summation), not BLAS, so the sign of
+    every plane dot — and therefore every bucket id, candidate set, and
+    re-ranked cosine — is bit-identical in Spark, the driver-side query
+    hash, and the DuckDB oracle's ``list_reduce`` twin. The plane
+    matrix is the module's deterministic LCG, inlined into the oracle as
+    literals (exact decimal round-trip).
+
+    Scale: one map-only signature projection + a bucket IN-filter (at
+    production widths, ``n_bits ~ log2(n/occupancy)`` via
+    :func:`lsh_tuning_for` keeps probed candidates ≈ (bits+1)·occupancy,
+    corpus-independent; the registered contract pins bits for oracle
+    staticness and documents that), then ``TakeOrdered`` on the
+    candidates. The query vector/bucket is the usual 1-row driver fetch.
+    """
+    import math as _math
+
+    emb = t["embeddings"].select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
+    qvec = list(q["e"])
+    planes = _hyperplanes(len(qvec), n_bits)
+
+    def py_dot(a, b):
+        acc = 0.0
+        for i in range(len(a)):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    q_norm = _math.sqrt(py_dot(qvec, qvec))
+    q_bucket = 0
+    for i, pl in enumerate(planes):
+        if py_dot(qvec, pl) >= 0.0:
+            q_bucket += 1 << i
+    probes = [q_bucket] + [q_bucket ^ (1 << i) for i in range(n_bits)]
+
+    def fold_dot(col, vals):
+        return F.aggregate(
+            F.zip_with(col, F.array(*[F.lit(v) for v in vals]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for i, pl in enumerate(planes):
+        bit = F.when(fold_dot("e", pl) >= 0.0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "e", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        emb.withColumn("bucket", bucket)
+        .where(F.col("bucket").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select(
+            "vec_id",
+            (fold_dot("e", qvec) / (norm * F.lit(q_norm))).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(TOPK)
+        .select(
+            "vec_id",
+            "cos_sim",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_sim").desc(), "vec_id"))
+            .cast("int")
+            .alias("rk"),
+        )
+    )
+
+
+def _lsh_query_oracle_sql(n_bits: int) -> str:
+    """DuckDB twin of :func:`lsh_query_topk`: hyperplanes inlined as
+    literal DOUBLE[] (repr round-trips exactly), the same left-fold dot
+    for signatures and cosines, bucket probes unrolled with xor."""
+    # dim comes from the embeddings table itself; planes are generated for
+    # the widest dim used by the testdata (64) — the fold only reads
+    # len(e) entries, and _hyperplanes is deterministic per (dim, bits),
+    # so Spark and the oracle must agree on dim. 64 is the table contract
+    # (TESTDATA.md); a different corpus regenerates the oracle.
+    planes = _hyperplanes(64, n_bits)
+
+    def fold(a, b):
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(generate_series(1, len({a})),"
+            f" i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+        )
+
+    lits = [
+        "([" + ", ".join(repr(v) for v in pl) + "]::DOUBLE[])" for pl in planes
+    ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN {fold('e', lit)} >= 0.0 THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits)
+    )
+    probe_cond = " OR ".join(
+        ["c.bucket = q.bucket"]
+        + [f"c.bucket = xor(q.bucket, {1 << i})" for i in range(n_bits)]
+    )
+    return f"""
+        WITH n AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+        ),
+        sig AS MATERIALIZED (
+          SELECT vec_id, e,
+                 sqrt({fold('e', 'e')}) AS nr,
+                 {bucket_expr} AS bucket
+          FROM n
+        ),
+        q AS (SELECT e, nr, bucket FROM sig WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS (
+          SELECT c.vec_id,
+                 {fold('c.e', 'q.e')} / (c.nr * q.nr) AS cos_sim
+          FROM sig c, q
+          WHERE ({probe_cond}) AND c.vec_id != {QUERY_VEC_ID}
+        )
+        SELECT vec_id, cos_sim,
+               CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                    AS INTEGER) AS rk
+        FROM cand
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT {TOPK}
+    """
+
+
 #: CORPUS-SIZED TUNING (auto by default): expected band-bucket occupancy
 #: is ≈ n / 2^(bits/band), so per-band candidate volume is ≈ n·occ/2 —
 #: keeping occupancy PINNED as n grows (bits/band ~ log2(n/occ)) keeps
@@ -1157,6 +1305,7 @@ ORACLES: dict[str, str] = {
           WHERE {_COS_DUCK} >= {NEAR_DUP_THRESHOLD}
         )
     """,
+    "lsh_query_topk": _lsh_query_oracle_sql(LSH_QUERY_BITS),
     "hard_negative_mining": f"""
         WITH sims AS (
           SELECT a.vec_id AS vec_id, a.label AS label,
@@ -1243,6 +1392,7 @@ QUERIES = {
     "label_centroid_sim": label_centroid_sim,
     "knn_join_topk": knn_join_topk,
     "hard_negative_mining": hard_negative_mining,
+    "lsh_query_topk": lsh_query_topk,
     # SemDeDup: rows-only pairs + hard driver contract
     "semantic_dedup_pairs": semantic_dedup_pairs,
     "semdedup_check": semdedup_check,

@@ -600,6 +600,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "hard_negative_mining",
     "woe_value_bins",
     "target_encode_oof",
+    "lsh_query_topk",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -1343,3 +1343,38 @@ def test_woe_value_bins_manual(spark):
         assert got[b]["n_good"] == ng and got[b]["n_bad"] == nb
         assert got[b]["woe_micro"] == math.floor(1000000 * woe)
         assert got[b]["iv_micro"] == math.floor(1000000 * (dr * woe))
+
+
+def test_lsh_query_topk_exact_cosines(spark):
+    """Every candidate the probe surfaces carries its EXACT cosine (the
+    pinned left-fold, bit-identical to a driver-side recomputation), is
+    ranked (cos DESC, vec_id), and never includes the query itself."""
+    import math
+
+    from streamming_processing_pyspark_spark.operators import similarity
+    from streamming_processing_pyspark_spark.tables import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    got = similarity.lsh_query_topk(t).collect()
+    assert got and all(r["vec_id"] != similarity.QUERY_VEC_ID for r in got)
+    emb = {
+        r["vec_id"]: list(r["e"])
+        for r in t["embeddings"]
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e")
+        .collect()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for i in range(len(a)):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    q = emb[similarity.QUERY_VEC_ID]
+    qn = math.sqrt(dot(q, q))
+    for r in got:
+        e = emb[r["vec_id"]]
+        assert r["cos_sim"] == dot(e, q) / (math.sqrt(dot(e, e)) * qn)
+    sims = [(r["cos_sim"], r["vec_id"]) for r in got]
+    assert sims == sorted(sims, key=lambda s: (-s[0], s[1]))
+    assert [r["rk"] for r in got] == list(range(1, len(got) + 1))

@@ -144,6 +144,7 @@ QUERIES = [
     "hard_negative_mining",
     "woe_value_bins",
     "target_encode_oof",
+    "lsh_query_topk",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
