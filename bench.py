@@ -122,6 +122,8 @@ HEADLINE = [
     "woe_value_bins",
     "target_encode_oof",
     "lsh_query_topk",
+    "sql_value_ntiles",
+    "lateral_topk_per_type",
 ]
 
 
@@ -197,6 +199,19 @@ def main() -> None:
     # warm the JVM/codegen once so per-query numbers measure the queries
     load_table(spark, sf_dir, "events").count()
 
+    # Replay FIRST, while the JVM is fresh: measured r5, running it after
+    # the 78-query suite costs ~30% steady-state throughput (heap/GC
+    # pressure left by the suite), while standalone runs reach 22k+
+    # rows/s. Best-of-N (throughput → max) for the shared-host reason
+    # the suite uses min.
+    taxi_rows = taxi_rps = taxi_steady_rps = 0
+    for i in range(N_ITERS):
+        rows, rps, steady = taxi_replay_rows_per_sec()
+        if i == 0 or steady > taxi_steady_rps:
+            taxi_rows, taxi_rps, taxi_steady_rps = rows, rps, steady
+    spark.catalog.clearCache()
+    gc.collect()
+
     # Per-query time = min of N_ITERS materializations: the host is shared,
     # so a single run can absorb an external CPU burst; the minimum is the
     # machine-limited figure. The MEDIAN is carried alongside so
@@ -229,13 +244,6 @@ def main() -> None:
     total_median = round(sum(medians.values()), 3)
     events_rows = load_table(spark, sf_dir, "events").count()
     pipeline_sec = timings["geofence_hourly_counts"]
-    # best-of-N for the replay too (same shared-host rationale; throughput →
-    # take the max)
-    taxi_rows = taxi_rps = taxi_steady_rps = 0
-    for i in range(N_ITERS):
-        rows, rps, steady = taxi_replay_rows_per_sec()
-        if i == 0 or steady > taxi_steady_rps:
-            taxi_rows, taxi_rps, taxi_steady_rps = rows, rps, steady
 
     # Output contract (r4 regression fix — BENCH_r04.json "parsed": null):
     # the driver tail-captures stdout and parses the LAST line, so the

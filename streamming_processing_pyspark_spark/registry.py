@@ -43,6 +43,7 @@ from .operators import (
     sampling,
     similarity,
     sketches,
+    sqlapi,
     text,
     udtf,
     windowed,
@@ -512,6 +513,7 @@ _TABLE_MODULES = (
     coreset,
     governance,
     featurize,
+    sqlapi,
     events_analytics,
     analytics2,
     profiling,
@@ -601,6 +603,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "woe_value_bins",
     "target_encode_oof",
     "lsh_query_topk",
+    "sql_value_ntiles",
+    "lateral_topk_per_type",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

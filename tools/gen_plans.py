@@ -145,6 +145,8 @@ QUERIES = [
     "woe_value_bins",
     "target_encode_oof",
     "lsh_query_topk",
+    "sql_value_ntiles",
+    "lateral_topk_per_type",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
