@@ -1378,3 +1378,37 @@ def test_lsh_query_topk_exact_cosines(spark):
     sims = [(r["cos_sim"], r["vec_id"]) for r in got]
     assert sims == sorted(sims, key=lambda s: (-s[0], s[1]))
     assert [r["rk"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_apply_merge_column_equals_python_exhaustive(spark):
+    """The BPE merge-application rule has two implementations — the
+    driver-side scan (_merge_word, used by the learn loop) and the
+    Column aggregate fold (_apply_merge, used by the distributed encode)
+    — plus the oracle's recursive CTE. Pin the first two against each
+    other EXHAUSTIVELY over every symbol sequence of length <= 5 drawn
+    from {a, b, aa} for three merge pairs, including the overlap-greedy
+    edge cases ('aaa', 'aa'+'a' vs 'a'+'aa')."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from streamming_processing_pyspark_spark.operators.lm import (
+        _apply_merge,
+        _merge_word,
+    )
+
+    alphabet = ["a", "b", "aa"]
+    seqs = []
+    for n in range(6):
+        seqs.extend(itertools.product(alphabet, repeat=n))
+    rows = [(i, list(s)) for i, s in enumerate(seqs)]
+    df = spark.createDataFrame(rows, "id long, syms array<string>")
+    for a, b in (("a", "a"), ("a", "b"), ("aa", "a")):
+        got = {
+            r["id"]: tuple(r["m"])
+            for r in df.select(
+                "id", _apply_merge(F.col("syms"), a, b).alias("m")
+            ).collect()
+        }
+        for i, s in enumerate(seqs):
+            assert got[i] == _merge_word(tuple(s), a, b), (s, a, b, got[i])
