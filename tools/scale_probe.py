@@ -36,6 +36,7 @@ from streamming_processing_pyspark_spark.operators import (
     dedup,
     mixing,
     pipeline,
+    coreset,
     lm,
     pipeline2,
     preference,
@@ -83,6 +84,9 @@ EMB_OPS = {
     "pq_topk": similarity.pq_topk,
     "cosine_range_search": similarity.cosine_range_search,
     "label_balanced_sample": sampling.label_balanced_sample,
+    "kcenter_coreset": coreset.kcenter_coreset,
+    "hard_negative_mining": similarity.hard_negative_mining,
+    "lsh_query_topk": similarity.lsh_query_topk,
 }
 
 
