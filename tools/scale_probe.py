@@ -242,6 +242,24 @@ def main() -> None:
         else:
             verdict = f"SUPER-LINEAR (α≈{alpha:.2f})"
         lines.append(f"| {name} | {cells} | ×{ratio:.1f} — {verdict} |")
+    lines += [
+        "",
+        "Footnotes (by-design shapes, not regressions):",
+        "",
+        "- `knn_join_topk` / `hard_negative_mining` are the EXACT all-pairs",
+        "  baselines: the blocked matmul computes n²/2 dot products by",
+        "  definition, so time ∝ data² once compute-bound (visible from",
+        "  k=4→8). They exist as the recall oracles; the serving/scale",
+        "  paths are `ivf_topk` / `pq_topk` / `lsh_query_topk` (query ANN)",
+        "  and LSH-bucketed candidate mining — same contract keys, α ≤ 0.7",
+        "  in this table. Same treatment as `ngram_jaccard_pairs` vs",
+        "  `minhash_lsh_pairs` on the text side.",
+        "- `ngram_jaccard_pairs` is the exact-Jaccard baseline (pair-density",
+        "  driven); `minhash_lsh_pairs` (α≈0.2) is the production path.",
+        "- `dedup_clusters` growth tracks the pair-graph size (CC rounds are",
+        "  log-bounded via pointer doubling); at a fixed duplication RATE its",
+        "  input grows linearly with the corpus.",
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
