@@ -251,8 +251,20 @@ def bpe_learn_merges(t: Tables) -> DataFrame:
         .limit(BPE_VOCAB_CAP)
         .collect()
     )
+    return spark.createDataFrame(
+        _learn_from_wf([(r["w"], r["n_w"]) for r in wf]),
+        "merge_rank int, pair_left string, pair_right string, freq long",
+    )
+
+
+def _learn_from_wf(
+    wf: list[tuple[str, int]],
+) -> list[tuple[int, str, str, int]]:
+    """The sequential merge loop over a (word, frequency) table — the
+    vocabulary-sized half of BPE training shared by
+    :func:`bpe_learn_merges` and :func:`bpe_encode_stats`."""
     vocab: list[tuple[tuple[str, ...], int]] = [
-        (tuple(r["w"]), r["n_w"]) for r in wf
+        (tuple(w), n_w) for w, n_w in wf
     ]
     learned: list[tuple[int, str, str, int]] = []
     for rank in range(1, BPE_MERGES + 1):
@@ -268,10 +280,7 @@ def bpe_learn_merges(t: Tables) -> DataFrame:
         )
         learned.append((rank, a, b, freq))
         vocab = [(_merge_word(syms, a, b), n_w) for syms, n_w in vocab]
-    return spark.createDataFrame(
-        learned,
-        "merge_rank int, pair_left string, pair_right string, freq long",
-    )
+    return learned
 
 
 def bpe_encode_stats(t: Tables) -> DataFrame:
@@ -291,21 +300,33 @@ def bpe_encode_stats(t: Tables) -> DataFrame:
     chained :func:`_apply_merge` folds, never per occurrence — and the
     per-occurrence work is one broadcast hash join of the word→token-count
     table (vocabulary-sized, fits any executor) against the per-document
-    word counts. Total: one corpus scan for the doc/word counts + the
-    learn pass; both shuffles (doc_id,w → doc_id) are map-side combined
-    with fixed-width keys. All integers — bit-exact vs the oracle.
+    word counts. The whole operator is ONE corpus scan: the learn-side
+    word-frequency table is DERIVED from the persisted per-(doc, word)
+    counts (``groupBy(w)`` over the already-reduced frame, byte-identical
+    to :func:`bpe_learn_merges`'s own scan including empty-token cap
+    slots), so training and application never re-read the corpus. All
+    integers — bit-exact vs the oracle.
     """
-    merges = [
-        (r["pair_left"], r["pair_right"])
-        for r in bpe_learn_merges(t).collect()
-    ]
-    dw = (
+    from ..tables import persist_replacing
+
+    dw0 = persist_replacing(
         t["documents"]
         .select("doc_id", F.explode(words("text")).alias("w"))
-        .where(F.length("w") > 0)
         .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("*").alias("cnt")),
+        "bpe_encode_dw",
     )
+    wf = (
+        dw0.groupBy("w")
+        .agg(F.sum("cnt").alias("n_w"))
+        .orderBy(F.col("n_w").desc(), "w")
+        .limit(BPE_VOCAB_CAP)
+        .collect()
+    )
+    merges = [
+        (a, b) for _, a, b, _ in _learn_from_wf([(r["w"], r["n_w"]) for r in wf])
+    ]
+    dw = dw0.where(F.length("w") > 0)
     syms = F.expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
     )
