@@ -124,6 +124,8 @@ HEADLINE = [
     "lsh_query_topk",
     "sql_value_ntiles",
     "lateral_topk_per_type",
+    "hourly_count_anomalies_mad",
+    "zipf_alpha",
 ]
 
 

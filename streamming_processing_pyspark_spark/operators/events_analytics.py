@@ -228,6 +228,54 @@ def hourly_count_anomalies(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def hourly_count_anomalies_mad(tables: dict[str, DataFrame]) -> DataFrame:
+    """Robust (median/MAD) twin of :func:`hourly_count_anomalies`: hours
+    whose count deviates > 3 median-absolute-deviations from the all-hours
+    median — the estimator that does NOT let the anomalies themselves
+    inflate the yardstick (a burst hour moves the mean AND sigma of the
+    z-score test; it barely moves the median/MAD).
+
+    Output: ``window_start``, ``cnt``, ``med2`` = 2·median, ``mad4`` =
+    4·MAD, ``is_anomaly``. With integer counts, the 0.5-interpolated
+    median is a multiple of 1/2 and the MAD a multiple of 1/4, so ``med2``
+    / ``mad4`` are EXACT integers and the flag is the integer comparison
+    ``|4·cnt − 2·med2| > 3·mad4`` — no float at the decision boundary,
+    bit-exact across engines (same clearing trick as the z-score twin).
+
+    Scale: the percentile aggregations run on the already-aggregated
+    hourly frame (|hours| rows — bounded by the time range, not the
+    corpus), broadcast back as 1-row stats.
+    """
+    ev = tables["events"]
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+    med = hourly.agg(
+        (2 * F.expr("percentile(cnt, 0.5)")).cast("long").alias("med2")
+    )
+    with_med = hourly.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        (4 * F.expr("percentile(abs(cnt - med2 / 2.0), 0.5)"))
+        .cast("long")
+        .alias("mad4")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "window_start",
+            "cnt",
+            "med2",
+            "mad4",
+            (
+                F.abs(4 * F.col("cnt") - 2 * F.col("med2"))
+                > 3 * F.col("mad4")
+            ).alias("is_anomaly"),
+        )
+    )
+
+
 def hll_user_sketches(tables: dict[str, DataFrame]) -> DataFrame:
     """Approximate distinct users per event type via Apache DataSketches
     HLL (``hll_sketch_agg``, Spark 3.5+).
@@ -315,6 +363,7 @@ def value_trend_by_type(tables: dict[str, DataFrame]) -> DataFrame:
 
 
 QUERIES = {
+    "hourly_count_anomalies_mad": hourly_count_anomalies_mad,
     "event_transitions": event_transitions,
     "pagerank_event_types": pagerank_event_types,
     "event_path_trigrams": event_path_trigrams,
@@ -326,6 +375,26 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "hourly_count_anomalies_mad": """
+        WITH hourly AS (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                 count(*) AS cnt
+          FROM events GROUP BY 1
+        ),
+        med AS (
+          SELECT CAST(2 * quantile_cont(cnt, 0.5) AS BIGINT) AS med2
+          FROM hourly
+        ),
+        mad AS (
+          SELECT CAST(4 * quantile_cont(abs(cnt - med2 / 2.0), 0.5)
+                      AS BIGINT) AS mad4
+          FROM hourly, med
+        )
+        SELECT h.window_start, CAST(h.cnt AS BIGINT) AS cnt,
+               m.med2, d.mad4,
+               abs(4 * h.cnt - 2 * m.med2) > 3 * d.mad4 AS is_anomaly
+        FROM hourly h, med m, mad d
+    """,
     # the TRUE literal makes the sketch's documented error bound part of
     # the hash-compared data: any group whose HLL estimate drifts past the
     # tolerance turns the flag false and fails the driver check

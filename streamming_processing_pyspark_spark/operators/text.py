@@ -402,7 +402,104 @@ def vocab_coverage(t: Tables) -> DataFrame:
     return per_v.select("vocab_size", "covered_bp", "marginal_term_cnt")
 
 
+#: rank-frequency points the Zipf fit uses (vocab-bounded)
+ZIPF_TOP_N = 200
+
+
+def zipf_alpha(t: Tables) -> DataFrame:
+    """Zipf exponent of the corpus token distribution: OLS slope of
+    ln(freq) on ln(rank) over the top-``ZIPF_TOP_N`` words, reported as
+    ``alpha_micro = floor(1e6 · (−slope))``.
+
+    Natural text sits near α ≈ 1; a corpus drifting toward α ≫ 1
+    (template/boilerplate domination) or α ≪ 1 (shredded/random tokens)
+    is THE one-number distribution-health check curation dashboards
+    track next to the vocab_coverage curve.
+
+    Scale: word frequencies are the usual map-combined corpus shuffle;
+    the rank window and the fit run on the vocabulary-capped top-N frame
+    (≤ ZIPF_TOP_N rows — the unpartitioned window is bounded by
+    construction). Determinism: each point contributes ln(rank)/ln(freq)
+    — exact-integer logs of the accepted ≤1-ulp libm class — and all four
+    OLS sums fold in rank order on both engines before the micro floor.
+
+    Output (1 row): ``n_points``, ``alpha_micro``.
+    """
+    wf = (
+        t["documents"]
+        .select(F.explode(words("text")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = (
+        wf.withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.col("freq").desc(), "w")),
+        )
+        .where(F.col("r") <= ZIPF_TOP_N)
+        .select(
+            "r",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    acc = ranked.agg(
+        F.count("*").alias("n"),
+        F.array_sort(F.collect_list(F.struct("r", "x", "y"))).alias("ps"),
+    )
+    def fold(expr):
+        return F.expr(
+            f"aggregate(ps, CAST(0.0 AS DOUBLE), (a, p) -> a + {expr})"
+        )
+    return acc.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.floor(
+            1000000
+            * -(
+                (F.col("n") * fold("p.y * p.x") - fold("p.x") * fold("p.y"))
+                / (F.col("n") * fold("p.x * p.x") - fold("p.x") * fold("p.x"))
+            )
+        )
+        .cast("long")
+        .alias("alpha_micro"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "zipf_alpha": rf"""
+        WITH wf AS (
+          SELECT w, count(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents
+          ) WHERE length(w) > 0 GROUP BY w
+        ),
+        ranked AS (
+          SELECT r, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+          FROM (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, w) AS r
+            FROM wf
+          ) WHERE r <= {ZIPF_TOP_N}
+        ),
+        s AS (
+          SELECT count(*) AS n,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(y * x ORDER BY r)), (a, b) -> a + b) AS sxy,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(x ORDER BY r)), (a, b) -> a + b) AS sx,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(y ORDER BY r)), (a, b) -> a + b) AS sy,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(x * x ORDER BY r)), (a, b) -> a + b) AS sxx
+          FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_points,
+               CAST(floor(1000000 * -((n * sxy - sx * sy)
+                                      / (n * sxx - sx * sx)))
+                    AS BIGINT) AS alpha_micro
+        FROM s
+    """,
     "bm25_search": """
         WITH f AS (
           SELECT doc_id,
@@ -592,6 +689,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "zipf_alpha": zipf_alpha,
     "word_counts": word_counts,
     "token_stats": token_stats,
     "quality_scores": quality_scores,

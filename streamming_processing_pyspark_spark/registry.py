@@ -605,6 +605,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "lsh_query_topk",
     "sql_value_ntiles",
     "lateral_topk_per_type",
+    "hourly_count_anomalies_mad",
+    "zipf_alpha",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

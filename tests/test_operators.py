@@ -1412,3 +1412,49 @@ def test_apply_merge_column_equals_python_exhaustive(spark):
         }
         for i, s in enumerate(seqs):
             assert got[i] == _merge_word(tuple(s), a, b), (s, a, b, got[i])
+
+
+def test_hourly_count_anomalies_mad_manual(spark):
+    """Median/MAD anomaly flag on a hand-built hourly distribution: a
+    single burst hour is flagged and the robust yardstick (med2, mad4)
+    matches the hand computation in EXACT integers."""
+    from datetime import datetime
+
+    from streamming_processing_pyspark_spark.operators import events_analytics
+
+    rows = []
+    eid = 0
+    # hours 0..4 carry 2,3,3,3,40 events: median 3, |dev| = 1,0,0,0,37
+    # -> MAD = median(0,0,0,1,37) = 0 ... use counts 2,3,4,5,40 instead:
+    # median 4, |dev| = 2,1,0,1,36 -> MAD = 1; anomaly iff |cnt-4| > 3.
+    for h, n in enumerate((2, 3, 4, 5, 40)):
+        for _ in range(n):
+            rows.append((eid, datetime(2024, 1, 1, h, 30), 1, "view", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        r["cnt"]: r
+        for r in events_analytics.hourly_count_anomalies_mad({"events": ev}).collect()
+    }
+    assert all(r["med2"] == 8 and r["mad4"] == 4 for r in got.values())
+    assert {c: r["is_anomaly"] for c, r in got.items()} == {
+        2: False, 3: False, 4: False, 5: False, 40: True,
+    }
+
+
+def test_zipf_alpha_exact_power_law(spark):
+    """A corpus built to follow freq(r) = C / r exactly over 4 ranks must
+    fit alpha = 1 up to the regression's floating floor."""
+    from streamming_processing_pyspark_spark.operators import text as text_ops
+
+    # freq 24,12,8,6 = 24/r for r=1..4; distinct words w1..w4
+    body = " ".join(
+        " ".join([f"w{r}"] * (24 // r)) for r in (1, 2, 3, 4)
+    )
+    docs = spark.createDataFrame([(1, body)], "doc_id long, text string")
+    row = text_ops.zipf_alpha({"documents": docs}).collect()[0]
+    assert row["n_points"] == 4
+    assert abs(row["alpha_micro"] - 1000000) <= 1  # floor of ~1.0

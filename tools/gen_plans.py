@@ -147,6 +147,8 @@ QUERIES = [
     "lsh_query_topk",
     "sql_value_ntiles",
     "lateral_topk_per_type",
+    "hourly_count_anomalies_mad",
+    "zipf_alpha",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
