@@ -206,13 +206,18 @@ def hourly_count_anomalies(tables: dict[str, DataFrame]) -> DataFrame:
     bit-for-bit (no float rounding at the threshold boundary). The global
     stats are a 1-row aggregate of the already-aggregated hourly frame,
     broadcast back onto it — no single-partition global window, so the
-    plan stays parallel even if the hourly frame grows.
+    plan stays parallel even if the hourly frame grows. The hourly frame
+    is persisted so the stats branch and the output branch share ONE
+    corpus scan (unpinned, the executed plan scanned events twice).
     """
+    from ..tables import persist_replacing
+
     ev = tables["events"]
-    hourly = (
+    hourly = persist_replacing(
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("cnt"))
-        .select(F.col("w.start").alias("window_start"), "cnt")
+        .select(F.col("w.start").alias("window_start"), "cnt"),
+        "zscore_hourly",
     )
     global_stats = hourly.agg(
         F.count("*").alias("n"),
@@ -244,13 +249,19 @@ def hourly_count_anomalies_mad(tables: dict[str, DataFrame]) -> DataFrame:
 
     Scale: the percentile aggregations run on the already-aggregated
     hourly frame (|hours| rows — bounded by the time range, not the
-    corpus), broadcast back as 1-row stats.
+    corpus), broadcast back as 1-row stats. The hourly frame is
+    PERSISTED: three plan branches consume it (median, MAD, and the
+    flagged output), and without the pin each re-runs the corpus scan —
+    the executed plan showed 4 events scans; with it, one.
     """
+    from ..tables import persist_replacing
+
     ev = tables["events"]
-    hourly = (
+    hourly = persist_replacing(
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("cnt"))
-        .select(F.col("w.start").alias("window_start"), "cnt")
+        .select(F.col("w.start").alias("window_start"), "cnt"),
+        "mad_hourly",
     )
     med = hourly.agg(
         (2 * F.expr("percentile(cnt, 0.5)")).cast("long").alias("med2")
