@@ -69,14 +69,26 @@ def pagerank_event_types(tables: dict[str, DataFrame]) -> DataFrame:
     Pregel-on-DataFrames formulation (cf. dedup_clusters' CC loop).
     ``n`` (node count) is the loop's only driver value — a bounded scalar.
     """
+    from ..tables import persist_replacing
+
     edges = event_transitions(tables)
     outw = edges.groupBy("from_type").agg(F.sum("n_transitions").alias("outw"))
-    p = edges.join(outw, "from_type").select(
-        "from_type",
-        "to_type",
-        F.expr(f"(n_transitions * {PR_SCALE}) DIV outw").alias("p"),
+    # the edge-probability and node frames are read once per round by the
+    # loop below — pinned, or every round re-runs the corpus-sized
+    # transition aggregation (the executed plan showed 10 events scans
+    # for 3 rounds; with the pins, one)
+    p = persist_replacing(
+        edges.join(outw, "from_type").select(
+            "from_type",
+            "to_type",
+            F.expr(f"(n_transitions * {PR_SCALE}) DIV outw").alias("p"),
+        ),
+        "pagerank_edges",
     )
-    nodes = tables["events"].select(F.col("event_type").alias("node")).distinct()
+    nodes = persist_replacing(
+        tables["events"].select(F.col("event_type").alias("node")).distinct(),
+        "pagerank_nodes",
+    )
     n = nodes.count()
     base = (15 * PR_SCALE) // (100 * n)
     r = nodes.withColumn("r", F.lit(PR_SCALE // n).cast("long"))

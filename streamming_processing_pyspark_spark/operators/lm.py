@@ -105,8 +105,17 @@ def lm_bigram_nll(t: Tables) -> DataFrame:
             )
         ).alias("pos", "o"),
     ).select("doc_id", "pos", F.col("o.w1").alias("w1"), F.col("o.bg").alias("bg"))
-    g = occ.groupBy("doc_id", "bg", "w1").agg(
-        F.count("*").alias("m"), F.min("pos").alias("p")
+    from ..tables import persist_replacing
+
+    # g feeds THREE consumers (the c12/c1 count tables and the terms
+    # join) — pinned, or each re-runs the corpus scan + bigram explode
+    # (the executed plan showed 4 documents scans; with the pin, 2:
+    # this one and the vocab distinct)
+    g = persist_replacing(
+        occ.groupBy("doc_id", "bg", "w1").agg(
+            F.count("*").alias("m"), F.min("pos").alias("p")
+        ),
+        "lm_bigram_g",
     )
     c12 = g.groupBy("bg").agg(F.sum("m").alias("c12"))
     c1 = g.groupBy("w1").agg(F.sum("m").alias("c1"))

@@ -27,24 +27,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import persist_replacing
 
-def _hour_spine(ev: DataFrame) -> DataFrame:
-    """Dense hour × event_type grid spanning the table's time range.
 
-    One global min/max aggregate (1 row), one distinct event_type frame
-    (|types| rows), sequence+explode for the hours — no input-sized data
-    ever crosses this path.
+def _hour_spine(agg: DataFrame) -> DataFrame:
+    """Dense hour × event_type grid spanning the aggregated frame's range.
+
+    Derived from the already-aggregated (hour, event_type) frame, NOT the
+    raw events: its min/max hour and distinct types equal the raw
+    table's by construction (every event lands in exactly one cell), and
+    deriving from the tiny frame keeps each gap-fill query at ONE corpus
+    scan — callers persist the aggregate, or the bounds/types branches
+    would each re-run it (executed plans showed 3 events scans before).
     """
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    bounds = agg.agg(
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
     )
     hours = bounds.select(
         F.explode(
             F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
         ).alias("hour")
     )
-    types = ev.select("event_type").distinct()
+    types = agg.select("event_type").distinct()
     return hours.crossJoin(F.broadcast(types))
 
 
@@ -57,7 +62,8 @@ def hourly_counts_gapfilled(tables: dict[str, DataFrame]) -> DataFrame:
             "event_type",
         ).agg(F.count("*").alias("cnt"))
     )
-    spine = _hour_spine(ev)
+    counts = persist_replacing(counts, "gapfill_counts")
+    spine = _hour_spine(counts)
     return (
         spine.join(F.broadcast(counts), ["hour", "event_type"], "left")
         .select("hour", "event_type", F.coalesce("cnt", F.lit(0)).alias("cnt"))
@@ -85,7 +91,8 @@ def hourly_avg_value_locf(tables: dict[str, DataFrame]) -> DataFrame:
             (F.col("s").cast("double") / F.col("c").cast("double")).alias("avg_raw"),
         )
     )
-    spine = _hour_spine(ev)
+    hourly = persist_replacing(hourly, "locf_hourly")
+    spine = _hour_spine(hourly)
     dense = spine.join(F.broadcast(hourly), ["hour", "event_type"], "left")
     w = (
         Window.partitionBy("event_type")
@@ -293,7 +300,8 @@ def hourly_value_interpolated(tables: dict[str, DataFrame]) -> DataFrame:
             (F.col("s").cast("double") / F.col("c").cast("double")).alias("avg_raw"),
         )
     )
-    dense = _hour_spine(ev).join(F.broadcast(hourly), ["hour", "event_type"], "left")
+    hourly = persist_replacing(hourly, "interp_hourly")
+    dense = _hour_spine(hourly).join(F.broadcast(hourly), ["hour", "event_type"], "left")
     obs_hour = F.when(F.col("avg_raw").isNotNull(), F.col("hour"))
     w_prev = (
         Window.partitionBy("event_type")
