@@ -328,12 +328,13 @@ def _key_cell(col: str, d: int) -> Column:
     )
 
 
-def _key_cells(df: DataFrame, key: str) -> DataFrame:
-    """(d, cell) → summed count for an integer key column — the CMS of a
-    join key, built from the per-key count aggregate (identical cell
-    totals to per-occurrence folding by associativity, |distinct keys|
-    hash evaluations instead of |rows|)."""
-    cnt = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+def _key_cells(cnt: DataFrame) -> DataFrame:
+    """(d, cell) → summed count from a per-key count frame (cols k, c) —
+    the CMS of a join key, built from the per-key count aggregate
+    (identical cell totals to per-occurrence folding by associativity,
+    |distinct keys| hash evaluations instead of |rows|). Callers pass the
+    PINNED per-key frame so the sketch, the exact-join branch, and the
+    row-count branch all share one corpus scan per side."""
     cells = F.array(
         *[
             F.struct(
@@ -367,8 +368,22 @@ def cms_join_size_check(t: Tables) -> DataFrame:
     runs on sketch-sized frames. The exact join exists only to state the
     claim as checkable data.
     """
-    a = _key_cells(t["events"], "user_id")
-    b = _key_cells(t["orders"], "o_custkey")
+    from ..tables import persist_replacing
+
+    pk_a = persist_replacing(
+        t["events"].groupBy(F.col("user_id").alias("k")).agg(
+            F.count("*").alias("c")
+        ),
+        "cms_join_pk_a",
+    )
+    pk_b = persist_replacing(
+        t["orders"].groupBy(F.col("o_custkey").alias("k")).agg(
+            F.count("*").alias("c")
+        ),
+        "cms_join_pk_b",
+    )
+    a = _key_cells(pk_a)
+    b = _key_cells(pk_b)
     est = (
         a.join(
             b.select("d", "cell", F.col("cnt").alias("cnt_b")), ["d", "cell"]
@@ -377,20 +392,15 @@ def cms_join_size_check(t: Tables) -> DataFrame:
         .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("est_d"))
         .agg(F.min("est_d").alias("est_join_rows"))
     )
-    ca = t["events"].groupBy(F.col("user_id").alias("k")).agg(
-        F.count("*").alias("c_a")
-    )
-    cb = t["orders"].groupBy(F.col("o_custkey").alias("k")).agg(
-        F.count("*").alias("c_b")
-    )
     exact = (
-        ca.join(cb, "k")
+        pk_a.select("k", F.col("c").alias("c_a"))
+        .join(pk_b.select("k", F.col("c").alias("c_b")), "k")
         .agg(F.coalesce(F.sum(F.col("c_a") * F.col("c_b")), F.lit(0)).alias(
             "exact_join_rows"
         ))
     )
-    na = t["events"].agg(F.count("*").alias("n_a"))
-    nb = t["orders"].agg(F.count("*").alias("n_b"))
+    na = pk_a.agg(F.sum("c").alias("n_a"))
+    nb = pk_b.agg(F.sum("c").alias("n_b"))
     return (
         na.crossJoin(nb)
         .crossJoin(F.broadcast(exact))
