@@ -126,6 +126,7 @@ HEADLINE = [
     "lateral_topk_per_type",
     "hourly_count_anomalies_mad",
     "zipf_alpha",
+    "peak_concurrency",
 ]
 
 

@@ -337,7 +337,67 @@ def hourly_value_interpolated(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: how long an event "holds" for the concurrency sweep
+CONCURRENCY_HOLD_MIN = 5
+
+
+def peak_concurrency(tables: dict[str, DataFrame]) -> DataFrame:
+    """Peak number of simultaneously-active events per type, treating
+    each event as a half-open interval ``[ts, ts + CONCURRENCY_HOLD_MIN
+    minutes)`` — the classic sweep-line (+1/−1 delta) computed as a
+    range-frame running sum. The capacity-planning question ("how many
+    concurrent X at the worst moment?") that interval tables answer.
+
+    Correctness of the sweep under ties: RANGE frames take ONE ordering
+    key, so (time, delta) is folded into the single integer
+    ``epoch_us·2 + (delta > 0)`` — ends sort strictly before starts at
+    the same microsecond (half-open semantics), and the RANGE frame
+    (not ROWS) aggregates every delta at the same key together: within
+    an equal-key group the running sum is order-free and the
+    group-boundary values are where the maximum can occur, so the peak
+    is fully deterministic. All-integer.
+
+    Scale shape: one map-only delta expansion (2 rows per event), one
+    shuffle partitioned by ``event_type``. The per-type sweep is a
+    single ordered reducer per key — bounded by |types| here; a global
+    or high-cardinality sweep uses the standard two-phase carry
+    (per-bucket partial sums, then a bucket-level prefix scan), which
+    this per-key contract deliberately avoids needing.
+
+    Output: ``event_type``, ``n_intervals``, ``peak_concurrent``.
+    """
+    ev = tables["events"]
+    deltas = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("d")),
+                F.struct(
+                    (F.col("ts") + F.expr(
+                        f"INTERVAL {CONCURRENCY_HOLD_MIN} MINUTES"
+                    )).alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("e"),
+    ).select("event_type", F.col("e.t").alias("t"), F.col("e.d").alias("d"))
+    key = F.unix_micros("t") * 2 + (F.col("d") > 0).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(key)
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    swept = deltas.select(
+        "event_type", F.sum("d").over(w).alias("running")
+    )
+    return swept.groupBy("event_type").agg(
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+        F.max("running").cast("long").alias("peak_concurrent"),
+    )
+
+
 QUERIES = {
+    "peak_concurrency": peak_concurrency,
     "hourly_counts_gapfilled": hourly_counts_gapfilled,
     "hourly_avg_value_locf": hourly_avg_value_locf,
     "hourly_value_interpolated": hourly_value_interpolated,
@@ -347,6 +407,26 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "peak_concurrency": """
+        WITH deltas AS (
+          SELECT event_type, ts AS t, 1 AS d FROM events
+          UNION ALL
+          SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS d
+          FROM events
+        ),
+        swept AS (
+          SELECT event_type,
+                 sum(d) OVER (PARTITION BY event_type
+                              ORDER BY epoch_us(t) * 2
+                                       + CASE WHEN d > 0 THEN 1 ELSE 0 END
+                              RANGE UNBOUNDED PRECEDING) AS running
+          FROM deltas
+        )
+        SELECT event_type,
+               CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+               CAST(max(running) AS BIGINT) AS peak_concurrent
+        FROM swept GROUP BY event_type
+    """,
     "value_ohlc_5min": """
         WITH m AS (
           SELECT event_type,

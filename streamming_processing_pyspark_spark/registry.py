@@ -607,6 +607,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "lateral_topk_per_type",
     "hourly_count_anomalies_mad",
     "zipf_alpha",
+    "peak_concurrency",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

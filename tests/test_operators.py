@@ -1458,3 +1458,36 @@ def test_zipf_alpha_exact_power_law(spark):
     row = text_ops.zipf_alpha({"documents": docs}).collect()[0]
     assert row["n_points"] == 4
     assert abs(row["alpha_micro"] - 1000000) <= 1  # floor of ~1.0
+
+
+def test_peak_concurrency_manual(spark):
+    """Sweep-line invariants on hand-placed intervals: overlapping holds
+    stack, an interval starting exactly at another's end does NOT overlap
+    it (half-open), and counts are per type."""
+    from datetime import datetime
+
+    from streamming_processing_pyspark_spark.operators import timeseries
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minute, second=0):
+        return datetime(2024, 1, 1, 12, minute, second)
+
+    rows = [
+        # type A: three events within one 5-min hold -> peak 3
+        (1, at(0), 1, "A", 1.0),
+        (2, at(1), 1, "A", 1.0),
+        (3, at(2), 1, "A", 1.0),
+        # type B: back-to-back (second starts exactly when first ends)
+        (4, at(0), 1, "B", 1.0),
+        (5, at(5), 1, "B", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        r["event_type"]: (r["n_intervals"], r["peak_concurrent"])
+        for r in timeseries.QUERIES["peak_concurrency"]({"events": ev}).collect()
+    }
+    assert got == {"A": (3, 3), "B": (2, 1)}

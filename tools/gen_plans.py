@@ -149,6 +149,7 @@ QUERIES = [
     "lateral_topk_per_type",
     "hourly_count_anomalies_mad",
     "zipf_alpha",
+    "peak_concurrency",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
