@@ -127,6 +127,7 @@ HEADLINE = [
     "hourly_count_anomalies_mad",
     "zipf_alpha",
     "peak_concurrency",
+    "markov_attribution",
 ]
 
 

@@ -19,6 +19,7 @@ from .functions.geo import classify_sql
 from .operators import (
     analytics2,
     asof,
+    attribution,
     campaign,
     coreset,
     curation,
@@ -514,6 +515,7 @@ _TABLE_MODULES = (
     governance,
     featurize,
     sqlapi,
+    attribution,
     events_analytics,
     analytics2,
     profiling,
@@ -608,6 +610,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "hourly_count_anomalies_mad",
     "zipf_alpha",
     "peak_concurrency",
+    "markov_attribution",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",

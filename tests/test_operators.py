@@ -1491,3 +1491,33 @@ def test_peak_concurrency_manual(spark):
         for r in timeseries.QUERIES["peak_concurrency"]({"events": ev}).collect()
     }
     assert got == {"A": (3, 3), "B": (2, 1)}
+
+
+def test_markov_attribution_manual(spark):
+    """Removal effects on a 3-journey graph solved by hand in the same
+    integer fixed-point: baseline p(START)=0.666666, removing A leaves
+    only the B path (p=0.166666 -> RE 750001), removing B leaves only
+    the direct A->purchase half (p=0.333333 -> RE 500000)."""
+    from datetime import datetime
+
+    from streamming_processing_pyspark_spark.operators import attribution
+
+    def e(i, u, s, tp):
+        return (i, datetime(2024, 1, 1, 0, 0, s), u, tp, 1.0)
+
+    events = spark.createDataFrame(
+        [
+            e(1, 1, 1, "A"), e(2, 1, 2, "purchase"),
+            e(3, 2, 1, "A"), e(4, 2, 2, "B"),
+            e(5, 3, 1, "B"), e(6, 3, 2, "purchase"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = sorted(
+        tuple(r)
+        for r in attribution.markov_attribution({"events": events}).collect()
+    )
+    assert got == [
+        ("A", 666666, 166666, 750001),
+        ("B", 666666, 333333, 500000),
+    ], got

@@ -150,6 +150,7 @@ QUERIES = [
     "hourly_count_anomalies_mad",
     "zipf_alpha",
     "peak_concurrency",
+    "markov_attribution",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
