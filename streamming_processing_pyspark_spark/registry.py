@@ -372,6 +372,72 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def streaming_woe_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """featurize.woe_value_bins computed BY a stream: the bucketed
+    good/bad counts are a streaming-legal aggregation (conditional sums,
+    no distinct), maintained in complete mode; the WOE/IV arithmetic —
+    including the one quarantined ln per bucket — runs on the drained
+    |buckets|-row memory table, so the supervised-binning feature
+    sidecar can be kept warm by the ingest stream itself. Shares
+    woe_value_bins' oracle verbatim (stream/batch parity is the claim)."""
+    from .operators.featurize import TARGET_TYPE, WOE_BUCKET
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_to_memory
+
+    ev = stream_events(spark, sf_dir)
+    cells = (
+        ev.select(
+            F.floor(F.col("value") / WOE_BUCKET).cast("long").alias("bucket"),
+            F.when(F.col("event_type") == TARGET_TYPE, 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("g").alias("n_good"), F.sum(1 - F.col("g")).alias("n_bad"))
+    )
+    q, table = run_to_memory(cells, "complete")
+    q.stop()
+    drained = spark.table(table)
+    tot = drained.agg(
+        F.sum("n_good").alias("good_tot"),
+        F.sum("n_bad").alias("bad_tot"),
+        F.count("*").alias("n_buckets"),
+    )
+    return (
+        drained.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_good",
+            "n_bad",
+            F.log(
+                (
+                    (F.col("n_good") + 1)
+                    * (F.col("bad_tot") + F.col("n_buckets"))
+                ).cast("double")
+                / (
+                    (F.col("n_bad") + 1)
+                    * (F.col("good_tot") + F.col("n_buckets"))
+                ).cast("double")
+            ).alias("woe"),
+            (
+                (F.col("n_good") + 1).cast("double")
+                / (F.col("good_tot") + F.col("n_buckets"))
+                - (F.col("n_bad") + 1).cast("double")
+                / (F.col("bad_tot") + F.col("n_buckets"))
+            ).alias("dr"),
+        )
+        .select(
+            "bucket",
+            "n_good",
+            "n_bad",
+            F.floor(1000000 * F.col("woe")).cast("long").alias("woe_micro"),
+            F.floor(1000000 * (F.col("dr") * F.col("woe")))
+            .cast("long")
+            .alias("iv_micro"),
+        )
+    )
+
+
 def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The count-min sketch maintained BY a stream: the same
     (depth, cell) aggregation as ``sketches.cms_cells_from``, driven as a
@@ -412,6 +478,7 @@ def streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_cms_cells": streaming_cms_cells,
+    "streaming_woe_value_bins": streaming_woe_value_bins,
     "streaming_kmv_sketch": streaming_kmv_sketch,
     "streaming_observed_metrics": observability.streaming_observed_metrics,
     "streaming_static_enrich": streaming_static_enrich,
@@ -430,6 +497,8 @@ _STREAMING_QUERIES: dict[str, QueryFn] = {
 
 _STREAMING_ORACLES: dict[str, str] = {
     "streaming_cms_cells": sketches.CELLS_ORACLE,
+    # stream/batch twin: identical cells, identical oracle
+    "streaming_woe_value_bins": featurize.ORACLES["woe_value_bins"],
     "streaming_kmv_sketch": sketches.KMV_SKETCH_ORACLE,
     # batch/streaming twins: identical totals, identical oracle
     "streaming_observed_metrics": observability.ORACLES["observed_gate_metrics"],
@@ -611,6 +680,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "zipf_alpha",
     "peak_concurrency",
     "markov_attribution",
+    "streaming_woe_value_bins",
     # round-5: the six remaining TPC-H analogues (22/22 sweep complete)
     "q2_min_cost_supplier",
     "q11_important_parts",
