@@ -174,6 +174,11 @@ NOTES = {
         "one user_id window shuffle + map-combined (winner, loser) groupBy "
         "that feeds it"
     ),
+    "markov_attribution": (
+        "- NOTE: result is the per-channel absorbing-chain fixpoint; the "
+        "corpus-sized stage is one user_id journey-window shuffle + "
+        "map-combined edge groupBy that feeds it"
+    ),
 }
 
 
