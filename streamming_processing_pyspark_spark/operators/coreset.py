@@ -67,10 +67,13 @@ def _dot(a: list[float], b: list[float]) -> float:
 def kcenter_coreset(t: Tables) -> DataFrame:
     """Greedy k-center coreset + coverage report.
 
-    Output (``KCENTER_K`` rows): ``center_rank`` (pick order, 1-based),
-    ``center_vec_id``, ``n_assigned`` (corpus rows nearest this center,
-    ties to the earlier pick), ``max_radius_micro`` =
-    ``floor(1e6 · max cosine distance)`` within the cell. The max of the
+    Output (exactly ``KCENTER_K`` rows — the picked-center list is
+    left-joined back, so a center that wins no assignment still appears
+    with ``n_assigned = 0`` and NULL radius): ``center_rank`` (pick
+    order, 1-based), ``center_vec_id``, ``n_assigned`` (corpus rows
+    nearest this center, ties to the earlier pick),
+    ``max_radius_micro`` = ``floor(1e6 · max cosine distance)`` within
+    the cell. The max of the
     radii is the k-center objective — the coverage guarantee the
     selected exemplars give (greedy is the classic 2-approximation).
     Seed: the pool row with the smallest ``vec_id``; each next center is
@@ -133,7 +136,7 @@ def kcenter_coreset(t: Tables) -> DataFrame:
             ]
         )
     )
-    return (
+    assigned = (
         emb.select("vec_id", "e", norm.alias("nr"))
         .select(choice.alias("c"))
         .groupBy(
@@ -146,6 +149,21 @@ def kcenter_coreset(t: Tables) -> DataFrame:
                 "max_radius_micro"
             ),
         )
+    )
+    # Always emit all K centers: a center that wins no assignment (its
+    # pool neighborhood got claimed by a later, closer pick) would be
+    # dropped by the groupBy — left-join the picked list back instead.
+    center_list = spark.createDataFrame(
+        [(rank + 1, int(vid)) for rank, (vid, _e, _nr) in enumerate(centers)],
+        "center_rank INT, center_vec_id BIGINT",
+    )
+    return center_list.join(
+        F.broadcast(assigned), ["center_rank", "center_vec_id"], "left"
+    ).select(
+        "center_rank",
+        "center_vec_id",
+        F.coalesce("n_assigned", F.lit(0).cast("long")).alias("n_assigned"),
+        "max_radius_micro",
     )
 
 
@@ -222,12 +240,18 @@ def _kcenter_oracle_sql(k: int) -> str:
           QUALIFY row_number() OVER (PARTITION BY vec_id
                                      ORDER BY dist, center_rank) = 1
         )
-        SELECT center_rank,
-               any_value(center_vec_id) AS center_vec_id,
-               CAST(count(*) AS BIGINT) AS n_assigned,
-               CAST(floor(1000000 * max(dist)) AS BIGINT)
-                 AS max_radius_micro
-        FROM best GROUP BY center_rank"""
+        , g AS (
+          SELECT center_rank,
+                 CAST(count(*) AS BIGINT) AS n_assigned,
+                 CAST(floor(1000000 * max(dist)) AS BIGINT)
+                   AS max_radius_micro
+          FROM best GROUP BY center_rank
+        )
+        SELECT c.center_rank,
+               c.vec_id AS center_vec_id,
+               CAST(coalesce(g.n_assigned, 0) AS BIGINT) AS n_assigned,
+               g.max_radius_micro
+        FROM centers c LEFT JOIN g USING (center_rank)"""
     )
     return "".join(parts)
 

@@ -57,22 +57,15 @@ _LEHMER_MOD = 2147483647
 _LEHMER_MUL = 48271
 
 
-def woe_value_bins(t: Tables) -> DataFrame:
-    """Per-``value``-bucket weight of evidence and information value.
+def woe_iv_projection(cells: DataFrame) -> DataFrame:
+    """WOE/IV post-aggregation over a ``(bucket, n_good, n_bad)`` cells
+    frame: broadcast the 1-row totals, one quarantined ``ln`` of the
+    exact integer cross-ratio per bucket, micro-floor the outputs.
 
-    Output: ``bucket``, ``n_good``, ``n_bad`` (raw counts),
-    ``woe_micro`` = ``floor(1e6·WOE)``, ``iv_micro`` = ``floor(1e6·IV)``
-    with add-one smoothing inside the rate ratio. NULL ``value`` forms
-    its own bucket (missingness is usually the most predictive bin).
+    Shared by :func:`woe_value_bins` and the streaming twin
+    (``registry.streaming_woe_value_bins``) so the stream/batch-parity
+    claim rests on ONE copy of the arithmetic.
     """
-    ev = t["events"].select(
-        F.floor(F.col("value") / WOE_BUCKET).cast("long").alias("bucket"),
-        F.when(F.col("event_type") == TARGET_TYPE, 1).otherwise(0).alias("g"),
-    )
-    cells = ev.groupBy("bucket").agg(
-        F.sum("g").alias("n_good"),
-        F.sum(1 - F.col("g")).alias("n_bad"),
-    )
     tot = cells.agg(
         F.sum("n_good").alias("good_tot"),
         F.sum("n_bad").alias("bad_tot"),
@@ -111,6 +104,25 @@ def woe_value_bins(t: Tables) -> DataFrame:
             .alias("iv_micro"),
         )
     )
+
+
+def woe_value_bins(t: Tables) -> DataFrame:
+    """Per-``value``-bucket weight of evidence and information value.
+
+    Output: ``bucket``, ``n_good``, ``n_bad`` (raw counts),
+    ``woe_micro`` = ``floor(1e6·WOE)``, ``iv_micro`` = ``floor(1e6·IV)``
+    with add-one smoothing inside the rate ratio. NULL ``value`` forms
+    its own bucket (missingness is usually the most predictive bin).
+    """
+    ev = t["events"].select(
+        F.floor(F.col("value") / WOE_BUCKET).cast("long").alias("bucket"),
+        F.when(F.col("event_type") == TARGET_TYPE, 1).otherwise(0).alias("g"),
+    )
+    cells = ev.groupBy("bucket").agg(
+        F.sum("g").alias("n_good"),
+        F.sum(1 - F.col("g")).alias("n_bad"),
+    )
+    return woe_iv_projection(cells)
 
 
 def target_encode_oof(t: Tables) -> DataFrame:

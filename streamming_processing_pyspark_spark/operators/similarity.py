@@ -485,6 +485,12 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
 #: every 1-bit flip, so ~(bits+1)/2^bits of the corpus is re-ranked.
 LSH_QUERY_BITS = 5
 
+#: Embedding width the query-LSH oracle's hyperplanes are generated for
+#: (the testdata table contract, TESTDATA.md). The Spark path asserts
+#: this against the actual query vector so a corpus with a different
+#: width fails loudly instead of silently diverging from the oracle.
+LSH_QUERY_DIM = 64
+
 
 def lsh_query_topk(t: Tables, n_bits: int = LSH_QUERY_BITS) -> DataFrame:
     """Query-time LSH ANN: hash every vector to a ``n_bits`` hyperplane
@@ -517,6 +523,13 @@ def lsh_query_topk(t: Tables, n_bits: int = LSH_QUERY_BITS) -> DataFrame:
     )
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
     qvec = list(q["e"])
+    if len(qvec) != LSH_QUERY_DIM:
+        raise ValueError(
+            f"lsh_query_topk: embedding dim {len(qvec)} != LSH_QUERY_DIM "
+            f"{LSH_QUERY_DIM}; the DuckDB oracle's hyperplanes are "
+            "generated for LSH_QUERY_DIM — update the constant (and "
+            "thereby the oracle) for this corpus."
+        )
     planes = _hyperplanes(len(qvec), n_bits)
 
     def py_dot(a, b):
@@ -574,12 +587,11 @@ def _lsh_query_oracle_sql(n_bits: int) -> str:
     """DuckDB twin of :func:`lsh_query_topk`: hyperplanes inlined as
     literal DOUBLE[] (repr round-trips exactly), the same left-fold dot
     for signatures and cosines, bucket probes unrolled with xor."""
-    # dim comes from the embeddings table itself; planes are generated for
-    # the widest dim used by the testdata (64) — the fold only reads
-    # len(e) entries, and _hyperplanes is deterministic per (dim, bits),
-    # so Spark and the oracle must agree on dim. 64 is the table contract
-    # (TESTDATA.md); a different corpus regenerates the oracle.
-    planes = _hyperplanes(64, n_bits)
+    # Planes are generated for LSH_QUERY_DIM — the Spark path asserts the
+    # live query vector has exactly this width, so a corpus with a
+    # different embedding width raises there instead of silently
+    # comparing against a wrong-dim oracle.
+    planes = _hyperplanes(LSH_QUERY_DIM, n_bits)
 
     def fold(a, b):
         return (

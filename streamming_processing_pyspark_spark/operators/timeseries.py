@@ -407,11 +407,12 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
-    "peak_concurrency": """
+    "peak_concurrency": f"""
         WITH deltas AS (
           SELECT event_type, ts AS t, 1 AS d FROM events
           UNION ALL
-          SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS d
+          SELECT event_type, ts + INTERVAL {CONCURRENCY_HOLD_MIN} MINUTE AS t,
+                 -1 AS d
           FROM events
         ),
         swept AS (

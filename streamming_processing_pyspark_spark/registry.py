@@ -379,8 +379,14 @@ def streaming_woe_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the one quarantined ln per bucket — runs on the drained
     |buckets|-row memory table, so the supervised-binning feature
     sidecar can be kept warm by the ingest stream itself. Shares
-    woe_value_bins' oracle verbatim (stream/batch parity is the claim)."""
-    from .operators.featurize import TARGET_TYPE, WOE_BUCKET
+    woe_value_bins' oracle verbatim AND its post-aggregation arithmetic
+    (``featurize.woe_iv_projection`` — one copy, so stream and batch
+    cannot drift)."""
+    from .operators.featurize import (
+        TARGET_TYPE,
+        WOE_BUCKET,
+        woe_iv_projection,
+    )
     from .sources.streams import stream_events
     from .streaming.jobs import run_to_memory
 
@@ -397,45 +403,7 @@ def streaming_woe_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q, table = run_to_memory(cells, "complete")
     q.stop()
-    drained = spark.table(table)
-    tot = drained.agg(
-        F.sum("n_good").alias("good_tot"),
-        F.sum("n_bad").alias("bad_tot"),
-        F.count("*").alias("n_buckets"),
-    )
-    return (
-        drained.crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            "n_good",
-            "n_bad",
-            F.log(
-                (
-                    (F.col("n_good") + 1)
-                    * (F.col("bad_tot") + F.col("n_buckets"))
-                ).cast("double")
-                / (
-                    (F.col("n_bad") + 1)
-                    * (F.col("good_tot") + F.col("n_buckets"))
-                ).cast("double")
-            ).alias("woe"),
-            (
-                (F.col("n_good") + 1).cast("double")
-                / (F.col("good_tot") + F.col("n_buckets"))
-                - (F.col("n_bad") + 1).cast("double")
-                / (F.col("bad_tot") + F.col("n_buckets"))
-            ).alias("dr"),
-        )
-        .select(
-            "bucket",
-            "n_good",
-            "n_bad",
-            F.floor(1000000 * F.col("woe")).cast("long").alias("woe_micro"),
-            F.floor(1000000 * (F.col("dr") * F.col("woe")))
-            .cast("long")
-            .alias("iv_micro"),
-        )
-    )
+    return woe_iv_projection(spark.table(table))
 
 
 def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1247,7 +1247,9 @@ def test_kcenter_coreset_orthogonal_clusters(spark):
     magnitudes: the first 4 picks cover the 4 directions (radius 0 cells,
     exact in floating point for power-of-two components), later picks are
     zero-distance duplicates that attract no assignments (ties go to the
-    earlier rank), so exactly 4 cells of 3 points each come back."""
+    earlier rank), so 4 cells of 3 points each come back plus 4
+    explicit empty centers (n_assigned=0, NULL radius) — the operator
+    always emits exactly KCENTER_K rows."""
     from streamming_processing_pyspark_spark.operators import coreset
 
     rows = []
@@ -1264,9 +1266,13 @@ def test_kcenter_coreset_orthogonal_clusters(spark):
     got = sorted(
         tuple(r) for r in coreset.kcenter_coreset({"embeddings": emb}).collect()
     )
-    assert len(got) == 4
-    assert all(r[3] == 0 for r in got), got  # radius exactly 0 per cell
-    assert all(r[2] == 3 for r in got), got  # 3 magnitudes per direction
+    assert len(got) == coreset.KCENTER_K
+    populated = [r for r in got if r[2] > 0]
+    empty = [r for r in got if r[2] == 0]
+    assert len(populated) == 4 and len(empty) == 4, got
+    assert all(r[3] == 0 for r in populated), got  # radius exactly 0 per cell
+    assert all(r[2] == 3 for r in populated), got  # 3 magnitudes per direction
+    assert all(r[3] is None for r in empty), got  # empty cell -> NULL radius
     assert got[0][0] == 1 and got[0][1] == 0  # seed = min vec_id in pool
 
 
