@@ -200,8 +200,61 @@ def user_scd2_intervals(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: band half-width for the ε-band self-join, in integer cents
+BAND_EPS_CENTS = 25
+
+
+def value_band_pairs(tables: dict[str, DataFrame]) -> DataFrame:
+    """ε-band fact-to-fact join WITHOUT the cross product: (view, click)
+    event pairs by the same user whose values differ by ≤ ε — the
+    "match nearby measurements" theta-join a naive plan executes as a
+    per-user cartesian (or, unkeyed, as BroadcastNestedLoopJoin).
+
+    The band trick makes it an EQUI-join Catalyst can hash-partition:
+    bucket values at width ε (integer cents, `v DIV ε` — both engines
+    truncate identically on non-negatives), explode the probe side to
+    buckets {b−1, b, b+1}, equi-join on (user_id, bucket), then apply
+    the exact |Δ| ≤ ε filter. Every qualifying pair appears exactly
+    once (the build row's bucket equals exactly one of the three
+    probes), candidate volume is ∝ per-(user, bucket) density — data
+    dependent, never O(n²) — and the shuffle is a plain hash exchange
+    on the pair key. This is the fact-fact complement of
+    ``range_join_value_buckets`` (band join against a broadcast dim).
+
+    Output per user: ``n_band_pairs``, ``min_diff_cents``,
+    ``sum_diff_cents`` (sum of |Δ|).
+    """
+    ev = tables["events"].select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    bucket0 = F.expr(f"v DIV {BAND_EPS_CENTS}")
+    probe = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("v").alias("va"),
+        F.explode(
+            F.array(bucket0 - 1, bucket0, bucket0 + 1)
+        ).alias("bucket"),
+    )
+    build = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("v").alias("vb"),
+        bucket0.alias("bucket"),
+    )
+    pairs = probe.join(build, ["user_id", "bucket"]).where(
+        F.abs(F.col("va") - F.col("vb")) <= BAND_EPS_CENTS
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_band_pairs"),
+        F.min(F.abs(F.col("va") - F.col("vb"))).alias("min_diff_cents"),
+        F.sum(F.abs(F.col("va") - F.col("vb"))).alias("sum_diff_cents"),
+    )
+
+
 QUERIES = {
     "bitmap_distinct_users": bitmap_distinct_users,
+    "value_band_pairs": value_band_pairs,
     "user_event_paths": user_event_paths,
     "corr_qty_price_by_flag": corr_qty_price_by_flag,
     "value_histogram": value_histogram,
@@ -255,6 +308,22 @@ ORACLES: dict[str, str] = {
                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                         * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_price
         FROM s
+    """,
+    "value_band_pairs": f"""
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 CAST(round(value * 100, 0) AS BIGINT) AS v
+          FROM events
+        )
+        SELECT a.user_id,
+               count(*) AS n_band_pairs,
+               min(abs(a.v - b.v)) AS min_diff_cents,
+               CAST(sum(abs(a.v - b.v)) AS BIGINT) AS sum_diff_cents
+        FROM ev a JOIN ev b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'click'
+         AND abs(a.v - b.v) <= {BAND_EPS_CENTS}
+        GROUP BY a.user_id
     """,
     "value_histogram": """
         SELECT event_type,

@@ -396,8 +396,180 @@ def peak_concurrency(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: CUSUM alarm threshold, in units of "hours' worth of mean traffic" —
+#: the scaled statistic S_t exceeds ``CUSUM_ALARM_HOURS · total`` exactly
+#: when the accumulated excess over the per-type mean rate exceeds that
+#: many average-hours of volume. Interpolated into the oracle.
+CUSUM_ALARM_HOURS = 3
+
+
+def cusum_changepoint_hours(tables: dict[str, DataFrame]) -> DataFrame:
+    """CUSUM change-point detection over the dense hourly count series,
+    per event type — ALL-INTEGER, so the hash-match is exact by
+    construction (no float recursion at all).
+
+    The one-sided CUSUM recursion ``S_t = max(0, S_{t-1} + x_t - m)``
+    (m = per-type mean hourly count) looks inherently sequential, but the
+    max-reset recursion has a closed form: with prefix sums
+    ``P_t = Σ_{i≤t}(x_i - m)``, ``S_t = P_t - min_{j≤t} P_j`` — two
+    window passes, no recursion. To stay in integers the whole statistic
+    is scaled by ``n`` (hours): ``P'_t = n·Σx_i - t·total`` (exact
+    BIGINT), ``S'_t = P'_t - min P'`` = ``n·S_t``, and the alarm
+    ``S_t > CUSUM_ALARM_HOURS·m`` becomes
+    ``S'_t > CUSUM_ALARM_HOURS·total``.
+
+    Scale shape: ONE corpus-sized stage (map-side-combined (hour, type)
+    counts); the spine join and both window passes run on ≤ hours×types
+    rows — time-range bounded, not data bounded, the same few thousand
+    rows at 100 TB. Zero-filled gaps matter: a traffic outage IS a
+    change-point, and dropped empty windows would hide it.
+
+    Output, one row per type: ``event_type``, ``n_hours``, ``total_cnt``,
+    ``max_cusum_scaled`` (= n·max_t S_t), ``peak_hour`` (earliest hour
+    attaining the max), ``n_alarm_hours``, ``first_alarm_hour`` (NULL
+    when the alarm never fires).
+    """
+    ev = tables["events"]
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    counts = persist_replacing(counts, "cusum_counts")
+    dense = (
+        _hour_spine(counts)
+        .join(F.broadcast(counts), ["hour", "event_type"], "left")
+        .select(
+            "hour", "event_type", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+    part = Window.partitionBy("event_type")
+    ordered = part.orderBy("hour")
+    run = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaled = dense.select(
+        "hour",
+        "event_type",
+        (
+            F.count("*").over(part) * F.sum("cnt").over(run)
+            - F.row_number().over(ordered) * F.sum("cnt").over(part)
+        ).alias("p"),
+        F.count("*").over(part).alias("n_hours"),
+        F.sum("cnt").over(part).alias("total_cnt"),
+    )
+    s = scaled.select(
+        "hour",
+        "event_type",
+        "n_hours",
+        "total_cnt",
+        (F.col("p") - F.min("p").over(run)).alias("s"),
+    )
+    alarm = F.col("s") > CUSUM_ALARM_HOURS * F.col("total_cnt")
+    return s.groupBy("event_type").agg(
+        F.first("n_hours").alias("n_hours"),
+        F.first("total_cnt").alias("total_cnt"),
+        F.max("s").alias("max_cusum_scaled"),
+        F.min_by("hour", F.struct((-F.col("s")).alias("a"), F.col("hour").alias("b"))).alias(
+            "peak_hour"
+        ),
+        F.sum(alarm.cast("long")).alias("n_alarm_hours"),
+        F.min(F.when(alarm, F.col("hour"))).alias("first_alarm_hour"),
+    )
+
+
+#: cross-correlation pair: does X's hourly volume lead Y's?
+CROSSCORR_X = "view"
+CROSSCORR_Y = "click"
+CROSSCORR_MAX_LAG = 6
+
+
+def lagged_crosscorr(tables: dict[str, DataFrame]) -> DataFrame:
+    """Lead/lag cross-correlation between two event types' hourly count
+    series: Pearson corr(x_t, y_{t+L}) for L = 0..CROSSCORR_MAX_LAG —
+    "does view volume predict click volume L hours later?".
+
+    Exactness follows ``corr_qty_price_by_flag``'s moment recipe: the
+    series are INTEGER counts on the dense zero-filled hour spine, all
+    five moment sums accumulate in decimal(18,0) (exact at any SF and
+    any partitioning), and the only float arithmetic is the final
+    division/sqrt — one fixed expression tree evaluated identically by
+    both engines.
+
+    Scale shape: one map-side-combined conditional aggregation collapses
+    the corpus to ≤ |hours| rows (both series in the same groupBy — one
+    scan, not two); the lead-stacking window and per-lag reduction run
+    on that time-bounded frame. The single-partition window is over the
+    hour spine, not the data (~thousands of rows regardless of SF).
+
+    Output per lag: ``lag``, ``n_pairs`` (spine rows with a defined
+    lead), ``corr_xy`` (double; NULL when a series is constant).
+    """
+    ev = tables["events"]
+    hourly = (
+        ev.where(F.col("event_type").isin(CROSSCORR_X, CROSSCORR_Y))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.sum((F.col("event_type") == CROSSCORR_X).cast("long")).alias("x"),
+            F.sum((F.col("event_type") == CROSSCORR_Y).cast("long")).alias("y"),
+        )
+    )
+    hourly = persist_replacing(hourly, "crosscorr_hourly")
+    bounds = hourly.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    dense = spine.join(F.broadcast(hourly), "hour", "left").select(
+        "hour",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    w = Window.orderBy("hour")
+    leads = dense.select(
+        "x",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lag).alias("lag"),
+                    F.lead("y", lag).over(w).alias("ylag"),
+                )
+                for lag in range(CROSSCORR_MAX_LAG + 1)
+            ]
+        ).alias("ls"),
+    ).select("x", F.explode("ls").alias("l"))
+    pairs = leads.select(
+        F.col("l.lag").alias("lag"),
+        F.col("x").cast(_TS_D).alias("x"),
+        F.col("l.ylag").cast(_TS_D).alias("y"),
+    ).where(F.col("y").isNotNull())
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast(_TS_D).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        (num / den).alias("corr_xy"),
+    )
+
+
+#: decimal wide enough that the crosscorr moment sums stay exact
+_TS_D = "decimal(18,0)"
+
+
 QUERIES = {
     "peak_concurrency": peak_concurrency,
+    "cusum_changepoint_hours": cusum_changepoint_hours,
+    "lagged_crosscorr": lagged_crosscorr,
     "hourly_counts_gapfilled": hourly_counts_gapfilled,
     "hourly_avg_value_locf": hourly_avg_value_locf,
     "hourly_value_interpolated": hourly_value_interpolated,
@@ -427,6 +599,101 @@ ORACLES: dict[str, str] = {
                CAST(count(*) / 2 AS BIGINT) AS n_intervals,
                CAST(max(running) AS BIGINT) AS peak_concurrent
         FROM swept GROUP BY event_type
+    """,
+    "cusum_changepoint_hours": f"""
+        WITH bounds AS (
+          SELECT date_trunc('hour', min(ts)) AS h0,
+                 date_trunc('hour', max(ts)) AS h1
+          FROM events
+        ), spine AS (
+          SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds
+        ), grid AS (
+          SELECT hour, event_type
+          FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)
+        ), counts AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
+          FROM events GROUP BY ALL
+        ), dense AS (
+          SELECT g.hour, g.event_type, coalesce(c.cnt, 0) AS cnt
+          FROM grid g LEFT JOIN counts c USING (hour, event_type)
+        ), scaled AS (
+          SELECT hour, event_type,
+                 count(*) OVER (PARTITION BY event_type) AS n_hours,
+                 sum(cnt) OVER (PARTITION BY event_type) AS total_cnt,
+                 count(*) OVER (PARTITION BY event_type)
+                   * sum(cnt) OVER (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - row_number() OVER (PARTITION BY event_type ORDER BY hour)
+                     * sum(cnt) OVER (PARTITION BY event_type) AS p
+          FROM dense
+        ), s AS (
+          SELECT hour, event_type, n_hours, total_cnt,
+                 p - min(p) OVER (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+          FROM scaled
+        ), peak AS (
+          SELECT event_type, hour AS peak_hour FROM s
+          QUALIFY row_number() OVER (PARTITION BY event_type
+                                     ORDER BY s DESC, hour) = 1
+        ), aggd AS (
+          SELECT event_type,
+                 CAST(any_value(n_hours) AS BIGINT) AS n_hours,
+                 CAST(any_value(total_cnt) AS BIGINT) AS total_cnt,
+                 CAST(max(s) AS BIGINT) AS max_cusum_scaled,
+                 CAST(sum(CASE WHEN s > {CUSUM_ALARM_HOURS} * total_cnt
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_hours,
+                 min(CASE WHEN s > {CUSUM_ALARM_HOURS} * total_cnt
+                          THEN hour END) AS first_alarm_hour
+          FROM s GROUP BY event_type
+        )
+        SELECT a.event_type, a.n_hours, a.total_cnt, a.max_cusum_scaled,
+               p.peak_hour, a.n_alarm_hours, a.first_alarm_hour
+        FROM aggd a JOIN peak p USING (event_type)
+    """,
+    "lagged_crosscorr": f"""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS hour,
+                 sum(CASE WHEN event_type = '{CROSSCORR_X}' THEN 1 ELSE 0
+                     END) AS x,
+                 sum(CASE WHEN event_type = '{CROSSCORR_Y}' THEN 1 ELSE 0
+                     END) AS y
+          FROM events
+          WHERE event_type IN ('{CROSSCORR_X}', '{CROSSCORR_Y}')
+          GROUP BY 1
+        ), bounds AS (
+          SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly
+        ), spine AS (
+          SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds
+        ), dense AS (
+          SELECT sp.hour, coalesce(h.x, 0) AS x, coalesce(h.y, 0) AS y
+          FROM spine sp LEFT JOIN hourly h USING (hour)
+        ), leads AS (
+          SELECT x,
+                 {', '.join(
+                     f'lead(y, {lag}) OVER (ORDER BY hour) AS y{lag}'
+                     for lag in range(CROSSCORR_MAX_LAG + 1)
+                 )}
+          FROM dense
+        ), pairs AS (
+          {' UNION ALL '.join(
+              f'SELECT {lag} AS lag, CAST(x AS DECIMAL(18,0)) AS x,'
+              f' CAST(y{lag} AS DECIMAL(18,0)) AS y'
+              f' FROM leads WHERE y{lag} IS NOT NULL'
+              for lag in range(CROSSCORR_MAX_LAG + 1)
+          )}
+        ), s AS (
+          SELECT lag, CAST(count(*) AS DECIMAL(18,0)) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+          FROM pairs GROUP BY lag
+        )
+        SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_xy
+        FROM s
     """,
     "value_ohlc_5min": """
         WITH m AS (

@@ -1499,6 +1499,114 @@ def test_peak_concurrency_manual(spark):
     assert got == {"A": (3, 3), "B": (2, 1)}
 
 
+def test_value_band_pairs_manual(spark):
+    """Band-join boundary semantics: |Δ| == ε is included, pairs across
+    a bucket boundary are found (neighbor probe), out-of-band values and
+    other users produce nothing — each pair counted exactly once."""
+    from datetime import datetime
+
+    from streamming_processing_pyspark_spark.operators import analytics2
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: one view at 1.00; clicks at Δ=25 (edge, in), Δ=26 (out),
+        # Δ=10 (in, same bucket)
+        (1, t0, 1, "view", 1.00),
+        (2, t0, 1, "click", 0.75),
+        (3, t0, 1, "click", 1.26),
+        (4, t0, 1, "click", 1.10),
+        # user 2: match straddles buckets 0 and 1 (10 vs 30 cents)
+        (5, t0, 2, "view", 0.10),
+        (6, t0, 2, "click", 0.30),
+        # user 3: nearby values but view-view only -> no pair
+        (7, t0, 3, "view", 2.00),
+        (8, t0, 3, "view", 2.01),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        r["user_id"]: (r["n_band_pairs"], r["min_diff_cents"], r["sum_diff_cents"])
+        for r in analytics2.value_band_pairs({"events": ev}).collect()
+    }
+    assert got == {1: (2, 10, 35), 2: (1, 20, 20)}
+
+
+def test_cusum_changepoint_manual(spark):
+    """Closed-form CUSUM on a hand-computed series: type A hours
+    [1,1,5,1] -> n=4, total=8, scaled prefix P=[-4,-8,4,0], running min
+    [-4,-8,-8,-8], S=[0,0,12,8]: max 12 at hour 2, no alarm (threshold
+    3*total=24). A quiet type with a constant series has S identically
+    0 and peak at the FIRST hour (tie-break)."""
+    from datetime import datetime
+
+    from streamming_processing_pyspark_spark.operators import timeseries
+
+    def h(i):
+        return datetime(2024, 1, 1, i, 0, 0)
+
+    rows = []
+    eid = 0
+    for hour, cnt in enumerate([1, 1, 5, 1]):
+        for _ in range(cnt):
+            rows.append((eid, h(hour), 1, "A", 1.0))
+            eid += 1
+    for hour in range(4):  # type B: constant 1/hour
+        rows.append((eid, h(hour), 2, "B", 1.0))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        r["event_type"]: r.asDict()
+        for r in timeseries.cusum_changepoint_hours({"events": ev}).collect()
+    }
+    a = got["A"]
+    assert (a["n_hours"], a["total_cnt"], a["max_cusum_scaled"]) == (4, 8, 12)
+    assert a["peak_hour"] == h(2)
+    assert (a["n_alarm_hours"], a["first_alarm_hour"]) == (0, None)
+    b = got["B"]
+    assert (b["max_cusum_scaled"], b["peak_hour"]) == (0, h(0))
+
+
+def test_lagged_crosscorr_shifted_series(spark):
+    """A click series that is exactly the view series shifted one hour
+    later must have corr == 1.0 at lag 1 (and fewer pairs at larger
+    lags: n_pairs = n_hours - lag)."""
+    from datetime import datetime
+
+    from streamming_processing_pyspark_spark.operators import timeseries
+
+    def h(i):
+        return datetime(2024, 1, 1, i, 0, 0)
+
+    views = [1, 3, 2, 5, 4, 1, 2]
+    rows = []
+    eid = 0
+    for hour, cnt in enumerate(views):
+        for _ in range(cnt):
+            rows.append((eid, h(hour), 1, "view", 1.0))
+            eid += 1
+        for _ in range(cnt):  # clicks mirror views one hour later
+            rows.append((eid, h(hour + 1), 1, "click", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        r["lag"]: (r["n_pairs"], r["corr_xy"])
+        for r in timeseries.lagged_crosscorr({"events": ev}).collect()
+    }
+    n_hours = len(views) + 1  # spine spans hour 0..7
+    assert set(got) == set(range(timeseries.CROSSCORR_MAX_LAG + 1))
+    for lag, (n_pairs, _corr) in got.items():
+        assert n_pairs == n_hours - lag
+    assert got[1][1] == 1.0
+
+
 def test_markov_attribution_manual(spark):
     """Removal effects on a 3-journey graph solved by hand in the same
     integer fixed-point: baseline p(START)=0.666666, removing A leaves
