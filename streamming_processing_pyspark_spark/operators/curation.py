@@ -201,8 +201,39 @@ def quality_mass_filter(t: Tables) -> DataFrame:
     ).select("doc_id", "source", "score", "n_tokens", "cum_tokens")
 
 
+def dataset_card_rollup(t: Tables) -> DataFrame:
+    """Per-source dataset-card manifest — the summary block a training-run
+    datasheet needs, in ONE scan and ONE shuffle: document count, char and
+    whitespace-token volume, language spread, exact-duplicate redundancy
+    (``n_docs − distinct md5(text)``), size extremes, and the integer mean
+    doc length.
+
+    Plan shape: a single groupBy(source) carrying two DISTINCT aggregates
+    (lang, text-md5) — Catalyst compiles multi-distinct via Expand (each
+    input row is duplicated per distinct group before the partial agg), so
+    the map-side payload is 3× rows of narrow columns, still one exchange.
+    At extreme scale the md5-distinct arm would be pre-aggregated
+    separately ((source, md5) partial first); the single-pass form is the
+    right default until that Expand dominates.
+    """
+    d = t["documents"]
+    tok = F.size(F.split(F.trim("text"), r"\s+"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(tok.cast("long")).alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        (F.count("*") - F.count_distinct(F.md5("text"))).alias(
+            "n_redundant_docs"
+        ),
+        F.max("n_chars").alias("max_chars"),
+        F.expr("sum(n_chars) DIV count(*)").alias("avg_chars"),
+    )
+
+
 QUERIES = {
     "perplexity_buckets": perplexity_buckets,
+    "dataset_card_rollup": dataset_card_rollup,
     "quality_classifier_scores": quality_classifier_scores,
     "source_cap_sample": source_cap_sample,
     "quality_mass_filter": quality_mass_filter,
@@ -219,6 +250,19 @@ _PPL_SQL = """
 """
 
 ORACLES: dict[str, str] = {
+    "dataset_card_rollup": r"""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                    AS BIGINT) AS total_tokens,
+               count(DISTINCT lang) AS n_langs,
+               count(*) - count(DISTINCT md5(text)) AS n_redundant_docs,
+               max(n_chars) AS max_chars,
+               CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars
+        FROM documents
+        GROUP BY source
+    """,
     "perplexity_buckets": f"""
         WITH d AS ({_PPL_SQL}),
         hist AS (

@@ -162,9 +162,63 @@ def target_encode_oof(t: Tables) -> DataFrame:
     )
 
 
+def mutual_info_type_bucket(t: Tables) -> DataFrame:
+    """Mutual information between ``event_type`` and the ``value`` bucket
+    — the feature-relevance screen next to WOE (which is binary-target
+    only; MI handles the full multi-class contingency).
+
+    ``MI = Σ_ij (n_ij/n) · ln(n·n_ij / (n_i·n_j))``, reported per
+    event_type as that type's partial sum — each cell's term is floored
+    to micro units FIRST, so the per-type sum is an exact integer
+    reduction and the single quarantined ``ln`` per cell (of a ratio of
+    exactly-represented doubles — integer counts ≤ 2^53, products taken
+    in double so nothing overflows) is the only libm call, same class as
+    :func:`woe_value_bins`. Zero cells contribute nothing (the standard
+    0·ln0 = 0 convention) by construction — absent (bucket, type) pairs
+    never materialize.
+
+    Plan: one map-side-combined groupBy to the contingency cells
+    (≤ buckets×types rows); the margins are two aggregations OVER THE
+    CELLS (not the corpus) broadcast back. One input-sized shuffle total.
+
+    Output per type: ``event_type``, ``n_type_rows``, ``n_cells``,
+    ``mi_part_micro`` (Σ floor(1e6·term), negative terms allowed).
+    """
+    ev = t["events"].select(
+        F.floor(F.col("value") / WOE_BUCKET).cast("long").alias("bucket"),
+        "event_type",
+    )
+    cells = ev.groupBy("bucket", "event_type").agg(
+        F.count("*").alias("n_ij")
+    )
+    bt = cells.groupBy("bucket").agg(F.sum("n_ij").alias("n_i"))
+    tt = cells.groupBy("event_type").agg(F.sum("n_ij").alias("n_j"))
+    tot = cells.agg(F.sum("n_ij").alias("n"))
+    term = F.floor(
+        F.lit(1000000.0)
+        * (F.col("n_ij").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            (F.col("n").cast("double") * F.col("n_ij").cast("double"))
+            / (F.col("n_i").cast("double") * F.col("n_j").cast("double"))
+        )
+    ).cast("long")
+    return (
+        cells.join(F.broadcast(bt), "bucket")
+        .join(F.broadcast(tt), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("event_type")
+        .agg(
+            F.first("n_j").alias("n_type_rows"),
+            F.count("*").alias("n_cells"),
+            F.sum(term).alias("mi_part_micro"),
+        )
+    )
+
+
 QUERIES = {
     "woe_value_bins": woe_value_bins,
     "target_encode_oof": target_encode_oof,
+    "mutual_info_type_bucket": mutual_info_type_bucket,
 }
 
 ORACLES: dict[str, str] = {
@@ -198,6 +252,40 @@ ORACLES: dict[str, str] = {
                                   AS DOUBLE))))
                     AS BIGINT) AS iv_micro
         FROM cells, tot
+    """,
+    "mutual_info_type_bucket": f"""
+        WITH ev AS (
+          SELECT CAST(floor(value / {WOE_BUCKET}) AS BIGINT) AS bucket,
+                 event_type
+          FROM events
+        ),
+        cells AS (
+          SELECT bucket, event_type, count(*) AS n_ij
+          FROM ev GROUP BY 1, 2
+        ),
+        bt AS (
+          SELECT bucket, CAST(sum(n_ij) AS BIGINT) AS n_i
+          FROM cells GROUP BY bucket
+        ),
+        tt AS (
+          SELECT event_type, CAST(sum(n_ij) AS BIGINT) AS n_j
+          FROM cells GROUP BY event_type
+        ),
+        tot AS (SELECT CAST(sum(n_ij) AS BIGINT) AS n FROM cells)
+        SELECT c.event_type,
+               any_value(t.n_j) AS n_type_rows,
+               count(*) AS n_cells,
+               CAST(sum(CAST(floor(
+                 1000000.0
+                 * (CAST(c.n_ij AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 * ln((CAST(tot.n AS DOUBLE) * CAST(c.n_ij AS DOUBLE))
+                      / (CAST(b.n_i AS DOUBLE) * CAST(t.n_j AS DOUBLE)))
+               ) AS BIGINT)) AS BIGINT) AS mi_part_micro
+        FROM cells c
+        JOIN bt b USING (bucket)
+        JOIN tt t USING (event_type)
+        CROSS JOIN tot
+        GROUP BY c.event_type
     """,
     "target_encode_oof": f"""
         WITH ev AS (

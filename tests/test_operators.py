@@ -1499,6 +1499,69 @@ def test_peak_concurrency_manual(spark):
     assert got == {"A": (3, 3), "B": (2, 1)}
 
 
+def test_dataset_card_rollup_manual(spark):
+    """Manifest arithmetic on a hand-built corpus: exact-dup redundancy
+    is n_docs - distinct texts, token totals are whitespace counts,
+    avg_chars is the integer floor mean."""
+    from streamming_processing_pyspark_spark.operators import curation
+
+    rows = [
+        (1, "a b c", "en", "s1", 5),
+        (2, "a b c", "en", "s1", 5),     # exact dup of doc 1
+        (3, "d e", "fr", "s1", 3),
+        (4, "x", "en", "s2", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in curation.dataset_card_rollup({"documents": docs}).collect()
+    }
+    s1 = got["s1"]
+    assert (s1["n_docs"], s1["total_chars"], s1["total_tokens"]) == (3, 13, 8)
+    assert (s1["n_langs"], s1["n_redundant_docs"]) == (2, 1)
+    assert (s1["max_chars"], s1["avg_chars"]) == (5, 4)
+    s2 = got["s2"]
+    assert (s2["n_docs"], s2["n_redundant_docs"], s2["avg_chars"]) == (1, 0, 1)
+
+
+def test_mutual_info_dependent_and_independent(spark):
+    """Perfect dependence gives each cell (n_ij/n)·ln2 (floored micro),
+    perfect independence gives exactly 0 (ln 1)."""
+    from datetime import datetime
+    import math
+
+    from streamming_processing_pyspark_spark.operators import featurize
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev_frame(rows):
+        return spark.createDataFrame(
+            [(i, t0, 1, tp, v) for i, (tp, v) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+
+    # dependent: A only in bucket 0, B only in bucket 1 (WOE_BUCKET=50)
+    dep = ev_frame([("A", 10.0), ("A", 20.0), ("B", 60.0), ("B", 70.0)])
+    got = {
+        r["event_type"]: (r["n_type_rows"], r["n_cells"], r["mi_part_micro"])
+        for r in featurize.mutual_info_type_bucket({"events": dep}).collect()
+    }
+    term = math.floor(1000000.0 * 0.5 * math.log(2.0))
+    assert got == {"A": (2, 1, term), "B": (2, 1, term)}
+
+    # independent: both types uniform over both buckets
+    ind = ev_frame(
+        [("A", 10.0), ("A", 60.0), ("B", 10.0), ("B", 60.0)]
+    )
+    got2 = {
+        r["event_type"]: r["mi_part_micro"]
+        for r in featurize.mutual_info_type_bucket({"events": ind}).collect()
+    }
+    assert got2 == {"A": 0, "B": 0}
+
+
 def test_value_band_pairs_manual(spark):
     """Band-join boundary semantics: |Δ| == ε is included, pairs across
     a bucket boundary are found (neighbor probe), out-of-band values and
