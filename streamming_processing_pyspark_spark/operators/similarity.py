@@ -638,6 +638,177 @@ def _lsh_query_oracle_sql(n_bits: int) -> str:
     """
 
 
+#: MMR: relevance-pool size, picks, and the relevance/diversity trade-off
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+#: the diversity weight — computed ONCE so Spark, the driver greedy, and
+#: the oracle all use the identical double (1 − 0.7 is NOT the literal
+#: 0.3 in binary; repr() round-trips the exact value into the SQL)
+MMR_DIV_WEIGHT = 1.0 - MMR_LAMBDA
+
+
+def mmr_diverse_topk(t: Tables) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from the ``MMR_POOL`` most
+    query-similar vectors, greedily pick ``MMR_K`` that trade relevance
+    against redundancy — ``score = λ·cos(q,d) − (1−λ)·max_{s∈S}
+    cos(d,s)`` — the standard diverse-retrieval/context-selection
+    operator (Carbonell & Goldstein 1998).
+
+    Placement follows the engine's tiny-fixpoint rule (kcenter, BPE, MM
+    loops): the CORPUS-sized work is one distributed exact-cosine
+    ``TakeOrdered`` (pinned left-fold dots, so the pool and every
+    downstream number is bit-identical across engines); the greedy
+    O(K·POOL) selection runs on the ≤``MMR_POOL`` collected rows —
+    corpus-independent driver state. Every pairwise cosine uses the same
+    left-fold; ties break to the smaller ``vec_id``; per-pick floors are
+    taken at micro scale so the emitted ints are exact.
+
+    Output (``MMR_K`` rows): ``mmr_rank``, ``vec_id``, ``rel_micro``,
+    ``maxsim_micro`` (redundancy vs the already-picked set at pick
+    time; 0 for the first pick), ``score_micro``.
+    """
+    import math as _math
+
+    spark = t["embeddings"].sparkSession
+    emb = t["embeddings"].select("vec_id", as_double("embedding").alias("e"))
+    qrow = emb.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
+    qvec = list(qrow["e"])
+
+    def py_dot(a, b):
+        acc = 0.0
+        for i in range(len(a)):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    q_norm = _math.sqrt(py_dot(qvec, qvec))
+
+    def fold_dot(col, vals):
+        return F.aggregate(
+            F.zip_with(col, F.array(*[F.lit(v) for v in vals]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "e", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pool_rows = (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "e",
+            norm.alias("nr"),
+            (fold_dot("e", qvec) / (norm * F.lit(q_norm))).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .collect()
+    )
+    cands = {
+        r["vec_id"]: (list(r["e"]), r["nr"], r["rel"]) for r in pool_rows
+    }
+    maxsim = {vid: 0.0 for vid in cands}
+    picks = []
+    for rank in range(1, min(MMR_K, len(cands)) + 1):
+        best = max(
+            cands,
+            key=lambda v: (
+                MMR_LAMBDA * cands[v][2] - MMR_DIV_WEIGHT * maxsim[v],
+                -v,
+            ),
+        )
+        e_b, nr_b, rel_b = cands.pop(best)
+        ms_b = maxsim.pop(best)
+        score = MMR_LAMBDA * rel_b - MMR_DIV_WEIGHT * ms_b
+        picks.append(
+            (
+                rank,
+                int(best),
+                _math.floor(1000000 * rel_b),
+                _math.floor(1000000 * ms_b),
+                _math.floor(1000000 * score),
+            )
+        )
+        for vid, (e_v, nr_v, _rel) in cands.items():
+            s = py_dot(e_v, e_b) / (nr_v * nr_b)
+            if s > maxsim[vid]:
+                maxsim[vid] = s
+    return spark.createDataFrame(
+        picks,
+        "mmr_rank int, vec_id long, rel_micro long,"
+        " maxsim_micro long, score_micro long",
+    )
+
+
+def _mmr_oracle_sql(k: int) -> str:
+    """DuckDB twin of :func:`mmr_diverse_topk`: ``k`` unrolled greedy
+    picks over the materialized relevance pool, each round folding the
+    newly-picked vector's cosine into the running max-sim via CASE, with
+    the identical left-fold dot and exact double weights."""
+
+    def fold(a, b):
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(generate_series(1, len({a})),"
+            f" i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+        )
+
+    lam, dw = repr(MMR_LAMBDA), repr(MMR_DIV_WEIGHT)
+    parts = [
+        f"""
+        WITH n AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt({fold("CAST(embedding AS DOUBLE[])",
+                            "CAST(embedding AS DOUBLE[])")}) AS nr
+          FROM embeddings
+        ),
+        q AS (SELECT e, nr FROM n WHERE vec_id = {QUERY_VEC_ID}),
+        m0 AS MATERIALIZED (
+          SELECT c.vec_id, c.e, c.nr,
+                 {fold('c.e', 'q.e')} / (c.nr * q.nr) AS rel,
+                 CAST(0.0 AS DOUBLE) AS ms
+          FROM n c, q WHERE c.vec_id != {QUERY_VEC_ID}
+          ORDER BY rel DESC, c.vec_id LIMIT {MMR_POOL}
+        )"""
+    ]
+    for j in range(1, k + 1):
+        parts.append(
+            f"""
+        , s{j} AS MATERIALIZED (
+          SELECT vec_id, e, nr, rel, ms,
+                 {lam} * rel - {dw} * ms AS score
+          FROM m{j - 1}
+          ORDER BY {lam} * rel - {dw} * ms DESC, vec_id LIMIT 1
+        )"""
+        )
+        if j < k:
+            parts.append(
+                f"""
+        , m{j} AS MATERIALIZED (
+          SELECT p.vec_id, p.e, p.nr, p.rel,
+                 CASE WHEN {fold('p.e', 'c.e')} / (p.nr * c.nr) > p.ms
+                      THEN {fold('p.e', 'c.e')} / (p.nr * c.nr)
+                      ELSE p.ms END AS ms
+          FROM m{j - 1} p, s{j} c WHERE p.vec_id != c.vec_id
+        )"""
+            )
+    pick_union = "\n        UNION ALL ".join(
+        f"SELECT CAST({j} AS INTEGER) AS mmr_rank, vec_id,"
+        f" CAST(floor(1000000 * rel) AS BIGINT) AS rel_micro,"
+        f" CAST(floor(1000000 * ms) AS BIGINT) AS maxsim_micro,"
+        f" CAST(floor(1000000 * score) AS BIGINT) AS score_micro"
+        f" FROM s{j}"
+        for j in range(1, k + 1)
+    )
+    parts.append(f"\n        {pick_union}")
+    return "".join(parts)
+
+
 #: CORPUS-SIZED TUNING (auto by default): expected band-bucket occupancy
 #: is ≈ n / 2^(bits/band), so per-band candidate volume is ≈ n·occ/2 —
 #: keeping occupancy PINNED as n grows (bits/band ~ log2(n/occ)) keeps
@@ -1318,6 +1489,7 @@ ORACLES: dict[str, str] = {
         )
     """,
     "lsh_query_topk": _lsh_query_oracle_sql(LSH_QUERY_BITS),
+    "mmr_diverse_topk": _mmr_oracle_sql(MMR_K),
     "hard_negative_mining": f"""
         WITH sims AS (
           SELECT a.vec_id AS vec_id, a.label AS label,
@@ -1405,6 +1577,7 @@ QUERIES = {
     "knn_join_topk": knn_join_topk,
     "hard_negative_mining": hard_negative_mining,
     "lsh_query_topk": lsh_query_topk,
+    "mmr_diverse_topk": mmr_diverse_topk,
     # SemDeDup: rows-only pairs + hard driver contract
     "semantic_dedup_pairs": semantic_dedup_pairs,
     "semdedup_check": semdedup_check,

@@ -1499,6 +1499,44 @@ def test_peak_concurrency_manual(spark):
     assert got == {"A": (3, 3), "B": (2, 1)}
 
 
+def test_mmr_diverse_topk_prefers_diversity(spark):
+    """With two exact duplicates of the query direction and one off-axis
+    vector, MMR must interleave: dup #1 (relevance tie -> smaller id),
+    then the off-axis vector (the second dup is fully redundant), then
+    dup #2 — and emit only as many rows as there are candidates."""
+    import math
+
+    from streamming_processing_pyspark_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),  # the query vector
+            (1, [4.0, 3.0, 0.0, 0.0], 0),  # rel = 0.8
+            (2, [8.0, 6.0, 0.0, 0.0], 0),  # rel = 0.8, duplicate of 1
+            (3, [4.0, -3.0, 0.0, 0.0], 0),  # rel = 0.8, cos to 1 = 0.28
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = [
+        tuple(r)
+        for r in similarity.mmr_diverse_topk({"embeddings": emb})
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    lam, dw = similarity.MMR_LAMBDA, similarity.MMR_DIV_WEIGHT
+    rel = 4.0 / 5.0
+    c13 = 7.0 / 25.0
+
+    def mf(x):
+        return math.floor(1000000 * x)
+
+    assert got == [
+        (1, 1, mf(rel), mf(0.0), mf(lam * rel - dw * 0.0)),
+        (2, 3, mf(rel), mf(c13), mf(lam * rel - dw * c13)),
+        (3, 2, mf(rel), mf(1.0), mf(lam * rel - dw * 1.0)),
+    ], got
+
+
 def test_dataset_card_rollup_manual(spark):
     """Manifest arithmetic on a hand-built corpus: exact-dup redundancy
     is n_docs - distinct texts, token totals are whitespace counts,
