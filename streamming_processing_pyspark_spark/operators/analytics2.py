@@ -200,6 +200,56 @@ def user_scd2_intervals(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: MERGE-upsert source derivation: every 7th key is updated (+5% price),
+#: keys ≡ 3 (mod 11) spawn an insert with a shifted key
+MERGE_UPDATE_MOD = 7
+MERGE_INSERT_MOD = 11
+MERGE_KEY_OFFSET = 1_000_000_000
+
+
+def merge_upsert_orders(tables: dict[str, DataFrame]) -> DataFrame:
+    """``MERGE INTO`` (upsert) semantics at the engine level: a change
+    set — updates (+5 % price, derived as every ``MERGE_UPDATE_MOD``-th
+    order) and inserts (new keys offset by ``MERGE_KEY_OFFSET``) — is
+    applied to the orders table as ONE full-outer join on the key with
+    coalesce-based column resolution: matched → source wins, unmatched
+    target → row kept, unmatched source → row inserted. This is exactly
+    the join MERGE compiles to in lakehouse engines; with a real table
+    format (Delta/Iceberg, classpath-gated in sources/connectors.py)
+    the same change set feeds ``MERGE INTO``, which additionally prunes
+    untouched files. Bucketing both sides on the key makes the join
+    shuffle-free on repeated merges.
+
+    All money is integer cents (+5 % as ``cents DIV 20``), so the
+    summary — rows and total cents per merge action — hash-matches
+    exactly. Output: 3 rows (inserted / untouched / updated).
+    """
+    o = tables["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    upd = o.where(F.col("k") % MERGE_UPDATE_MOD == 0).select(
+        "k",
+        (F.col("cents") + F.expr("cents DIV 20")).alias("new_cents"),
+        F.lit("updated").alias("action"),
+    )
+    ins = o.where(F.col("k") % MERGE_INSERT_MOD == 3).select(
+        (F.col("k") + MERGE_KEY_OFFSET).alias("k"),
+        F.col("cents").alias("new_cents"),
+        F.lit("inserted").alias("action"),
+    )
+    src = upd.unionByName(ins)
+    merged = o.join(src, "k", "full_outer").select(
+        "k",
+        F.coalesce("new_cents", "cents").alias("cents"),
+        F.coalesce("action", F.lit("untouched")).alias("action"),
+    )
+    return merged.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
 #: band half-width for the ε-band self-join, in integer cents
 BAND_EPS_CENTS = 25
 
@@ -255,6 +305,7 @@ def value_band_pairs(tables: dict[str, DataFrame]) -> DataFrame:
 QUERIES = {
     "bitmap_distinct_users": bitmap_distinct_users,
     "value_band_pairs": value_band_pairs,
+    "merge_upsert_orders": merge_upsert_orders,
     "user_event_paths": user_event_paths,
     "corr_qty_price_by_flag": corr_qty_price_by_flag,
     "value_histogram": value_histogram,
@@ -308,6 +359,30 @@ ORACLES: dict[str, str] = {
                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                         * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_price
         FROM s
+    """,
+    "merge_upsert_orders": f"""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM orders
+        ),
+        src AS (
+          SELECT k, cents + cents // 20 AS new_cents,
+                 'updated' AS action
+          FROM o WHERE k % {MERGE_UPDATE_MOD} = 0
+          UNION ALL
+          SELECT k + {MERGE_KEY_OFFSET} AS k, cents AS new_cents,
+                 'inserted' AS action
+          FROM o WHERE k % {MERGE_INSERT_MOD} = 3
+        ),
+        merged AS (
+          SELECT coalesce(s.new_cents, o.cents) AS cents,
+                 coalesce(s.action, 'untouched') AS action
+          FROM o FULL OUTER JOIN src s USING (k)
+        )
+        SELECT action, count(*) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM merged GROUP BY action
     """,
     "value_band_pairs": f"""
         WITH ev AS (

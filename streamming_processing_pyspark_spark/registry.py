@@ -444,8 +444,46 @@ def streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_kmv_emission(spark.table(table))
 
 
+def streaming_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation.dataset_card_rollup maintained BY the ingest stream: the
+    stream keeps (source, lang, text-md5) cells — count / char / token /
+    max-char sums, all streaming-legal — in complete mode; the drained
+    cells table (state ∝ distinct texts, the same bound as streaming
+    dedup) is then projected to the per-source card, with the two
+    DISTINCT aggregates (lang, md5) running over the tiny cells frame
+    instead of the corpus. Shares dataset_card_rollup's oracle verbatim:
+    the datasheet a training run reads can be kept warm incrementally
+    instead of recomputed per batch."""
+    from .sources.streams import stream_parquet_table
+    from .streaming.jobs import run_to_memory
+
+    docs = stream_parquet_table(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.trim("text"), r"\s+"))
+    cells = docs.groupBy(
+        "source", "lang", F.md5("text").alias("h")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(tok.cast("long")).alias("toks"),
+        F.max("n_chars").alias("mx"),
+    )
+    q, table = run_to_memory(cells, "complete")
+    q.stop()
+    drained = spark.table(table)
+    return drained.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("chars").alias("total_chars"),
+        F.sum("toks").alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        (F.sum("n") - F.count_distinct("h")).alias("n_redundant_docs"),
+        F.max("mx").alias("max_chars"),
+        F.expr("sum(chars) DIV sum(n)").alias("avg_chars"),
+    )
+
+
 _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_cms_cells": streaming_cms_cells,
+    "streaming_dataset_card": streaming_dataset_card,
     "streaming_woe_value_bins": streaming_woe_value_bins,
     "streaming_kmv_sketch": streaming_kmv_sketch,
     "streaming_observed_metrics": observability.streaming_observed_metrics,
@@ -467,6 +505,7 @@ _STREAMING_ORACLES: dict[str, str] = {
     "streaming_cms_cells": sketches.CELLS_ORACLE,
     # stream/batch twin: identical cells, identical oracle
     "streaming_woe_value_bins": featurize.ORACLES["woe_value_bins"],
+    "streaming_dataset_card": curation.ORACLES["dataset_card_rollup"],
     "streaming_kmv_sketch": sketches.KMV_SKETCH_ORACLE,
     # batch/streaming twins: identical totals, identical oracle
     "streaming_observed_metrics": observability.ORACLES["observed_gate_metrics"],

@@ -1499,6 +1499,34 @@ def test_peak_concurrency_manual(spark):
     assert got == {"A": (3, 3), "B": (2, 1)}
 
 
+def test_merge_upsert_orders_manual(spark):
+    """MERGE action accounting on a hand-built table: key 3 both stays
+    (untouched) and spawns an offset insert, key 7 is updated (+5% =
+    DIV 20 cents), key 5 is untouched."""
+    from datetime import datetime
+
+    from streamming_processing_pyspark_spark.operators import analytics2
+
+    orders = spark.createDataFrame(
+        [
+            (3, 1, "O", 10.00, datetime(2024, 1, 1), "1-URGENT"),
+            (7, 1, "O", 20.00, datetime(2024, 1, 1), "1-URGENT"),
+            (5, 1, "O", 30.00, datetime(2024, 1, 1), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {
+        r["action"]: (r["n_rows"], r["total_cents"])
+        for r in analytics2.merge_upsert_orders({"orders": orders}).collect()
+    }
+    assert got == {
+        "untouched": (2, 4000),
+        "updated": (1, 2100),
+        "inserted": (1, 1000),
+    }
+
+
 def test_mmr_diverse_topk_prefers_diversity(spark):
     """With two exact duplicates of the query direction and one off-axis
     vector, MMR must interleave: dup #1 (relevance tie -> smaller id),
