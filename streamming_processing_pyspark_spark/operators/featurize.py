@@ -191,8 +191,27 @@ def mutual_info_type_bucket(t: Tables) -> DataFrame:
     cells = ev.groupBy("bucket", "event_type").agg(
         F.count("*").alias("n_ij")
     )
-    bt = cells.groupBy("bucket").agg(F.sum("n_ij").alias("n_i"))
-    tt = cells.groupBy("event_type").agg(F.sum("n_ij").alias("n_j"))
+    return mi_projection(cells)
+
+
+def mi_projection(cells: DataFrame) -> DataFrame:
+    """Margins + per-cell micro-floored MI terms over a
+    ``(bucket, event_type, n_ij)`` contingency frame — shared by
+    :func:`mutual_info_type_bucket` and the streaming twin
+    (``registry.streaming_mutual_info``) so the two cannot drift."""
+    # margin keys are re-aliased so joining the margins back onto the
+    # SAME cells frame (including a drained memory-sink view, where every
+    # branch shares attribute ids) never trips self-join ambiguity
+    bt = (
+        cells.select(F.col("bucket").alias("b_key"), "n_ij")
+        .groupBy("b_key")
+        .agg(F.sum("n_ij").alias("n_i"))
+    )
+    tt = (
+        cells.select(F.col("event_type").alias("t_key"), "n_ij")
+        .groupBy("t_key")
+        .agg(F.sum("n_ij").alias("n_j"))
+    )
     tot = cells.agg(F.sum("n_ij").alias("n"))
     term = F.floor(
         F.lit(1000000.0)
@@ -203,8 +222,8 @@ def mutual_info_type_bucket(t: Tables) -> DataFrame:
         )
     ).cast("long")
     return (
-        cells.join(F.broadcast(bt), "bucket")
-        .join(F.broadcast(tt), "event_type")
+        cells.join(F.broadcast(bt), F.col("bucket") == F.col("b_key"))
+        .join(F.broadcast(tt), F.col("event_type") == F.col("t_key"))
         .crossJoin(F.broadcast(tot))
         .groupBy("event_type")
         .agg(

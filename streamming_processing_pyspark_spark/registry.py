@@ -481,9 +481,36 @@ def streaming_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """featurize.mutual_info_type_bucket maintained BY the event stream:
+    the (bucket, type) contingency counts are a plain streaming
+    aggregation held in complete mode; margins and the quarantined
+    per-cell ln terms run on the drained ≤ buckets×types cells via the
+    SAME ``featurize.mi_projection`` as the batch operator (one copy of
+    the arithmetic), sharing its oracle verbatim — feature-relevance
+    telemetry that stays warm as events arrive."""
+    from .operators.featurize import WOE_BUCKET, mi_projection
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_to_memory
+
+    ev = stream_events(spark, sf_dir)
+    cells = (
+        ev.select(
+            F.floor(F.col("value") / WOE_BUCKET).cast("long").alias("bucket"),
+            "event_type",
+        )
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n_ij"))
+    )
+    q, table = run_to_memory(cells, "complete")
+    q.stop()
+    return mi_projection(spark.table(table))
+
+
 _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_cms_cells": streaming_cms_cells,
     "streaming_dataset_card": streaming_dataset_card,
+    "streaming_mutual_info": streaming_mutual_info,
     "streaming_woe_value_bins": streaming_woe_value_bins,
     "streaming_kmv_sketch": streaming_kmv_sketch,
     "streaming_observed_metrics": observability.streaming_observed_metrics,
@@ -506,6 +533,7 @@ _STREAMING_ORACLES: dict[str, str] = {
     # stream/batch twin: identical cells, identical oracle
     "streaming_woe_value_bins": featurize.ORACLES["woe_value_bins"],
     "streaming_dataset_card": curation.ORACLES["dataset_card_rollup"],
+    "streaming_mutual_info": featurize.ORACLES["mutual_info_type_bucket"],
     "streaming_kmv_sketch": sketches.KMV_SKETCH_ORACLE,
     # batch/streaming twins: identical totals, identical oracle
     "streaming_observed_metrics": observability.ORACLES["observed_gate_metrics"],
