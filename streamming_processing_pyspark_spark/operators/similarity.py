@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine_pudf
-from ..tables import fan_out
+from ..tables import fan_out, persist_replacing
 
 Tables = dict[str, DataFrame]
 
@@ -809,6 +809,256 @@ def _mmr_oracle_sql(k: int) -> str:
     return "".join(parts)
 
 
+def _mutual_knn_edges(t: Tables) -> DataFrame:
+    """Undirected mutual-kNN graph (a < b; edge iff each is in the
+    other's exact top-``KNN_K``) — the bounded-degree similarity graph
+    downstream graph analytics run on. Built FROM :func:`knn_join_topk`
+    (the hash-matched exact kNN), so edge membership inherits its
+    determinism; mutuality is one intersect of the two directions
+    (shuffle of ≤ n·K id pairs)."""
+    knn = knn_join_topk(t).select("vec_id", "nbr_id")
+    fwd = knn.where(F.col("vec_id") < F.col("nbr_id")).select(
+        F.col("vec_id").alias("a"), F.col("nbr_id").alias("b")
+    )
+    rev = knn.where(F.col("vec_id") > F.col("nbr_id")).select(
+        F.col("nbr_id").alias("a"), F.col("vec_id").alias("b")
+    )
+    return fwd.intersect(rev)
+
+
+def knn_graph_triangles(t: Tables) -> DataFrame:
+    """Triangle census of the mutual-kNN graph — the local-density /
+    hubness diagnostic for an embedding space (high transitivity =
+    tight clusters; near-zero = random-like neighborhoods).
+
+    Scale argument: mutual-kNN degree is BOUNDED by ``KNN_K``, so the
+    two-hop join explores ≤ n·K² wedges — triangle counting on this
+    graph is linear in vertices, no degree-ordering needed (that trick
+    exists for skewed general graphs; the a<b<c orientation here already
+    makes each triangle count once). The corpus-sized work is the kNN
+    build itself; everything after runs on ≤ n·K/2 edges.
+
+    Output (one row): ``n_vertices`` (with ≥1 mutual edge),
+    ``n_edges``, ``n_wedges`` (Σ C(deg,2)), ``n_triangles``,
+    ``transitivity_micro`` = floor(1e6·3T/W) (NULL when no wedges).
+    """
+    e = persist_replacing(_mutual_knn_edges(t), "knn_edges")
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("n"))
+    )
+    dstats = deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.sum(F.expr("n * (n - 1) DIV 2")).alias("n_wedges"),
+    )
+    ecnt = e.agg(F.count("*").alias("n_edges"))
+    tri = (
+        e.alias("xy")
+        .join(e.alias("yz"), F.col("xy.b") == F.col("yz.a"))
+        .join(
+            e.alias("xz"),
+            (F.col("xz.a") == F.col("xy.a")) & (F.col("xz.b") == F.col("yz.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        dstats.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.floor(
+                    F.lit(1000000.0)
+                    * F.lit(3.0)
+                    * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double")
+                ).cast("long"),
+            ).alias("transitivity_micro"),
+        )
+    )
+
+
+#: label-propagation: seed fraction (vec_id % LPA_SEED_MOD == 0 keeps its
+#: true label) and synchronized rounds
+LPA_SEED_MOD = 5
+LPA_ROUNDS = 2
+
+
+def label_propagation_knn(t: Tables) -> DataFrame:
+    """Semi-supervised label propagation over the mutual-kNN graph: 1 in
+    ``LPA_SEED_MOD`` vectors keeps its true label (the "labeled pool");
+    each synchronized round, every still-unlabeled vector adopts the
+    majority label among its ALREADY-labeled neighbors (ties → smaller
+    label; no labeled neighbor → stays unlabeled). The weak-labeling /
+    label-spreading primitive for stretching a small annotation budget
+    across a large corpus.
+
+    Monotone variant (a label, once assigned, is frozen) — that keeps
+    every round a pure join + grouped argmax over the bounded-degree
+    edge list (≤ n·K rows), ``LPA_ROUNDS`` such passes total, and makes
+    the fixpoint deterministic (classic async LPA is famously
+    order-dependent; this one is pinned by the (count DESC, label ASC)
+    argmax and hash-matches the unrolled-SQL oracle).
+
+    Output per vector: ``vec_id``, ``label_out`` (NULL if never
+    reached), ``labeled_round`` (0 = seed, r = adopted in round r,
+    NULL = unlabeled).
+    """
+    und = persist_replacing(
+        _mutual_knn_edges(t)
+        .select(F.col("a").alias("v"), F.col("b").alias("nb"))
+        .union(
+            _mutual_knn_edges(t).select(
+                F.col("b").alias("v"), F.col("a").alias("nb")
+            )
+        ),
+        "lpa_edges",
+    )
+    seed = F.col("vec_id") % LPA_SEED_MOD == 0
+    labels = t["embeddings"].select(
+        "vec_id",
+        F.when(seed, F.col("label")).alias("lab"),
+        F.when(seed, F.lit(0)).alias("labeled_round"),
+    )
+    for rnd in range(1, LPA_ROUNDS + 1):
+        known = labels.where(F.col("lab").isNotNull()).select(
+            F.col("vec_id").alias("nb"), F.col("lab").alias("nb_lab")
+        )
+        pick = (
+            und.join(known, "nb")
+            .groupBy("v", "nb_lab")
+            .agg(F.count("*").alias("c"))
+            .groupBy("v")
+            .agg(
+                F.min_by(
+                    "nb_lab",
+                    F.struct(
+                        (-F.col("c")).alias("c"), F.col("nb_lab").alias("l")
+                    ),
+                ).alias("new_lab")
+            )
+        )
+        labels = (
+            labels.join(
+                F.broadcast(pick), F.col("vec_id") == F.col("v"), "left"
+            )
+            .select(
+                "vec_id",
+                F.coalesce("lab", "new_lab").alias("lab"),
+                F.coalesce(
+                    "labeled_round",
+                    F.when(F.col("new_lab").isNotNull(), F.lit(rnd)),
+                ).alias("labeled_round"),
+            )
+        )
+    return labels.select(
+        "vec_id", F.col("lab").alias("label_out"), "labeled_round"
+    )
+
+
+def _knn_edge_cte() -> str:
+    """Shared oracle CTE chain building the mutual-kNN edge list (the
+    same sims + rk≤K definition as the knn_join_topk oracle)."""
+    return f"""
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                 {_COS_DUCK} AS cos_sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        ),
+        knn AS MATERIALIZED (
+          SELECT vec_id, nbr_id FROM (
+            SELECT vec_id, nbr_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_sim DESC, nbr_id) AS rk
+            FROM sims
+          ) WHERE rk <= {KNN_K}
+        ),
+        e AS MATERIALIZED (
+          SELECT vec_id AS a, nbr_id AS b FROM knn WHERE vec_id < nbr_id
+          INTERSECT
+          SELECT nbr_id AS a, vec_id AS b FROM knn WHERE nbr_id < vec_id
+        )"""
+
+
+def _triangles_oracle_sql() -> str:
+    return f"""
+        WITH {_knn_edge_cte()},
+        deg AS (
+          SELECT v, count(*) AS n
+          FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+          GROUP BY v
+        ),
+        d AS (
+          SELECT count(*) AS n_vertices,
+                 CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_wedges
+          FROM deg
+        ),
+        ec AS (SELECT count(*) AS n_edges FROM e),
+        tr AS (
+          SELECT count(*) AS n_triangles
+          FROM e xy
+          JOIN e yz ON xy.b = yz.a
+          JOIN e xz ON xz.a = xy.a AND xz.b = yz.b
+        )
+        SELECT n_vertices, n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges > 0
+                    THEN CAST(floor(1000000.0 * 3.0
+                                    * CAST(n_triangles AS DOUBLE)
+                                    / CAST(n_wedges AS DOUBLE)) AS BIGINT)
+               END AS transitivity_micro
+        FROM d, ec, tr
+    """
+
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    parts = [
+        f"""
+        WITH {_knn_edge_cte()},
+        und AS MATERIALIZED (
+          SELECT a AS v, b AS nb FROM e
+          UNION ALL SELECT b AS v, a AS nb FROM e
+        ),
+        l0 AS MATERIALIZED (
+          SELECT vec_id,
+                 CASE WHEN vec_id % {LPA_SEED_MOD} = 0 THEN label END AS lab,
+                 CASE WHEN vec_id % {LPA_SEED_MOD} = 0 THEN 0 END
+                   AS labeled_round
+          FROM embeddings
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+        , p{r} AS MATERIALIZED (
+          SELECT v, nb_lab AS new_lab FROM (
+            SELECT u.v, l.lab AS nb_lab, count(*) AS c
+            FROM und u JOIN l{r - 1} l ON u.nb = l.vec_id
+            WHERE l.lab IS NOT NULL
+            GROUP BY u.v, l.lab
+          ) QUALIFY row_number() OVER (PARTITION BY v
+                                       ORDER BY c DESC, nb_lab) = 1
+        ),
+        l{r} AS MATERIALIZED (
+          SELECT l.vec_id,
+                 coalesce(l.lab, p.new_lab) AS lab,
+                 coalesce(l.labeled_round,
+                          CASE WHEN p.new_lab IS NOT NULL THEN {r} END)
+                   AS labeled_round
+          FROM l{r - 1} l LEFT JOIN p{r} p ON l.vec_id = p.v
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT vec_id, lab AS label_out, labeled_round FROM l{rounds}"""
+    )
+    return "".join(parts)
+
+
 #: CORPUS-SIZED TUNING (auto by default): expected band-bucket occupancy
 #: is ≈ n / 2^(bits/band), so per-band candidate volume is ≈ n·occ/2 —
 #: keeping occupancy PINNED as n grows (bits/band ~ log2(n/occ)) keeps
@@ -1490,6 +1740,8 @@ ORACLES: dict[str, str] = {
     """,
     "lsh_query_topk": _lsh_query_oracle_sql(LSH_QUERY_BITS),
     "mmr_diverse_topk": _mmr_oracle_sql(MMR_K),
+    "knn_graph_triangles": _triangles_oracle_sql(),
+    "label_propagation_knn": _lpa_oracle_sql(LPA_ROUNDS),
     "hard_negative_mining": f"""
         WITH sims AS (
           SELECT a.vec_id AS vec_id, a.label AS label,
@@ -1578,6 +1830,8 @@ QUERIES = {
     "hard_negative_mining": hard_negative_mining,
     "lsh_query_topk": lsh_query_topk,
     "mmr_diverse_topk": mmr_diverse_topk,
+    "knn_graph_triangles": knn_graph_triangles,
+    "label_propagation_knn": label_propagation_knn,
     # SemDeDup: rows-only pairs + hard driver contract
     "semantic_dedup_pairs": semantic_dedup_pairs,
     "semdedup_check": semdedup_check,

@@ -1499,6 +1499,46 @@ def test_peak_concurrency_manual(spark):
     assert got == {"A": (3, 3), "B": (2, 1)}
 
 
+def test_knn_graph_triangles_complete_graph(spark):
+    """4 distinct vectors with KNN_K >= 3 form the complete mutual-kNN
+    graph K4: 6 edges, 12 wedges, 4 triangles, transitivity exactly 1."""
+    from streamming_processing_pyspark_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.1], 0),
+            (1, [0.0, 1.0, 0.0, 0.1], 0),
+            (2, [0.0, 0.0, 1.0, 0.1], 0),
+            (3, [1.0, 1.0, 0.0, 0.1], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    row = similarity.knn_graph_triangles({"embeddings": emb}).collect()[0]
+    assert tuple(row) == (4, 6, 12, 4, 1000000), row
+
+
+def test_label_propagation_majority_and_ties(spark):
+    """On the complete graph with two seeds of different labels, every
+    unlabeled node sees a 1-1 tie and must adopt the SMALLER label in
+    round 1; seeds keep their labels at round 0."""
+    from streamming_processing_pyspark_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.1], 3),   # seed (0 % 5 == 0), label 3
+            (5, [0.0, 1.0, 0.0, 0.1], 1),   # seed, label 1
+            (1, [0.0, 0.0, 1.0, 0.1], 9),   # unseeded (true label hidden)
+            (2, [1.0, 1.0, 0.0, 0.1], 9),   # unseeded
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r["vec_id"]: (r["label_out"], r["labeled_round"])
+        for r in similarity.label_propagation_knn({"embeddings": emb}).collect()
+    }
+    assert got == {0: (3, 0), 5: (1, 0), 1: (1, 1), 2: (1, 1)}, got
+
+
 def test_merge_upsert_orders_manual(spark):
     """MERGE action accounting on a hand-built table: key 3 both stays
     (untouched) and spawns an offset insert, key 7 is updated (+5% =
