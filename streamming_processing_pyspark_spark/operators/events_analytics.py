@@ -385,7 +385,114 @@ def value_trend_by_type(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def km_conversion_survival(tables: dict[str, DataFrame]) -> DataFrame:
+    """Kaplan–Meier estimate of the view→purchase conversion-time curve,
+    WITH right-censoring — the survival-analysis complement of
+    ``conversion_latency`` (which drops non-converters; here a user whose
+    log simply ends contributes at-risk time until their last event, the
+    statistically honest treatment).
+
+    Per user: start = first ``view``; event = first later ``purchase``
+    (duration in whole hours, integer epoch-second arithmetic as pinned
+    by conversion_latency); otherwise censored at the last event. KM at
+    duration t: ``S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)`` with deaths and
+    censors at the same hour both in the risk set.
+
+    The cumulative product is sequential, so it uses the engine's
+    time-bounded-fold pattern (cf. ``timeseries.ewma_hourly_value``):
+    the corpus-sized work is one per-user aggregation; the distinct
+    durations (≤ the time range in hours, data-independent) are folded
+    in-executor over the sorted array, each factor ONE IEEE division and
+    the running product a pinned left-to-right multiply chain — so
+    ``km_micro`` hash-matches the oracle's identical list fold exactly.
+
+    Output per distinct duration: ``dur_hours``, ``n_risk``, ``n_conv``,
+    ``n_censored``, ``km_micro`` = floor(1e6·S) after that duration.
+    """
+    ev = tables["events"]
+    w = Window.partitionBy("user_id")
+    with_view = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    per_user = (
+        with_view.groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_conv"),
+            F.max("ts").alias("t_last"),
+        )
+        .where(F.col("t_view").isNotNull())
+    )
+    durs = per_user.select(
+        F.expr(
+            "(CAST({e} AS LONG) - CAST(t_view AS LONG)) DIV 3600".format(
+                e="coalesce(t_conv, t_last)"
+            )
+        ).alias("dur_hours"),
+        F.col("t_conv").isNotNull().cast("long").alias("conv"),
+    )
+    cells = durs.groupBy("dur_hours").agg(
+        F.sum("conv").alias("d"),
+        F.sum(1 - F.col("conv")).alias("c"),
+    )
+    wall = Window.orderBy("dur_hours")
+    rows = cells.select(
+        "dur_hours",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(
+                wall.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+        ).alias("n_risk"),
+        (
+            F.lit(1.0)
+            - F.col("d").cast("double")
+            / F.sum(F.col("d") + F.col("c"))
+            .over(
+                wall.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            .cast("double")
+        ).alias("factor"),
+    )
+    arr = rows.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("dur_hours", "d", "c", "n_risk", "factor")
+            )
+        ).alias("arr")
+    )
+    folded = arr.withColumn(
+        "s",
+        F.expr(
+            "aggregate(arr, CAST(array() AS ARRAY<DOUBLE>),"
+            " (acc, e) -> array_append(acc,"
+            "   CASE WHEN size(acc) = 0 THEN CAST(1.0 AS DOUBLE) * e.factor"
+            "        ELSE element_at(acc, -1) * e.factor END))"
+        ),
+    )
+    return folded.select(
+        F.explode(
+            F.expr(
+                "transform(arr, (e, i) -> struct("
+                " e.dur_hours AS dur_hours, e.n_risk AS n_risk,"
+                " e.d AS n_conv, e.c AS n_censored,"
+                " CAST(floor(1000000 * element_at(s, i + 1)) AS LONG)"
+                "   AS km_micro))"
+            )
+        ).alias("r")
+    ).select("r.dur_hours", "r.n_risk", "r.n_conv", "r.n_censored", "r.km_micro")
+
+
 QUERIES = {
+    "km_conversion_survival": km_conversion_survival,
     "hourly_count_anomalies_mad": hourly_count_anomalies_mad,
     "event_transitions": event_transitions,
     "pagerank_event_types": pagerank_event_types,
@@ -398,6 +505,52 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "km_conversion_survival": """
+        WITH v AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 max(ts) AS t_last
+          FROM events GROUP BY user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t_conv
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+          GROUP BY e.user_id
+        ),
+        durs AS (
+          SELECT date_diff('second', v.t_view,
+                           coalesce(p.t_conv, v.t_last)) // 3600
+                   AS dur_hours,
+                 CASE WHEN p.t_conv IS NOT NULL THEN 1 ELSE 0 END AS conv
+          FROM v LEFT JOIN p USING (user_id)
+          WHERE v.t_view IS NOT NULL
+        ),
+        cells AS (
+          SELECT dur_hours, CAST(sum(conv) AS BIGINT) AS d,
+                 CAST(sum(1 - conv) AS BIGINT) AS c
+          FROM durs GROUP BY dur_hours
+        ),
+        rows_ AS (
+          SELECT dur_hours, d, c,
+                 CAST(sum(d + c) OVER (ORDER BY dur_hours DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS n_risk,
+                 row_number() OVER (ORDER BY dur_hours) AS rn
+          FROM cells
+        ),
+        f AS (
+          SELECT dur_hours, d, c, n_risk, rn,
+                 1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+          FROM rows_
+        ),
+        fl AS (SELECT list(factor ORDER BY dur_hours) AS fs FROM f)
+        SELECT dur_hours, n_risk, d AS n_conv, c AS n_censored,
+               CAST(floor(1000000 * list_reduce(
+                 list_prepend(CAST(1.0 AS DOUBLE), fs[1:rn]),
+                 (x, y) -> x * y)) AS BIGINT) AS km_micro
+        FROM f, fl
+    """,
     "hourly_count_anomalies_mad": """
         WITH hourly AS (
           SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

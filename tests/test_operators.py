@@ -1499,6 +1499,38 @@ def test_peak_concurrency_manual(spark):
     assert got == {"A": (3, 3), "B": (2, 1)}
 
 
+def test_km_conversion_survival_manual(spark):
+    """Hand-computed KM with censoring: 4 users (convert@0h, convert@2h,
+    censored@2h, censored@0h) -> S(0) = 3/4, S(2) = 3/4 * 1/2."""
+    from datetime import datetime, timedelta
+
+    from streamming_processing_pyspark_spark.operators import events_analytics
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(**kw):
+        return t0 + timedelta(**kw)
+
+    rows = [
+        (1, t0, 1, "view", 1.0),
+        (2, at(minutes=30), 1, "purchase", 1.0),   # conv, dur 0
+        (3, t0, 2, "view", 1.0),
+        (4, at(hours=2), 2, "purchase", 1.0),      # conv, dur 2
+        (5, t0, 3, "view", 1.0),
+        (6, at(hours=2), 3, "click", 1.0),         # censored, dur 2
+        (7, t0, 4, "view", 1.0),                   # censored, dur 0
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        r["dur_hours"]: (r["n_risk"], r["n_conv"], r["n_censored"], r["km_micro"])
+        for r in events_analytics.km_conversion_survival({"events": ev}).collect()
+    }
+    assert got == {0: (4, 1, 1, 750000), 2: (2, 1, 1, 375000)}, got
+
+
 def test_knn_graph_triangles_complete_graph(spark):
     """4 distinct vectors with KNN_K >= 3 form the complete mutual-kNN
     graph K4: 6 edges, 12 wedges, 4 triangles, transitivity exactly 1."""
