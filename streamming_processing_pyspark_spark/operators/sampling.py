@@ -26,6 +26,8 @@ engine for the 100 TB training-data use case per the build plan
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -227,7 +229,103 @@ def label_balanced_sample(t: Tables) -> DataFrame:
     )
 
 
+#: Poisson bootstrap: replicate count and the Poisson(1) CDF cutoffs
+#: mapped onto the integer hash range ONCE in Python — both engines then
+#: compare integers only, so the resampling weights carry zero
+#: cross-engine float risk. P(w=k) = e⁻¹/k!, capped at 5.
+BOOT_REPLICATES = 32
+#: Lehmer multiplier for the uniformizing permutation (Park–Miller;
+#: h < MOD ≈ 1e9 so h·48271 < 5e13 stays far inside int64 in both engines)
+_BOOT_MUL = 48271
+_BOOT_CUTOFFS = tuple(
+    int(sum(math.exp(-1.0) / math.factorial(i) for i in range(k + 1)) * _HASH_MOD)
+    for k in range(5)
+)
+#: order-statistic indices (1-based) into the sorted replicate means:
+#: ~5% / 50% / ~95%
+_BOOT_LO = int(0.05 * BOOT_REPLICATES) + 1
+_BOOT_MED = BOOT_REPLICATES // 2 + 1
+_BOOT_HI = BOOT_REPLICATES - int(0.05 * BOOT_REPLICATES)
+
+
+def poisson_bootstrap_ci(t: Tables) -> DataFrame:
+    """Bootstrap confidence interval for the mean event value per type —
+    via the POISSON bootstrap, the resampling scheme that actually
+    distributes: classic bootstrap resamples n rows WITH replacement (a
+    global shuffle per replicate); Poisson bootstrap instead gives every
+    (row, replicate) an independent Poisson(1) weight, so all
+    ``BOOT_REPLICATES`` replicates are one map-side weight expansion +
+    one combinable aggregation — no resampling shuffle, replicate count
+    independent of cluster topology.
+
+    Determinism: the weight is the count of Python-precomputed integer
+    CDF cutoffs ≤ a portable uniform in [0, MOD): the affine fold of
+    ``event_id || '#' || r`` (``pipeline._group_hash`` recurrence)
+    passed through TWO Lehmer rounds (``·48271 mod MOD`` twice,
+    overflow-safe in int64). The extra permutation matters here: the
+    bare fold is a base-31 number, monotone in the string, so short ids
+    never reach the upper cutoffs and whole replicates would weight to
+    zero — the Lehmer wrap spreads it across the full range (production
+    would use xxhash64; the portable form keeps the weights
+    oracle-checkable). Pure integer compares in both engines; replicate
+    means are integer cents (truncating DIV); the CI is order statistics
+    of the ≤``BOOT_REPLICATES`` sorted means. Everything hash-matches
+    exactly.
+
+    Output per type: ``n_replicates``, ``boot_lo_cents`` /
+    ``boot_median_cents`` / ``boot_hi_cents`` (~5/50/95th percentile
+    replicate means).
+    """
+    from .pipeline import _group_hash
+
+    ev = t["events"].select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+    )
+    reps = ev.select(
+        "event_type",
+        "cents",
+        "event_id",
+        F.explode(
+            F.array(*[F.lit(r) for r in range(BOOT_REPLICATES)])
+        ).alias("r"),
+    )
+    h0 = _group_hash(
+        "concat(CAST(event_id AS STRING), '#', CAST(r AS STRING))"
+    )
+    hashed = reps.withColumn(
+        "h", (h0 * _BOOT_MUL % _HASH_MOD) * _BOOT_MUL % _HASH_MOD
+    )
+    w = sum(
+        (F.col("h") >= F.lit(cut)).cast("long") for cut in _BOOT_CUTOFFS
+    )
+    cells = (
+        hashed.select("event_type", "r", w.alias("w"), "cents")
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("sw"),
+            F.sum("w").alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .select("event_type", F.expr("sw DIV n").alias("m"))
+    )
+    return cells.groupBy("event_type").agg(
+        F.count("*").alias("n_replicates"),
+        F.element_at(
+            F.sort_array(F.collect_list("m")), _BOOT_LO
+        ).alias("boot_lo_cents"),
+        F.element_at(
+            F.sort_array(F.collect_list("m")), _BOOT_MED
+        ).alias("boot_median_cents"),
+        F.element_at(
+            F.sort_array(F.collect_list("m")), _BOOT_HI
+        ).alias("boot_hi_cents"),
+    )
+
+
 QUERIES = {
+    "poisson_bootstrap_ci": poisson_bootstrap_ci,
     "weighted_sample_per_lang": weighted_sample_per_lang,
     "gopher_quality_flags": gopher_quality_flags,
     "filter_agreement_kappa": filter_agreement_kappa,
@@ -349,3 +447,58 @@ ORACLES["label_balanced_sample"] = f"""
           FROM h)
     SELECT vec_id, label FROM r, q WHERE rk <= quota
 """
+
+
+def _boot_oracle() -> str:
+    """DuckDB twin of :func:`poisson_bootstrap_ci`: the same affine-fold
+    hash (sketches._hash_duck, seed 0 = the _group_hash recurrence), the
+    same Python-precomputed integer cutoffs, truncating integer means,
+    and 1-based order statistics over the sorted replicate means."""
+    from .sketches import _hash_duck
+
+    h0 = _hash_duck(
+        "concat(CAST(event_id AS VARCHAR), '#', CAST(r AS VARCHAR))", "0"
+    )
+    h = (
+        f"(({h0}) * {_BOOT_MUL} % {_HASH_MOD})"
+        f" * {_BOOT_MUL} % {_HASH_MOD}"
+    )
+    w = " + ".join(
+        f"(CASE WHEN {h} >= {cut} THEN 1 ELSE 0 END)" for cut in _BOOT_CUTOFFS
+    )
+    return f"""
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents, event_id
+          FROM events
+        ),
+        reps AS (
+          SELECT event_type, cents, event_id, r
+          FROM ev, (SELECT unnest(range({BOOT_REPLICATES})) AS r)
+        ),
+        weighted AS (
+          SELECT event_type, r, cents, {w} AS w FROM reps
+        ),
+        cells AS (
+          SELECT event_type, r,
+                 CAST(sum(w * cents) AS BIGINT) AS sw,
+                 CAST(sum(w) AS BIGINT) AS n
+          FROM weighted GROUP BY event_type, r
+        ),
+        means AS (
+          SELECT event_type, sw // n AS m FROM cells WHERE n > 0
+        ),
+        ms AS (
+          SELECT event_type, count(*) AS n_replicates,
+                 list(m ORDER BY m) AS l
+          FROM means GROUP BY event_type
+        )
+        SELECT event_type, n_replicates,
+               l[{_BOOT_LO}] AS boot_lo_cents,
+               l[{_BOOT_MED}] AS boot_median_cents,
+               l[{_BOOT_HI}] AS boot_hi_cents
+        FROM ms
+    """
+
+
+ORACLES["poisson_bootstrap_ci"] = _boot_oracle()

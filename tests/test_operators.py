@@ -1499,6 +1499,35 @@ def test_peak_concurrency_manual(spark):
     assert got == {"A": (3, 3), "B": (2, 1)}
 
 
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    """The ~5-95% bootstrap interval must be ordered, have the full
+    replicate count, and bracket the exact per-type mean at this SF
+    (deterministic given the data, so this is a stable pin, not a
+    flaky statistical assertion)."""
+    from streamming_processing_pyspark_spark.operators import sampling
+
+    t = load_tables(spark, SF_DIR)
+    exact = {
+        r["event_type"]: r["m"]
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "sum(CAST(round(value * 100, 0) AS LONG)) DIV count(*)"
+            ).alias("m")
+        )
+        .collect()
+    }
+    rows = sampling.poisson_bootstrap_ci(t).collect()
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["n_replicates"] == sampling.BOOT_REPLICATES
+        assert (
+            r["boot_lo_cents"] <= r["boot_median_cents"] <= r["boot_hi_cents"]
+        )
+        assert r["boot_lo_cents"] <= exact[r["event_type"]] <= r["boot_hi_cents"]
+
+
 def test_km_conversion_survival_manual(spark):
     """Hand-computed KM with censoring: 4 users (convert@0h, convert@2h,
     censored@2h, censored@0h) -> S(0) = 3/4, S(2) = 3/4 * 1/2."""
