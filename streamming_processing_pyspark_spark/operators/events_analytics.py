@@ -491,8 +491,87 @@ def km_conversion_survival(tables: dict[str, DataFrame]) -> DataFrame:
     ).select("r.dur_hours", "r.n_risk", "r.n_conv", "r.n_censored", "r.km_micro")
 
 
+#: association rules: minimum pair support (baskets containing both)
+BASKET_MIN_SUPPORT = 10
+
+
+def basket_pair_lift(tables: dict[str, DataFrame]) -> DataFrame:
+    """Market-basket association over (user, day) baskets of event
+    types: for every type pair, support and LIFT = P(xy)/(P(x)·P(y)) —
+    the level-2 frequent-itemset / cross-feature signal ("users who
+    error today also purchase today, 1.3× over independence").
+
+    Shape: one distinct pass builds the basket-item table (baskets ×
+    ≤|types| rows — tiny after the map-side-combinable distinct); pairs
+    come from a self-equi-join on the basket key, bounded per basket by
+    |types|² (the itemset-mining bound: explode per-basket combinations,
+    never a table×table product). Lift is a single double expression
+    over exact integer supports, micro-floored.
+
+    Output per (a < b) pair with ``pair_support ≥ BASKET_MIN_SUPPORT``:
+    ``item_a``, ``item_b``, ``pair_support``, ``support_a``,
+    ``support_b``, ``lift_micro``.
+    """
+    from ..tables import persist_replacing
+
+    ev = tables["events"]
+    items = persist_replacing(
+        ev.select(
+            "user_id", F.to_date("ts").alias("day"), "event_type"
+        ).distinct(),
+        "basket_items",
+    )
+    n_baskets = items.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n")
+    )
+    supp = items.groupBy("event_type").agg(F.count("*").alias("s"))
+    pairs = (
+        items.alias("x")
+        .join(
+            items.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.day") == F.col("y.day"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("item_a"),
+            F.col("y.event_type").alias("item_b"),
+        )
+        .agg(F.count("*").alias("pair_support"))
+        .where(F.col("pair_support") >= BASKET_MIN_SUPPORT)
+    )
+    sa = supp.select(F.col("event_type").alias("item_a"), F.col("s").alias("support_a"))
+    sb = supp.select(F.col("event_type").alias("item_b"), F.col("s").alias("support_b"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_support",
+            "support_a",
+            "support_b",
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    F.col("n").cast("double")
+                    * F.col("pair_support").cast("double")
+                )
+                / (
+                    F.col("support_a").cast("double")
+                    * F.col("support_b").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("lift_micro"),
+        )
+    )
+
+
 QUERIES = {
     "km_conversion_survival": km_conversion_survival,
+    "basket_pair_lift": basket_pair_lift,
     "hourly_count_anomalies_mad": hourly_count_anomalies_mad,
     "event_transitions": event_transitions,
     "pagerank_event_types": pagerank_event_types,
@@ -505,6 +584,39 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "basket_pair_lift": f"""
+        WITH items AS MATERIALIZED (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+          FROM events
+        ),
+        nb AS (
+          SELECT count(*) AS n
+          FROM (SELECT DISTINCT user_id, day FROM items)
+        ),
+        supp AS (
+          SELECT event_type, count(*) AS s FROM items GROUP BY event_type
+        ),
+        pairs AS (
+          SELECT x.event_type AS item_a, y.event_type AS item_b,
+                 count(*) AS pair_support
+          FROM items x JOIN items y
+            ON x.user_id = y.user_id AND x.day = y.day
+           AND x.event_type < y.event_type
+          GROUP BY 1, 2
+          HAVING count(*) >= {BASKET_MIN_SUPPORT}
+        )
+        SELECT p.item_a, p.item_b, p.pair_support,
+               sa.s AS support_a, sb.s AS support_b,
+               CAST(floor(
+                 (1000000.0 * (CAST(nb.n AS DOUBLE)
+                               * CAST(p.pair_support AS DOUBLE)))
+                 / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE))
+               ) AS BIGINT) AS lift_micro
+        FROM pairs p
+        JOIN supp sa ON p.item_a = sa.event_type
+        JOIN supp sb ON p.item_b = sb.event_type
+        CROSS JOIN nb
+    """,
     "km_conversion_survival": """
         WITH v AS (
           SELECT user_id,

@@ -56,7 +56,7 @@ engine for the training-data use case per SURVEY.md §7 phase 4.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import words
@@ -77,6 +77,10 @@ BPE_MERGES = 8
 #: truncation); it is what makes the loop state corpus-size-independent.
 #: 2**16 never binds at test scale (sf0.01 vocabulary: 31 words).
 BPE_VOCAB_CAP = 65536
+
+#: PMI collocations: minimum bigram occurrences and report size
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
 
 
 def lm_bigram_nll(t: Tables) -> DataFrame:
@@ -580,6 +584,48 @@ ORACLES: dict[str, str] = {
     "bpe_learn_merges": _bpe_oracle_sql(BPE_MERGES),
     "bpe_encode_stats": _bpe_encode_oracle_sql(BPE_MERGES),
     "tokenizer_fertility": _bpe_fertility_oracle_sql(BPE_MERGES),
+    "bigram_pmi_topk": rf"""
+        WITH d AS MATERIALIZED (
+          SELECT string_split_regex(trim(text), '\s+') AS ws
+          FROM documents
+        ),
+        uni AS MATERIALIZED (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w
+        ),
+        bi AS (
+          SELECT o.w1 AS w1, o.w2 AS w2, count(*) AS c_xy
+          FROM (
+            SELECT unnest(list_transform(
+              generate_series(1, len(ws) - 1),
+              i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS o
+            FROM d WHERE len(ws) >= 2
+          ) GROUP BY 1, 2
+          HAVING count(*) >= {PMI_MIN_COUNT}
+        ),
+        nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+        nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bi),
+        scored AS (
+          SELECT concat(b.w1, ' ', b.w2) AS bg,
+                 b.c_xy,
+                 CAST(floor(1000000.0 * ln(
+                   (CAST(b.c_xy AS DOUBLE) * CAST(nu.n_uni AS DOUBLE)
+                    * CAST(nu.n_uni AS DOUBLE))
+                   / (CAST(nb.n_bi AS DOUBLE) * CAST(u1.c AS DOUBLE)
+                      * CAST(u2.c AS DOUBLE))
+                 )) AS BIGINT) AS pmi_micro
+          FROM bi b
+          JOIN uni u1 ON b.w1 = u1.w
+          JOIN uni u2 ON b.w2 = u2.w
+          CROSS JOIN nu CROSS JOIN nb
+        )
+        SELECT bg, c_xy, pmi_micro,
+               CAST(row_number() OVER (ORDER BY pmi_micro DESC, bg)
+                    AS INTEGER) AS rk
+        FROM scored
+        ORDER BY pmi_micro DESC, bg
+        LIMIT {PMI_TOPK}
+    """,
     "lm_bigram_nll": r"""
         WITH d AS (
           SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
@@ -638,8 +684,93 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def bigram_pmi_topk(t: Tables) -> DataFrame:
+    """Top collocations by pointwise mutual information —
+    ``PMI(x,y) = ln(P(xy) / (P(x)·P(y)))`` over corpus bigram vs unigram
+    occurrence frequencies, the classic phrase-mining / tokenizer-merge
+    signal (complements ``bpe_merge_candidates``' raw counts: PMI finds
+    pairs that co-occur MORE than their parts' popularity predicts).
+
+    One corpus scan feeds both count tables (the token-array frame is
+    pinned; unigram and bigram explodes both read it); the PMI term is
+    the usual single quarantined ``ln`` of a ratio of exactly-repre-
+    sented doubles, and — unlike a raw float ordering — the top-k is
+    taken on the FLOORED ``pmi_micro`` with the bigram string as
+    tie-break, so the ranking the driver hashes is a pure integer/string
+    sort. ``c_xy ≥ PMI_MIN_COUNT`` applies the standard sparse-PMI
+    guard.
+
+    Output (``PMI_TOPK`` rows): ``bg``, ``c_xy``, ``pmi_micro``, ``rk``.
+    """
+    from ..tables import persist_replacing
+
+    d = persist_replacing(
+        t["documents"].select(words("text").alias("ws")), "pmi_ws"
+    )
+    uni = d.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    uni = persist_replacing(uni, "pmi_uni")
+    bi = (
+        d.where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> named_struct('w1', ws[i], 'w2', ws[i + 1]))"
+                )
+            ).alias("o")
+        )
+        .groupBy(F.col("o.w1").alias("w1"), F.col("o.w2").alias("w2"))
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi = bi.agg(F.sum("c_xy").alias("n_bi"))
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    pmi = F.floor(
+        F.lit(1000000.0)
+        * F.log(
+            (
+                F.col("c_xy").cast("double")
+                * F.col("n_uni").cast("double")
+                * F.col("n_uni").cast("double")
+            )
+            / (
+                F.col("n_bi").cast("double")
+                * F.col("c_x").cast("double")
+                * F.col("c_y").cast("double")
+            )
+        )
+    ).cast("long")
+    scored = (
+        bi.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bg"),
+            "c_xy",
+            pmi.alias("pmi_micro"),
+        )
+    )
+    w_rk = Window.orderBy(F.col("pmi_micro").desc(), "bg")
+    return (
+        scored.orderBy(F.col("pmi_micro").desc(), "bg")
+        .limit(PMI_TOPK)
+        .select(
+            "bg",
+            "c_xy",
+            "pmi_micro",
+            F.row_number().over(w_rk).cast("int").alias("rk"),
+        )
+    )
+
+
 QUERIES = {
     "lm_bigram_nll": lm_bigram_nll,
+    "bigram_pmi_topk": bigram_pmi_topk,
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_learn_merges": bpe_learn_merges,
     "bpe_encode_stats": bpe_encode_stats,

@@ -533,7 +533,58 @@ def bloom_prefilter_check(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: compaction planning: target output file size (bytes). Scaled to the
+#: test corpus (per-day volume ≈ tens of KB at sf0.01); production uses
+#: 128–1024 MiB — the arithmetic is size-free.
+TARGET_FILE_BYTES = 16384
+#: fixed-width payload bytes per event row (event_id, ts, user_id, value)
+_ROW_FIXED_BYTES = 32
+
+
+def partition_layout_plan(tables: dict[str, DataFrame]) -> DataFrame:
+    """Compaction / write-layout planner for a date-partitioned events
+    sink: per day, exact payload accounting (fixed-width columns at 8 B
+    each + actual string byte lengths) and the target file count
+    ``ceil(bytes / TARGET_FILE_BYTES)`` — the input a writer needs to
+    pick ``repartitionByRange`` / file-count hints so a day neither
+    fragments into small files nor skews into one giant one.
+
+    One map-side-combinable aggregation; everything is int64 (byte sums,
+    ceiling via ``(b + T - 1) DIV T``), so the plan hash-matches. The
+    skew flag marks days > 2× the mean day's bytes — the days that need
+    intra-day splitting (salting / range keys), which is exactly the
+    file-layout decision at 100 TB.
+    """
+    ev = tables["events"]
+    per_day = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.lit(_ROW_FIXED_BYTES) * F.count("*")
+                + F.sum(F.length("event_type").cast("long"))
+                + F.sum(F.length("props").cast("long"))
+            ).alias("est_bytes"),
+        )
+    )
+    tot = per_day.agg(
+        F.sum("est_bytes").alias("tb"), F.count("*").alias("nd")
+    )
+    return per_day.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_rows",
+        "est_bytes",
+        F.expr(
+            f"(est_bytes + {TARGET_FILE_BYTES} - 1) DIV {TARGET_FILE_BYTES}"
+        ).alias("n_target_files"),
+        (F.col("est_bytes") * F.col("nd") > 2 * F.col("tb")).alias(
+            "skewed"
+        ),
+    )
+
+
 QUERIES = {
+    "partition_layout_plan": partition_layout_plan,
     "events_column_profile": events_column_profile,
     "top_event_by_value_per_user": top_event_by_value_per_user,
     "data_quality_checks": data_quality_checks,
@@ -553,6 +604,26 @@ _DQ_EXPRS = {
 }
 
 ORACLES: dict[str, str] = {
+    "partition_layout_plan": f"""
+        WITH per_day AS (
+          SELECT date_trunc('day', ts) AS day,
+                 count(*) AS n_rows,
+                 CAST({_ROW_FIXED_BYTES} * count(*)
+                      + sum(CAST(length(event_type) AS BIGINT))
+                      + sum(CAST(length(props) AS BIGINT))
+                      AS BIGINT) AS est_bytes
+          FROM events GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(est_bytes) AS BIGINT) AS tb, count(*) AS nd
+          FROM per_day
+        )
+        SELECT day, n_rows, est_bytes,
+               CAST((est_bytes + {TARGET_FILE_BYTES} - 1)
+                    // {TARGET_FILE_BYTES} AS BIGINT) AS n_target_files,
+               est_bytes * nd > 2 * tb AS skewed
+        FROM per_day, tot
+    """,
     "value_winsorize": f"""
         WITH d AS (
           SELECT event_id, event_type,

@@ -726,6 +726,25 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "cms_bigram_check",
     "streaming_cms_cells",
     "quality_filtered_ann",
+    # round-6 additions: change detection, banded join, dataset card, MI,
+    # MMR, MERGE upsert, kNN-graph analytics, survival, bootstrap, and the
+    # two new streaming twins
+    "cusum_changepoint_hours",
+    "lagged_crosscorr",
+    "value_band_pairs",
+    "dataset_card_rollup",
+    "mutual_info_type_bucket",
+    "mmr_diverse_topk",
+    "merge_upsert_orders",
+    "streaming_dataset_card",
+    "streaming_mutual_info",
+    "knn_graph_triangles",
+    "label_propagation_knn",
+    "km_conversion_survival",
+    "poisson_bootstrap_ci",
+    "bigram_pmi_topk",
+    "basket_pair_lift",
+    "partition_layout_plan",
     # TPC-H analogues never checked
     "q8_market_share",
     "q9_product_profit",

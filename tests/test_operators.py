@@ -1499,6 +1499,82 @@ def test_peak_concurrency_manual(spark):
     assert got == {"A": (3, 3), "B": (2, 1)}
 
 
+def test_bigram_pmi_topk_manual(spark, monkeypatch):
+    """ln(4) for both collocations on a 3-doc corpus, ranked by
+    (pmi_micro DESC, bigram ASC) so the lexicographically smaller
+    bigram wins the tie."""
+    import math
+
+    from streamming_processing_pyspark_spark.operators import lm
+
+    monkeypatch.setattr(lm, "PMI_MIN_COUNT", 1)
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "s", 3), (2, "a b", "en", "s", 3),
+         (3, "a c", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [
+        tuple(r)
+        for r in lm.bigram_pmi_topk({"documents": docs}).orderBy("rk").collect()
+    ]
+    # both pairs: n*c_xy*n_uni^2/(n_bi*c_x*c_y) -> ln(4)
+    m = math.floor(1000000.0 * math.log((2.0 * 6.0 * 6.0) / (3.0 * 3.0 * 2.0)))
+    m2 = math.floor(1000000.0 * math.log((1.0 * 6.0 * 6.0) / (3.0 * 3.0 * 1.0)))
+    assert got == [("a b", 2, m, 1), ("a c", 1, m2, 2)], got
+
+
+def test_basket_pair_lift_manual(spark, monkeypatch):
+    """3 baskets, s_A=3, s_B=2, s_AB=2 -> lift exactly 1.0; duplicate
+    events inside a basket don't inflate support."""
+    from datetime import datetime
+
+    from streamming_processing_pyspark_spark.operators import events_analytics
+
+    monkeypatch.setattr(events_analytics, "BASKET_MIN_SUPPORT", 1)
+    d1, d2 = datetime(2024, 1, 1, 9), datetime(2024, 1, 2, 9)
+    rows = [
+        (1, d1, 1, "A", 1.0), (2, d1, 1, "B", 1.0), (3, d1, 1, "A", 1.0),
+        (4, d2, 1, "A", 1.0),
+        (5, d1, 2, "A", 1.0), (6, d1, 2, "B", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = [
+        tuple(r)
+        for r in events_analytics.basket_pair_lift({"events": ev}).collect()
+    ]
+    assert got == [("A", "B", 2, 3, 2, 1000000)], got
+
+
+def test_partition_layout_plan_manual(spark):
+    """Exact byte accounting: 32 fixed + string lengths per row; file
+    count is the integer ceiling."""
+    from datetime import datetime
+
+    from streamming_processing_pyspark_spark.operators import profiling
+
+    rows = [
+        (1, datetime(2024, 1, 1, 1), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 2), 1, "view", 1.0, "{}"),
+        (3, datetime(2024, 1, 2, 1), 1, "click", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        str(r["day"]): (r["n_rows"], r["est_bytes"], r["n_target_files"], r["skewed"])
+        for r in profiling.partition_layout_plan({"events": ev}).collect()
+    }
+    assert got == {
+        "2024-01-01 00:00:00": (2, 76, 1, False),
+        "2024-01-02 00:00:00": (1, 39, 1, False),
+    }, got
+
+
 def test_poisson_bootstrap_ci_brackets_mean(spark):
     """The ~5-95% bootstrap interval must be ordered, have the full
     replicate count, and bracket the exact per-type mean at this SF

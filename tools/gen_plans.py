@@ -151,6 +151,20 @@ QUERIES = [
     "zipf_alpha",
     "peak_concurrency",
     "markov_attribution",
+    "cusum_changepoint_hours",
+    "lagged_crosscorr",
+    "value_band_pairs",
+    "dataset_card_rollup",
+    "mutual_info_type_bucket",
+    "mmr_diverse_topk",
+    "merge_upsert_orders",
+    "knn_graph_triangles",
+    "label_propagation_knn",
+    "km_conversion_survival",
+    "poisson_bootstrap_ci",
+    "bigram_pmi_topk",
+    "basket_pair_lift",
+    "partition_layout_plan",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
