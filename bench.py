@@ -144,6 +144,11 @@ HEADLINE = [
     "bigram_pmi_topk",
     "basket_pair_lift",
     "partition_layout_plan",
+    "funnel_with_deadlines",
+    "pareto_front_orders",
+    "classifier_calibration_bins",
+    "er_match_scores",
+    "embedding_centroid_drift",
 ]
 
 

@@ -196,6 +196,56 @@ def sorted_neighborhood_pairs(t: Tables) -> DataFrame:
         .select("name_a", "name_b", dist.alias("edit_dist"))
     )
 
+#: Fellegi–Sunter-style integer agreement weights and tier thresholds
+ER_W_EDIT = {1: 8, 2: 5, 3: 2}
+ER_W_PREFIX = 4  # same first 6 characters
+ER_W_TOKEN = 3  # same first whitespace token
+ER_MATCH_MIN = 10
+ER_POSSIBLE_MIN = 6
+
+
+def er_match_scores(t: Tables) -> DataFrame:
+    """Entity-resolution scoring layer over the sorted-neighborhood
+    candidates: each candidate pair gets a Fellegi–Sunter-style additive
+    agreement score from three cheap field comparators (edit distance
+    band, 6-char prefix, first token) and a decision tier
+    (match / possible / weak) — the classify step that turns candidate
+    GENERATION (:func:`sorted_neighborhood_pairs`) into a linkage
+    decision, with the review queue = the 'possible' tier.
+
+    All weights are integers, so score and tier hash-match; the oracle
+    composes the SN oracle verbatim as its candidate CTE, so the scored
+    population is exactly the registered candidate semantics. Cost: a
+    map-only projection over the (vocabulary-linear) candidate list.
+    """
+    p = sorted_neighborhood_pairs(t)
+    w_edit = (
+        F.when(F.col("edit_dist") == 1, ER_W_EDIT[1])
+        .when(F.col("edit_dist") == 2, ER_W_EDIT[2])
+        .otherwise(ER_W_EDIT[3])
+    )
+    w_prefix = F.when(
+        F.substring("name_a", 1, 6) == F.substring("name_b", 1, 6),
+        ER_W_PREFIX,
+    ).otherwise(0)
+    w_token = F.when(
+        F.substring_index("name_a", " ", 1)
+        == F.substring_index("name_b", " ", 1),
+        ER_W_TOKEN,
+    ).otherwise(0)
+    score = (w_edit + w_prefix + w_token).cast("long")
+    return p.select(
+        "name_a",
+        "name_b",
+        "edit_dist",
+        score.alias("score"),
+        F.when(score >= ER_MATCH_MIN, "match")
+        .when(score >= ER_POSSIBLE_MIN, "possible")
+        .otherwise("weak")
+        .alias("tier"),
+    )
+
+
 # "auto" hot-shingle cap: a CONSTANT document-frequency ceiling. Being
 # boilerplate is an absolute property of a shingle (appearing in >128
 # documents makes it non-discriminative no matter how big the corpus is),
@@ -895,6 +945,7 @@ def shingle_novelty_scores(t: Tables) -> DataFrame:
 QUERIES = {
     "exact_dedup": exact_dedup,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
+    "er_match_scores": er_match_scores,
     "source_overlap_matrix": source_overlap_matrix,
     "shingle_novelty_scores": shingle_novelty_scores,
     "dedup_graph_stats": dedup_graph_stats,
@@ -983,4 +1034,25 @@ ORACLES["sorted_neighborhood_pairs"] = f"""
     FROM nb
     WHERE name_b IS NOT NULL
       AND levenshtein(name_a, name_b) <= {NAME_EDIT_MAX}
+"""
+
+ORACLES["er_match_scores"] = f"""
+    WITH sn AS ({ORACLES["sorted_neighborhood_pairs"]}),
+    scored AS (
+      SELECT name_a, name_b, edit_dist,
+             CAST((CASE edit_dist WHEN 1 THEN {ER_W_EDIT[1]}
+                                  WHEN 2 THEN {ER_W_EDIT[2]}
+                                  ELSE {ER_W_EDIT[3]} END)
+                  + (CASE WHEN substr(name_a, 1, 6) = substr(name_b, 1, 6)
+                          THEN {ER_W_PREFIX} ELSE 0 END)
+                  + (CASE WHEN split_part(name_a, ' ', 1)
+                               = split_part(name_b, ' ', 1)
+                          THEN {ER_W_TOKEN} ELSE 0 END) AS BIGINT) AS score
+      FROM sn
+    )
+    SELECT name_a, name_b, edit_dist, score,
+           CASE WHEN score >= {ER_MATCH_MIN} THEN 'match'
+                WHEN score >= {ER_POSSIBLE_MIN} THEN 'possible'
+                ELSE 'weak' END AS tier
+    FROM scored
 """

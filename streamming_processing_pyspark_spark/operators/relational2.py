@@ -297,7 +297,75 @@ def analytic_functions_showcase(t: Tables) -> DataFrame:
     )
 
 
+def pareto_front_orders(t: Tables) -> DataFrame:
+    """2-D skyline (Pareto front) of orders maximizing (price, recency):
+    an order is on the front iff NO other order is at least as good on
+    both axes and strictly better on one — the multi-objective
+    shortlisting operator ("newest-and-biggest" candidates).
+
+    The naive formulation is an O(n²) anti-join against a dominance
+    theta-predicate; for 2 dimensions it collapses to two RANGE-frame
+    window maxima over ONE sort on integer cents: dominated ⇔
+    ``max(date | cents' > cents) ≥ date`` OR ``max(date | cents' ≥
+    cents) > date`` (the second term catches equal-price/later-date
+    dominators; exact (cents, date) duplicates correctly co-survive).
+    One shuffle, no join — the classic sweep-line skyline as pure
+    window algebra, identical in both engines.
+
+    Output: the front, ``o_orderkey``, ``price_cents``, ``o_orderdate``.
+    """
+    o = t["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "price_cents"
+        ),
+        "o_orderdate",
+    )
+    by_cents = Window.orderBy("price_cents")
+    gt = by_cents.rangeBetween(1, Window.unboundedFollowing)
+    ge = by_cents.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    marked = o.select(
+        "o_orderkey",
+        "price_cents",
+        "o_orderdate",
+        F.max("o_orderdate").over(gt).alias("maxd_gt"),
+        F.max("o_orderdate").over(ge).alias("maxd_ge"),
+    )
+    # maxd_gt is NULL on the max-price row (empty frame): that row has no
+    # higher-priced dominator, so the predicate must read NULL as False
+    return marked.where(
+        ~(
+            F.coalesce(
+                F.col("maxd_gt") >= F.col("o_orderdate"), F.lit(False)
+            )
+            | (F.col("maxd_ge") > F.col("o_orderdate"))
+        )
+    ).select("o_orderkey", "price_cents", "o_orderdate")
+
+
 ORACLES: dict[str, str] = {
+    "pareto_front_orders": """
+        WITH o AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+                 o_orderdate
+          FROM orders
+        ),
+        marked AS (
+          SELECT o_orderkey, price_cents, o_orderdate,
+                 max(o_orderdate) OVER (ORDER BY price_cents
+                   RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS maxd_gt,
+                 max(o_orderdate) OVER (ORDER BY price_cents
+                   RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS maxd_ge
+          FROM o
+        )
+        SELECT o_orderkey, price_cents, o_orderdate
+        FROM marked
+        WHERE NOT (coalesce(maxd_gt >= o_orderdate, FALSE)
+                   OR maxd_ge > o_orderdate)
+    """,
     "json_extract_props": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
@@ -447,6 +515,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "pareto_front_orders": pareto_front_orders,
     "json_extract_props": json_extract_props,
     "variant_props_metrics": variant_props_metrics,
     "sessionize_events": sessionize_events,

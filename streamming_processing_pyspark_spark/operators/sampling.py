@@ -324,8 +324,50 @@ def poisson_bootstrap_ci(t: Tables) -> DataFrame:
     )
 
 
+#: calibration histogram: classifier-score bin width (integer scores)
+CAL_BIN_WIDTH = 2
+
+
+def classifier_calibration_bins(t: Tables) -> DataFrame:
+    """Reliability diagram for the learned quality filter: bin documents
+    by classifier score, report what fraction of each bin the INDEPENDENT
+    Gopher rule gate keeps — the calibration check behind "trust the
+    classifier's score as a quality probability" (a well-calibrated
+    filter's keep-rate should rise monotonically with score; kappa says
+    whether they agree overall, this says WHERE they disagree).
+
+    One doc-keyed join of two map-only filters, then a fixed-width
+    integer histogram (bin = ``score DIV width``, floor semantics from
+    both engines' operators on the possibly-negative integer score via
+    explicit floor division) — all-integer, exact basis points.
+
+    Output per bin: ``score_bin``, ``n_docs``, ``rule_keep_bp``.
+    """
+    from .curation import quality_classifier_scores
+
+    clf = quality_classifier_scores(t).select("doc_id", "score")
+    rules = gopher_quality_flags(t).select(
+        "doc_id", F.col("keep").alias("k_rule")
+    )
+    j = clf.join(rules, "doc_id")
+    score_bin = F.floor(F.col("score") / F.lit(CAL_BIN_WIDTH)).cast("long")
+    return (
+        j.groupBy(score_bin.alias("score_bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("k_rule").cast("long")).alias("n_keep"),
+        )
+        .select(
+            "score_bin",
+            "n_docs",
+            F.expr("10000 * n_keep DIV n_docs").alias("rule_keep_bp"),
+        )
+    )
+
+
 QUERIES = {
     "poisson_bootstrap_ci": poisson_bootstrap_ci,
+    "classifier_calibration_bins": classifier_calibration_bins,
     "weighted_sample_per_lang": weighted_sample_per_lang,
     "gopher_quality_flags": gopher_quality_flags,
     "filter_agreement_kappa": filter_agreement_kappa,
@@ -502,3 +544,29 @@ def _boot_oracle() -> str:
 
 
 ORACLES["poisson_bootstrap_ci"] = _boot_oracle()
+
+
+def _calibration_oracle() -> str:
+    # composed from the classifier's own oracle SQL + the Gopher gate's,
+    # same pattern as _kappa_oracle
+    from .curation import ORACLES as CURATION_ORACLES
+
+    clf_sql = CURATION_ORACLES["quality_classifier_scores"]
+    gopher_sql = ORACLES["gopher_quality_flags"]
+    return f"""
+        WITH clf AS ({clf_sql}),
+        rules AS ({gopher_sql}),
+        j AS (
+          SELECT CAST(floor(clf.score / {CAL_BIN_WIDTH}) AS BIGINT)
+                   AS score_bin,
+                 rules.keep AS k_rule
+          FROM clf JOIN rules USING (doc_id)
+        )
+        SELECT score_bin, count(*) AS n_docs,
+               CAST(10000 * sum(CASE WHEN k_rule THEN 1 ELSE 0 END)
+                    // count(*) AS BIGINT) AS rule_keep_bp
+        FROM j GROUP BY score_bin
+    """
+
+
+ORACLES["classifier_calibration_bins"] = _calibration_oracle()

@@ -961,6 +961,65 @@ def label_propagation_knn(t: Tables) -> DataFrame:
     )
 
 
+#: integer scale for centroid-drift component sums
+DRIFT_SCALE = 1_000_000
+
+
+def embedding_centroid_drift(t: Tables) -> DataFrame:
+    """Embedding-space drift monitor: per label, the mean absolute
+    per-dimension centroid difference between two cohorts (even vs odd
+    ``vec_id`` — in production, yesterday's batch vs today's) — the
+    check that catches a silently retrained/renormalized embedding model
+    before mismatched vectors poison the ANN index.
+
+    Exactness without float-sum order risk: components are floored to
+    integer micro-units FIRST, so the per-(label, dim, cohort) sums are
+    exact int64 in any partitioning, the per-dim mean difference is the
+    integer cross-product ``|s_a·n_b − s_b·n_a|``, and only the final
+    per-label division is float (one fixed expression). One explode
+    (×dims, map-side combinable) + one shuffle of ≤ labels×dims cells.
+
+    Output per label (with both cohorts non-empty): ``label``, ``n_a``,
+    ``n_b``, ``drift_micro``.
+    """
+    e = t["embeddings"].select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("half_a"),
+        F.posexplode(as_double("embedding")).alias("dim", "x"),
+    )
+    sx = F.floor(F.col("x") * DRIFT_SCALE).cast("long")
+    cells = (
+        e.select("label", "half_a", "dim", sx.alias("sx"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.when(F.col("half_a"), F.col("sx"))).alias("s_a"),
+            F.sum(F.when(~F.col("half_a"), F.col("sx"))).alias("s_b"),
+            F.sum(F.when(F.col("half_a"), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(~F.col("half_a"), 1).otherwise(0)).alias("n_b"),
+        )
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    lab = cells.groupBy("label").agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.count("*").alias("n_dims"),
+        F.sum(
+            F.abs(F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a"))
+        ).alias("num"),
+    )
+    return lab.select(
+        "label",
+        "n_a",
+        "n_b",
+        F.floor(
+            F.col("num").cast("double")
+            / (F.col("n_dims") * F.col("n_a") * F.col("n_b")).cast("double")
+        )
+        .cast("long")
+        .alias("drift_micro"),
+    )
+
+
 def _knn_edge_cte() -> str:
     """Shared oracle CTE chain building the mutual-kNN edge list (the
     same sims + rk≤K definition as the knn_join_topk oracle)."""
@@ -1742,6 +1801,40 @@ ORACLES: dict[str, str] = {
     "mmr_diverse_topk": _mmr_oracle_sql(MMR_K),
     "knn_graph_triangles": _triangles_oracle_sql(),
     "label_propagation_knn": _lpa_oracle_sql(LPA_ROUNDS),
+    "embedding_centroid_drift": f"""
+        WITH e AS (
+          SELECT label, vec_id % 2 = 0 AS half_a,
+                 generate_subscripts(embedding, 1) AS dim,
+                 CAST(floor(CAST(unnest(CAST(embedding AS DOUBLE[]))
+                                 AS DOUBLE) * {DRIFT_SCALE}) AS BIGINT) AS sx
+          FROM embeddings
+        ),
+        cells AS (
+          SELECT label, dim,
+                 sum(CASE WHEN half_a THEN sx END) AS s_a,
+                 sum(CASE WHEN NOT half_a THEN sx END) AS s_b,
+                 CAST(sum(CASE WHEN half_a THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN NOT half_a THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b
+          FROM e GROUP BY 1, 2
+        ),
+        filtered AS (
+          SELECT * FROM cells WHERE n_a > 0 AND n_b > 0
+        ),
+        lab AS (
+          SELECT label,
+                 any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+                 count(*) AS n_dims,
+                 CAST(sum(abs(s_a * n_b - s_b * n_a)) AS BIGINT) AS num
+          FROM filtered GROUP BY label
+        )
+        SELECT label, n_a, n_b,
+               CAST(floor(CAST(num AS DOUBLE)
+                          / CAST(n_dims * n_a * n_b AS DOUBLE))
+                    AS BIGINT) AS drift_micro
+        FROM lab
+    """,
     "hard_negative_mining": f"""
         WITH sims AS (
           SELECT a.vec_id AS vec_id, a.label AS label,
@@ -1832,6 +1925,7 @@ QUERIES = {
     "mmr_diverse_topk": mmr_diverse_topk,
     "knn_graph_triangles": knn_graph_triangles,
     "label_propagation_knn": label_propagation_knn,
+    "embedding_centroid_drift": embedding_centroid_drift,
     # SemDeDup: rows-only pairs + hard driver contract
     "semantic_dedup_pairs": semantic_dedup_pairs,
     "semdedup_check": semdedup_check,

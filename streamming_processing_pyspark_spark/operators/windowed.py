@@ -208,6 +208,73 @@ def funnel_view_click_purchase(events: DataFrame) -> DataFrame:
     )
 
 
+#: per-step deadlines for the windowed funnel (minutes)
+FUNNEL_CLICK_DEADLINE_MIN = 30
+FUNNEL_PURCHASE_DEADLINE_MIN = 60
+
+
+def funnel_with_deadlines(events: DataFrame) -> DataFrame:
+    """The ordered funnel with PER-STEP DEADLINES — conversion only
+    counts if the click lands within ``FUNNEL_CLICK_DEADLINE_MIN`` of
+    the first view and the purchase within
+    ``FUNNEL_PURCHASE_DEADLINE_MIN`` of that click. This is the form
+    product analytics actually ships ("converted within 30 minutes"),
+    and the deadline predicates drop straight into the same
+    conditional-window-minima plan as ``funnel_view_click_purchase`` —
+    still ONE user-hash shuffle shared by the three stacked windows, no
+    self-joins, timestamps compared as raw event time (no float).
+    """
+    w = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    e = (
+        events.select("user_id", "ts", "event_type")
+        .withColumn("t_view", F.min(F.when(et == "view", ts)).over(w))
+    )
+    e = e.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (et == "click")
+                & (ts > F.col("t_view"))
+                & (
+                    ts
+                    <= F.col("t_view")
+                    + F.expr(f"INTERVAL {FUNNEL_CLICK_DEADLINE_MIN} MINUTES")
+                ),
+                ts,
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (et == "purchase")
+                & (ts > F.col("t_click"))
+                & (
+                    ts
+                    <= F.col("t_click")
+                    + F.expr(
+                        f"INTERVAL {FUNNEL_PURCHASE_DEADLINE_MIN} MINUTES"
+                    )
+                ),
+                ts,
+            )
+        ).over(w),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view_users"),
+        F.count("t_click").alias("n_click_30m_users"),
+        F.count("t_purchase").alias("n_purchase_60m_users"),
+    )
+
+
 def retention_cohorts(events: DataFrame) -> DataFrame:
     """Cohort retention: users grouped by first-seen day, distinct actives
     per day offset (0..7).
@@ -318,6 +385,38 @@ ORACLES: dict[str, str] = {
         "SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, count(*) AS cnt "
         "FROM events GROUP BY ALL"
     ),
+    "funnel_with_deadlines": f"""
+        WITH e AS (
+          SELECT user_id, ts, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+          FROM events
+        ), e2 AS (
+          SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view
+                             AND ts <= t_view
+                                 + INTERVAL {FUNNEL_CLICK_DEADLINE_MIN} MINUTE
+                             THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_click
+          FROM e
+        ), e3 AS (
+          SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                             AND ts <= t_click
+                                 + INTERVAL {FUNNEL_PURCHASE_DEADLINE_MIN}
+                                   MINUTE
+                             THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_purchase
+          FROM e2
+        ), per_user AS (
+          SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+                 max(t_purchase) AS t_purchase
+          FROM e3 GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               count(t_view) AS n_view_users,
+               count(t_click) AS n_click_30m_users,
+               count(t_purchase) AS n_purchase_60m_users
+        FROM per_user
+    """,
     "funnel_view_click_purchase": """
         WITH e AS (
           SELECT user_id, ts, event_type,
@@ -375,6 +474,7 @@ QUERIES = {
     "counts_10min_by_key": counts_10min_by_key,
     "sliding_hourly_counts": sliding_hourly_counts,
     "funnel_view_click_purchase": funnel_view_click_purchase,
+    "funnel_with_deadlines": funnel_with_deadlines,
     "retention_cohorts": retention_cohorts,
     "hour_of_day_counts": hour_of_day_counts,
     "trending": trending,

@@ -745,6 +745,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "bigram_pmi_topk",
     "basket_pair_lift",
     "partition_layout_plan",
+    "funnel_with_deadlines",
+    "pareto_front_orders",
+    "classifier_calibration_bins",
+    "er_match_scores",
+    "embedding_centroid_drift",
     # TPC-H analogues never checked
     "q8_market_share",
     "q9_product_profit",

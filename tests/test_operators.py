@@ -1499,6 +1499,62 @@ def test_peak_concurrency_manual(spark):
     assert got == {"A": (3, 3), "B": (2, 1)}
 
 
+def test_funnel_with_deadlines_manual(spark):
+    """Deadline semantics: a click 20 min after the view counts, 40 min
+    does not; a purchase 70 min after the click misses the 60-min
+    deadline, 20 min makes it."""
+    from datetime import datetime, timedelta
+
+    from streamming_processing_pyspark_spark.operators import windowed
+
+    t0 = datetime(2024, 1, 1, 12)
+
+    def at(**kw):
+        return t0 + timedelta(**kw)
+
+    rows = [
+        (1, t0, 1, "view", 1.0), (2, at(minutes=20), 1, "click", 1.0),
+        (3, at(minutes=95), 1, "purchase", 1.0),   # 75 min after click: late
+        (4, t0, 2, "view", 1.0), (5, at(minutes=40), 2, "click", 1.0),  # late
+        (6, t0, 3, "click", 1.0),                  # no view at all
+        (7, t0, 4, "view", 1.0), (8, at(minutes=10), 4, "click", 1.0),
+        (9, at(minutes=30), 4, "purchase", 1.0),   # 20 min after click: in
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    row = windowed.funnel_with_deadlines(ev).collect()[0]
+    assert tuple(row) == (4, 3, 2, 1), row
+
+
+def test_pareto_front_orders_manual(spark):
+    """Skyline semantics: same-price earlier dates are dominated, exact
+    (price, date) duplicates co-survive, lower-price earlier orders are
+    dominated by any later-and-bigger order."""
+    from datetime import datetime
+
+    from streamming_processing_pyspark_spark.operators import relational2
+
+    d = [datetime(2024, 1, i) for i in range(1, 5)]
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 100.0, d[0], "p"),   # dominated by 3 (same price, later)
+            (3, 1, "O", 100.0, d[1], "p"),   # front
+            (2, 1, "O", 50.0, d[2], "p"),    # dominated by 4/5
+            (4, 1, "O", 70.0, d[3], "p"),    # front (duplicate pair)
+            (5, 1, "O", 70.0, d[3], "p"),    # front (duplicate pair)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = sorted(
+        r["o_orderkey"]
+        for r in relational2.pareto_front_orders({"orders": orders}).collect()
+    )
+    assert got == [3, 4, 5], got
+
+
 def test_bigram_pmi_topk_manual(spark, monkeypatch):
     """ln(4) for both collocations on a 3-doc corpus, ranked by
     (pmi_micro DESC, bigram ASC) so the lexicographically smaller

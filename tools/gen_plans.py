@@ -165,6 +165,11 @@ QUERIES = [
     "bigram_pmi_topk",
     "basket_pair_lift",
     "partition_layout_plan",
+    "funnel_with_deadlines",
+    "pareto_front_orders",
+    "classifier_calibration_bins",
+    "er_match_scores",
+    "embedding_centroid_drift",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
