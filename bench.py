@@ -149,6 +149,9 @@ HEADLINE = [
     "classifier_calibration_bins",
     "er_match_scores",
     "embedding_centroid_drift",
+    "twap_daily_value",
+    "cohort_ltv_cents",
+    "conditional_entropy_next_event",
 ]
 
 

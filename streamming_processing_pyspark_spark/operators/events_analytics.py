@@ -569,9 +569,104 @@ def basket_pair_lift(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def cohort_ltv_cents(tables: dict[str, DataFrame]) -> DataFrame:
+    """Cohorted lifetime value: users grouped by first-seen day, CUMULATIVE
+    purchase cents per user by day offset — the revenue companion to
+    ``windowed.retention_cohorts`` (which counts actives; this integrates
+    value, the curve growth teams actually plot).
+
+    Two shuffles total (first-seen groupBy + the cohort cells groupBy,
+    both user/cohort-keyed); the cumulative sum runs over ≤ cohorts×span
+    cells. ``cum_cents_per_user_milli`` divides by the COHORT size (a
+    constant per cohort), so the curve is comparable across cohorts.
+    """
+    ev = tables["events"]
+    e = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100, 0).cast("long"),
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_users")
+    )
+    cells = (
+        e.join(first_seen, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_day"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    w = Window.partitionBy("cohort_day").orderBy("day_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "cohort_users",
+            F.sum("day_cents").over(w).alias("cum_cents"),
+        )
+        .select(
+            "cohort_day",
+            "day_offset",
+            "cohort_users",
+            "cum_cents",
+            F.expr("1000 * cum_cents DIV cohort_users").alias(
+                "cum_cents_per_user_milli"
+            ),
+        )
+    )
+
+
+def conditional_entropy_next_event(tables: dict[str, DataFrame]) -> DataFrame:
+    """Sequence predictability: the conditional entropy H(next | current)
+    of the per-user event stream, per current type — near 0 means the
+    next action is deterministic (automation/bot or a forced flow), high
+    means the transition matrix carries no signal. The information-
+    theoretic summary OVER ``event_transitions``' Markov counts (and the
+    quantity DoReMi-style samplers weigh sequence data by).
+
+    Same single sort-shuffle as the transition matrix; the entropy terms
+    are one quarantined ``ln`` per matrix cell (≤ |types|² of them),
+    micro-floored before the per-row sum so the reduction is exact.
+
+    Output per current type: ``from_type``, ``n_transitions``,
+    ``n_next_types``, ``entropy_micro`` = Σ floor(1e6·(c/n)·ln(n/c)).
+    """
+    trans = event_transitions(tables)
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_i"),
+        F.count("*").alias("n_next_types"),
+    )
+    term = F.floor(
+        F.lit(1000000.0)
+        * (F.col("n_transitions").cast("double") / F.col("n_i").cast("double"))
+        * F.log(
+            F.col("n_i").cast("double") / F.col("n_transitions").cast("double")
+        )
+    ).cast("long")
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.first("n_i").alias("n_transitions"),
+            F.first("n_next_types").alias("n_next_types"),
+            F.sum(term).alias("entropy_micro"),
+        )
+    )
+
+
 QUERIES = {
     "km_conversion_survival": km_conversion_survival,
     "basket_pair_lift": basket_pair_lift,
+    "cohort_ltv_cents": cohort_ltv_cents,
+    "conditional_entropy_next_event": conditional_entropy_next_event,
     "hourly_count_anomalies_mad": hourly_count_anomalies_mad,
     "event_transitions": event_transitions,
     "pagerank_event_types": pagerank_event_types,
@@ -583,7 +678,75 @@ QUERIES = {
     "value_trend_by_type": value_trend_by_type,
 }
 
+_TRANSITIONS_CTE = """
+        t AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type
+          FROM events
+        ),
+        trans AS (
+          SELECT from_type, event_type AS to_type, count(*) AS n_transitions
+          FROM t WHERE from_type IS NOT NULL GROUP BY ALL
+        )"""
+
+
 ORACLES: dict[str, str] = {
+    "cohort_ltv_cents": """
+        WITH e AS (
+          SELECT user_id, CAST(ts AS DATE) AS d,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE 0 END AS cents
+          FROM events
+        ),
+        first_seen AS (
+          SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id
+        ),
+        sizes AS (
+          SELECT cohort_day, count(*) AS cohort_users
+          FROM first_seen GROUP BY cohort_day
+        ),
+        cells AS (
+          SELECT f.cohort_day,
+                 date_diff('day', f.cohort_day, e.d) AS day_offset,
+                 CAST(sum(e.cents) AS BIGINT) AS day_cents
+          FROM e JOIN first_seen f USING (user_id)
+          GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT cohort_day, day_offset,
+                 CAST(sum(day_cents) OVER (PARTITION BY cohort_day
+                        ORDER BY day_offset ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+          FROM cells
+        )
+        SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+               CAST(c.day_offset AS INTEGER) AS day_offset,
+               s.cohort_users, c.cum_cents,
+               CAST(1000 * c.cum_cents // s.cohort_users AS BIGINT)
+                 AS cum_cents_per_user_milli
+        FROM cum c JOIN sizes s USING (cohort_day)
+    """,
+    "conditional_entropy_next_event": f"""
+        WITH {_TRANSITIONS_CTE},
+        totals AS (
+          SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS n_i,
+                 count(*) AS n_next_types
+          FROM trans GROUP BY from_type
+        )
+        SELECT tr.from_type,
+               any_value(tt.n_i) AS n_transitions,
+               any_value(tt.n_next_types) AS n_next_types,
+               CAST(sum(CAST(floor(
+                 1000000.0
+                 * (CAST(tr.n_transitions AS DOUBLE) / CAST(tt.n_i AS DOUBLE))
+                 * ln(CAST(tt.n_i AS DOUBLE)
+                      / CAST(tr.n_transitions AS DOUBLE))
+               ) AS BIGINT)) AS BIGINT) AS entropy_micro
+        FROM trans tr JOIN totals tt USING (from_type)
+        GROUP BY tr.from_type
+    """,
     "basket_pair_lift": f"""
         WITH items AS MATERIALIZED (
           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type

@@ -566,10 +566,70 @@ def lagged_crosscorr(tables: dict[str, DataFrame]) -> DataFrame:
 _TS_D = "decimal(18,0)"
 
 
+def twap_daily_value(tables: dict[str, DataFrame]) -> DataFrame:
+    """Time-WEIGHTED average value per (type, day) — each observation
+    holds until the next one (LOCF step function), integrated to the day
+    boundary; the finance/metering TWAP that a plain ``avg`` gets wrong
+    whenever sampling is irregular (a value held for 3 hours must weigh
+    180× one held for a minute).
+
+    All-integer integration: segment length in whole epoch seconds
+    (lead − current, last segment to next midnight), weight = cents ×
+    seconds (int64: ≤ 5e4 cents × 86400 s ≈ 4e9 per segment), one final
+    division micro-floored. One sort-shuffle on (type, day); output is
+    ≤ types×days rows.
+
+    Output: ``day``, ``event_type``, ``n_events``, ``covered_seconds``,
+    ``twap_cents_micro`` = floor(1e6·Σ(cents·s)/Σs).
+    """
+    ev = tables["events"].select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    seg = ev.select(
+        "event_type",
+        "day",
+        "cents",
+        (
+            F.coalesce(
+                F.lead("ts").over(w),
+                F.col("day") + F.expr("INTERVAL 1 DAY"),
+            ).cast("long")
+            - F.col("ts").cast("long")
+        ).alias("secs"),
+    )
+    return (
+        seg.groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("secs").alias("covered_seconds"),
+            F.sum(F.col("cents") * F.col("secs")).alias("wsum"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            "covered_seconds",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("wsum").cast("double")
+                / F.col("covered_seconds").cast("double")
+            )
+            .cast("long")
+            .alias("twap_cents_micro"),
+        )
+    )
+
+
 QUERIES = {
     "peak_concurrency": peak_concurrency,
     "cusum_changepoint_hours": cusum_changepoint_hours,
     "lagged_crosscorr": lagged_crosscorr,
+    "twap_daily_value": twap_daily_value,
     "hourly_counts_gapfilled": hourly_counts_gapfilled,
     "hourly_avg_value_locf": hourly_avg_value_locf,
     "hourly_value_interpolated": hourly_value_interpolated,
@@ -650,6 +710,27 @@ ORACLES: dict[str, str] = {
         SELECT a.event_type, a.n_hours, a.total_cnt, a.max_cusum_scaled,
                p.peak_hour, a.n_alarm_hours, a.first_alarm_hour
         FROM aggd a JOIN peak p USING (event_type)
+    """,
+    "twap_daily_value": """
+        WITH ev AS (
+          SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+        ),
+        seg AS (
+          SELECT event_type, day, cents,
+                 date_diff('second', ts,
+                   coalesce(lead(ts) OVER w, day + INTERVAL 1 DAY)) AS secs
+          FROM ev
+          WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id)
+        )
+        SELECT day, event_type,
+               count(*) AS n_events,
+               CAST(sum(secs) AS BIGINT) AS covered_seconds,
+               CAST(floor(1000000.0 * CAST(sum(cents * secs) AS DOUBLE)
+                          / CAST(sum(secs) AS DOUBLE)) AS BIGINT)
+                 AS twap_cents_micro
+        FROM seg GROUP BY day, event_type
     """,
     "lagged_crosscorr": f"""
         WITH hourly AS (

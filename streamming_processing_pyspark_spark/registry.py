@@ -750,6 +750,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "classifier_calibration_bins",
     "er_match_scores",
     "embedding_centroid_drift",
+    "twap_daily_value",
+    "cohort_ltv_cents",
+    "conditional_entropy_next_event",
     # TPC-H analogues never checked
     "q8_market_share",
     "q9_product_profit",

@@ -1499,6 +1499,25 @@ def test_peak_concurrency_manual(spark):
     assert got == {"A": (3, 3), "B": (2, 1)}
 
 
+def test_twap_daily_value_holds_weighting(spark):
+    """A value held 12 h weighs 12 h: two observations at 00:00 (10.00)
+    and 12:00 (30.00) give TWAP exactly 20.00 over the 86400-s day."""
+    from datetime import datetime
+
+    from streamming_processing_pyspark_spark.operators import timeseries
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 0), 1, "A", 10.0),
+            (2, datetime(2024, 1, 1, 12, 0, 0), 1, "A", 30.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    row = timeseries.twap_daily_value({"events": ev}).collect()[0]
+    assert (row["n_events"], row["covered_seconds"]) == (2, 86400)
+    assert row["twap_cents_micro"] == 2_000_000_000
+
+
 def test_funnel_with_deadlines_manual(spark):
     """Deadline semantics: a click 20 min after the view counts, 40 min
     does not; a purchase 70 min after the click misses the 60-min

@@ -170,6 +170,9 @@ QUERIES = [
     "classifier_calibration_bins",
     "er_match_scores",
     "embedding_centroid_drift",
+    "twap_daily_value",
+    "cohort_ltv_cents",
+    "conditional_entropy_next_event",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
