@@ -70,6 +70,8 @@ OPS = {
     "bpe_learn_merges": lm.bpe_learn_merges,
     "bpe_encode_stats": lm.bpe_encode_stats,
     "doremi_mixture_weights": mixing.doremi_mixture_weights,
+    "dataset_card_rollup": curation.dataset_card_rollup,
+    "bigram_pmi_topk": lm.bigram_pmi_topk,
 }
 
 #: embedding-table operators probed against a scaled embeddings table.
@@ -87,6 +89,10 @@ EMB_OPS = {
     "kcenter_coreset": coreset.kcenter_coreset,
     "hard_negative_mining": similarity.hard_negative_mining,
     "lsh_query_topk": similarity.lsh_query_topk,
+    "mmr_diverse_topk": similarity.mmr_diverse_topk,
+    "knn_graph_triangles": similarity.knn_graph_triangles,
+    "label_propagation_knn": similarity.label_propagation_knn,
+    "embedding_centroid_drift": similarity.embedding_centroid_drift,
 }
 
 
