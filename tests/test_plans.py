@@ -599,3 +599,71 @@ def test_interpolated_gapfill_grid_windows(spark):
     assert "windowspecdefinition(event_type" in s, s
     assert_partial_aggregation(df)
     assert_no_python_eval(df)
+
+
+def test_value_band_pairs_hash_join_not_bnlj(spark):
+    """The ε-band self-join must compile to an equi-join (hash exchange
+    on (user_id, bucket)) — never BroadcastNestedLoopJoin / cartesian —
+    and the scans must prune to the three used columns."""
+    import re
+
+    from streamming_processing_pyspark_spark.operators import analytics2
+
+    t = load_tables(spark, SF_DIR)
+    df = analytics2.value_band_pairs(t)
+    s = plan_string(df, "formatted")
+    assert "BroadcastNestedLoopJoin" not in s, s
+    assert "CartesianProduct" not in s, s
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", s)
+    assert all("props" not in c and "ts" not in c for c in scans), scans
+    assert_no_python_eval(df)
+
+
+def test_cusum_one_corpus_aggregate(spark):
+    """CUSUM's only input-sized stage is the (hour, type) count
+    aggregate (map-side combined); the two window passes are partitioned
+    by event_type on the time-bounded grid, and no scan reads value or
+    props."""
+    import re
+
+    from streamming_processing_pyspark_spark.operators import timeseries
+
+    t = load_tables(spark, SF_DIR)
+    df = timeseries.cusum_changepoint_hours(t)
+    s = plan_string(df, "formatted")
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", s)
+    assert all("props" not in c and "value" not in c for c in scans), scans
+    assert "windowspecdefinition(event_type" in s, s
+    assert_partial_aggregation(df)
+    assert_no_python_eval(df)
+
+
+def test_poisson_bootstrap_no_extra_shuffle(spark):
+    """The bootstrap's replicate expansion is map-side (explode before
+    the one combinable aggregation): no join anywhere in the plan, and
+    partial aggregation is present so the 32x expansion combines before
+    the exchange."""
+    from streamming_processing_pyspark_spark.operators import sampling
+
+    t = load_tables(spark, SF_DIR)
+    df = sampling.poisson_bootstrap_ci(t)
+    s = plan_string(df, "formatted")
+    assert "Join" not in s, s
+    assert_partial_aggregation(df)
+    assert_no_python_eval(df)
+
+
+def test_pareto_front_no_join(spark):
+    """The skyline is pure window algebra: no join node, one sort on the
+    integer cents key, scans pruned to the three output columns."""
+    import re
+
+    from streamming_processing_pyspark_spark.operators import relational2
+
+    t = load_tables(spark, SF_DIR)
+    df = relational2.pareto_front_orders(t)
+    s = plan_string(df, "formatted")
+    assert "Join" not in s, s
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", s)
+    assert all("priority" not in c for c in scans), scans
+    assert_no_python_eval(df)
