@@ -309,8 +309,13 @@ def pareto_front_orders(t: Tables) -> DataFrame:
     ``max(date | cents' > cents) ≥ date`` OR ``max(date | cents' ≥
     cents) > date`` (the second term catches equal-price/later-date
     dominators; exact (cents, date) duplicates correctly co-survive).
-    One shuffle, no join — the classic sweep-line skyline as pure
-    window algebra, identical in both engines.
+    No join — the classic sweep-line skyline as pure window algebra,
+    identical in both engines. The UNPARTITIONED window is a deliberate
+    single-reducer stage at test scale; the 100 TB layout is the same
+    algebra over a range-partitioned sort on ``cents`` with each range
+    prepended its right-neighbors' running ``max(date)`` (a per-boundary
+    carry, the standard distributed suffix-scan move — cf.
+    ``dedup.sorted_neighborhood_pairs``'s identical note).
 
     Output: the front, ``o_orderkey``, ``price_cents``, ``o_orderdate``.
     """

@@ -201,6 +201,17 @@ NOTES = {
         "corpus-sized stage is one user_id journey-window shuffle + "
         "map-combined edge groupBy that feeds it"
     ),
+    "mmr_diverse_topk": (
+        "- NOTE: result is the driver-side greedy over the collected "
+        "MMR_POOL rows; the corpus-sized stage is the exact-cosine "
+        "TakeOrdered pool selection that feeds it (fold-dot scan + "
+        "per-partition heaps, no global sort)"
+    ),
+    "pareto_front_orders": (
+        "- NOTE: the unpartitioned skyline window is deliberate at test "
+        "scale; at 100 TB the same algebra runs over a range-partitioned "
+        "cents sort with a per-boundary suffix-max carry (docstring)"
+    ),
 }
 
 
