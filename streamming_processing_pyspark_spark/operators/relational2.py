@@ -326,9 +326,15 @@ def pareto_front_orders(t: Tables) -> DataFrame:
         ),
         "o_orderdate",
     )
-    by_cents = Window.orderBy("price_cents")
-    gt = by_cents.rangeBetween(1, Window.unboundedFollowing)
-    ge = by_cents.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    # DESC ordering so both frames end at/before CURRENT ROW: Spark's
+    # UNBOUNDED PRECEDING frames update incrementally (O(n)), while an
+    # UNBOUNDED FOLLOWING frame RE-AGGREGATES the suffix for every row —
+    # O(n²), measured as a 54-minute single task on 150k orders before
+    # this orientation flip. Under DESC, "-1 preceding" = cents+1, i.e.
+    # strictly-higher-priced rows.
+    by_cents = Window.orderBy(F.col("price_cents").desc())
+    gt = by_cents.rangeBetween(Window.unboundedPreceding, -1)
+    ge = by_cents.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     marked = o.select(
         "o_orderkey",
         "price_cents",
@@ -358,11 +364,11 @@ ORACLES: dict[str, str] = {
         ),
         marked AS (
           SELECT o_orderkey, price_cents, o_orderdate,
-                 max(o_orderdate) OVER (ORDER BY price_cents
-                   RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                 max(o_orderdate) OVER (ORDER BY price_cents DESC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                    AS maxd_gt,
-                 max(o_orderdate) OVER (ORDER BY price_cents
-                   RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 max(o_orderdate) OVER (ORDER BY price_cents DESC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS maxd_ge
           FROM o
         )

@@ -237,6 +237,9 @@ BOOT_REPLICATES = 32
 #: Lehmer multiplier for the uniformizing permutation (Park–Miller;
 #: h < MOD ≈ 1e9 so h·48271 < 5e13 stays far inside int64 in both engines)
 _BOOT_MUL = 48271
+#: prime per-replicate shift mixed into the per-row hash before the
+#: Lehmer rounds ((r+1)·SALT < 4e7, so h0 + shift < 2·MOD — int64-safe)
+_BOOT_SALT = 1_000_003
 _BOOT_CUTOFFS = tuple(
     int(sum(math.exp(-1.0) / math.factorial(i) for i in range(k + 1)) * _HASH_MOD)
     for k in range(5)
@@ -260,14 +263,14 @@ def poisson_bootstrap_ci(t: Tables) -> DataFrame:
 
     Determinism: the weight is the count of Python-precomputed integer
     CDF cutoffs ≤ a portable uniform in [0, MOD): the affine fold of
-    ``event_id || '#' || r`` (``pipeline._group_hash`` recurrence)
-    passed through TWO Lehmer rounds (``·48271 mod MOD`` twice,
-    overflow-safe in int64). The extra permutation matters here: the
-    bare fold is a base-31 number, monotone in the string, so short ids
-    never reach the upper cutoffs and whole replicates would weight to
-    zero — the Lehmer wrap spreads it across the full range (production
-    would use xxhash64; the portable form keeps the weights
-    oracle-checkable). Pure integer compares in both engines; replicate
+    the ``event_id`` string (``pipeline._group_hash`` recurrence,
+    folded ONCE per row), shifted by a prime per replicate and passed
+    through TWO Lehmer rounds (``·48271 mod MOD`` twice, overflow-safe
+    in int64). The permutation matters: the bare fold is a base-31
+    number, monotone in the string, so short ids never reach the upper
+    cutoffs and whole replicates would weight to zero — the Lehmer wrap
+    spreads it across the full range (production would use xxhash64;
+    the portable form keeps the weights oracle-checkable). Pure integer compares in both engines; replicate
     means are integer cents (truncating DIV); the CI is order statistics
     of the ≤``BOOT_REPLICATES`` sorted means. Everything hash-matches
     exactly.
@@ -283,19 +286,22 @@ def poisson_bootstrap_ci(t: Tables) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
         "event_id",
     )
-    reps = ev.select(
+    # fold the (interpreted, per-character) string hash ONCE per row;
+    # each replicate derives its uniform with pure int64 arithmetic —
+    # a prime per-replicate shift then the two Lehmer rounds (the
+    # string-per-(row, replicate) form cost 32x the fold work)
+    base = ev.withColumn("h0", _group_hash("CAST(event_id AS STRING)"))
+    reps = base.select(
         "event_type",
         "cents",
-        "event_id",
+        "h0",
         F.explode(
             F.array(*[F.lit(r) for r in range(BOOT_REPLICATES)])
         ).alias("r"),
     )
-    h0 = _group_hash(
-        "concat(CAST(event_id AS STRING), '#', CAST(r AS STRING))"
-    )
+    mixed = (F.col("h0") + (F.col("r") + 1) * _BOOT_SALT) % _HASH_MOD
     hashed = reps.withColumn(
-        "h", (h0 * _BOOT_MUL % _HASH_MOD) * _BOOT_MUL % _HASH_MOD
+        "h", (mixed * _BOOT_MUL % _HASH_MOD) * _BOOT_MUL % _HASH_MOD
     )
     w = sum(
         (F.col("h") >= F.lit(cut)).cast("long") for cut in _BOOT_CUTOFFS
@@ -498,11 +504,10 @@ def _boot_oracle() -> str:
     and 1-based order statistics over the sorted replicate means."""
     from .sketches import _hash_duck
 
-    h0 = _hash_duck(
-        "concat(CAST(event_id AS VARCHAR), '#', CAST(r AS VARCHAR))", "0"
-    )
+    h0 = _hash_duck("CAST(event_id AS VARCHAR)", "0")
+    mixed = f"((h0 + (r + 1) * {_BOOT_SALT}) % {_HASH_MOD})"
     h = (
-        f"(({h0}) * {_BOOT_MUL} % {_HASH_MOD})"
+        f"({mixed} * {_BOOT_MUL} % {_HASH_MOD})"
         f" * {_BOOT_MUL} % {_HASH_MOD}"
     )
     w = " + ".join(
@@ -511,11 +516,12 @@ def _boot_oracle() -> str:
     return f"""
         WITH ev AS (
           SELECT event_type,
-                 CAST(round(value * 100, 0) AS BIGINT) AS cents, event_id
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                 {h0} AS h0
           FROM events
         ),
         reps AS (
-          SELECT event_type, cents, event_id, r
+          SELECT event_type, cents, h0, r
           FROM ev, (SELECT unnest(range({BOOT_REPLICATES})) AS r)
         ),
         weighted AS (
