@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from .functions.geo import classify_sql
 from .operators import (
     analytics2,
+    distribution,
     asof,
     attribution,
     campaign,
@@ -604,6 +605,7 @@ _STREAMING_ORACLES: dict[str, str] = {
 
 #: modules whose queries take the full tables dict
 _TABLE_MODULES = (
+    distribution,
     campaign,
     curation,
     hierarchy,
@@ -753,6 +755,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "twap_daily_value",
     "cohort_ltv_cents",
     "conditional_entropy_next_event",
+    # round-6 late batch: distributional analytics
+    "rfm_segments",
+    "nation_revenue_gini",
+    "benford_first_digit",
     # TPC-H analogues never checked
     "q8_market_share",
     "q9_product_profit",

@@ -173,6 +173,9 @@ QUERIES = [
     "twap_daily_value",
     "cohort_ltv_cents",
     "conditional_entropy_next_event",
+    "rfm_segments",
+    "nation_revenue_gini",
+    "benford_first_digit",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
