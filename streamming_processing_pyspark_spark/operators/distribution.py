@@ -93,19 +93,24 @@ def rfm_segments(tables: dict[str, DataFrame]) -> DataFrame:
     quartiles 1..4 (r_q=1 ⇒ most recent tier, m_q=4 ⇒ top spend tier) and
     packed into the classic ``rfm_code`` = r·100 + f·10 + m.
 
-    Plan: one scan → per-customer groupBy (1 shuffle on o_custkey) →
-    1-row max-day agg broadcast-crossed in → three histogram-cumsum score
-    maps broadcast-joined back. The per-customer frame is |customers|
-    rows; nothing downstream sorts it globally.
+    Plan: ONE scan → per-customer groupBy (1 shuffle on o_custkey),
+    persisted — the max-day agg, the three histogram score maps, and the
+    output all branch off the cached |customers|-row frame instead of
+    re-reading orders (without the persist this plan re-scans the corpus
+    8×) → 1-row max-day agg broadcast-crossed in → three histogram-cumsum
+    score maps broadcast-joined back. Nothing downstream sorts globally.
     """
-    per_cust = (
+    from ..tables import persist_replacing
+
+    per_cust = persist_replacing(
         _order_cents(tables)
         .groupBy("o_custkey")
         .agg(
             F.max("d").alias("last_d"),
             F.count("*").alias("frequency"),
             F.sum("cents").alias("monetary_cents"),
-        )
+        ),
+        "distribution.rfm_per_cust",
     )
     max_day = per_cust.agg(F.max("last_d").alias("corpus_max_d"))
     per_cust = per_cust.crossJoin(F.broadcast(max_day)).select(
@@ -149,11 +154,16 @@ def nation_revenue_gini(tables: dict[str, DataFrame]) -> DataFrame:
 
     Plan: per-customer agg (1 shuffle) → broadcast customer→nation map →
     per-NATION ranks (windows partitioned by nationkey: a per-partition
-    sort, never a global one) → per-nation agg. At 100 TB the window
-    input is |customers| rows spread over 25 nation partitions; a skewed
-    nation would take the salted two-level rank variant, but nation
-    cardinality here is the bounded TPC-H dimension.
+    sort, never a global one), persisted — the Gini aggregate and the
+    top-decile branch both read the cached |customers|-row ranked frame
+    instead of re-scanning orders (3× without the persist) → per-nation
+    agg. At 100 TB the window input is |customers| rows spread over 25
+    nation partitions; a skewed nation would take the salted two-level
+    rank variant, but nation cardinality here is the bounded TPC-H
+    dimension.
     """
+    from ..tables import persist_replacing
+
     rev = (
         _order_cents(tables)
         .groupBy("o_custkey")
@@ -163,7 +173,7 @@ def nation_revenue_gini(tables: dict[str, DataFrame]) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"), "c_nationkey"
     )
     nation = tables["nation"].select("n_nationkey", "n_name")
-    ranked = (
+    ranked = persist_replacing(
         rev.join(F.broadcast(cust), "o_custkey")
         .withColumn(
             "rn",
@@ -172,7 +182,8 @@ def nation_revenue_gini(tables: dict[str, DataFrame]) -> DataFrame:
                     F.col("cents").asc(), F.col("o_custkey").asc()
                 )
             ),
-        )
+        ),
+        "distribution.gini_ranked",
     )
     per_nation = ranked.groupBy("c_nationkey").agg(
         F.count("*").alias("n_customers"),
@@ -231,13 +242,19 @@ def benford_first_digit(tables: dict[str, DataFrame]) -> DataFrame:
     up to ~9e12 orders); ``abs_dev_ppm`` is the per-digit gap a monitor
     would threshold (sum of gaps ≈ the L1 Benford distance in ppm).
 
-    Scale: a single scan + a 9-group aggregate; the 1-row total is
+    Scale: a single scan + a 9-group aggregate (persisted — ≤9 rows — so
+    the total branch doesn't re-scan orders); the 1-row total is
     broadcast-crossed in. Nothing here grows with the corpus.
     """
+    from ..tables import persist_replacing
+
     digits = _order_cents(tables).select(
         F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit")
     )
-    counts = digits.groupBy("digit").agg(F.count("*").alias("n_orders"))
+    counts = persist_replacing(
+        digits.groupBy("digit").agg(F.count("*").alias("n_orders")),
+        "distribution.benford_counts",
+    )
     total = counts.agg(F.sum("n_orders").alias("total"))
     expect = "CASE digit " + " ".join(
         f"WHEN {d} THEN {ppm}" for d, ppm in enumerate(BENFORD_PPM, start=1)
