@@ -155,6 +155,7 @@ HEADLINE = [
     "rfm_segments",
     "nation_revenue_gini",
     "benford_first_digit",
+    "classifier_decile_lift",
 ]
 
 

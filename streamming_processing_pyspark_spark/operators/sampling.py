@@ -576,3 +576,150 @@ def _calibration_oracle() -> str:
 
 
 ORACLES["classifier_calibration_bins"] = _calibration_oracle()
+
+
+#: deciles for the classifier lift table
+LIFT_DECILES = 10
+
+
+def classifier_decile_lift(t: Tables) -> DataFrame:
+    """Decile lift table for the learned quality filter — the rollout
+    report next to :func:`classifier_calibration_bins`: rank documents by
+    classifier score into CDF deciles and report, per decile, the
+    INDEPENDENT Gopher gate's keep rate, the lift over the corpus base
+    rate, and the cumulative capture of gate-kept docs when skimming from
+    the top decile down. The table a filter owner reads before choosing a
+    score threshold ("decile 10 carries 3.1x base rate and the top three
+    deciles capture 60% of rule-kept docs").
+
+    Deciles come from the histogram-cumsum pattern
+    (``distribution._quartile_scores`` design): groupBy the integer score,
+    one window over the DISTINCT-score histogram, ``ceil(10·cum_le/n)``
+    broadcast-joined back — tie-stable and no corpus sort. The lift and
+    capture ratios keep the float chain identical on both engines
+    (left-associative ``(1e6·n_pos)/n_docs·n_tot/p_tot``) and NULL out if
+    the gate keeps nothing. Final windows run over ≤ 10 decile rows.
+
+    Output per decile: ``score_decile`` (1 = lowest scores, 10 = top),
+    ``n_docs``, ``n_pos``, ``pos_rate_bp``, ``lift_micro``,
+    ``cum_capture_bp`` (cumulative from the TOP decile down).
+    """
+    from ..tables import persist_replacing
+    from .curation import quality_classifier_scores
+
+    clf = quality_classifier_scores(t).select("doc_id", "score")
+    rules = gopher_quality_flags(t).select(
+        "doc_id", F.col("keep").alias("k_rule")
+    )
+    j = persist_replacing(
+        clf.join(rules, "doc_id").select(
+            "score", F.col("k_rule").cast("long").alias("pos")
+        ),
+        "sampling.lift_joined",
+    )
+    hist = j.groupBy("score").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec_map = hist.select(
+        "score",
+        F.ceil(
+            F.lit(float(LIFT_DECILES))
+            * F.sum("cnt").over(wcum).cast("double")
+            / F.sum("cnt").over(wall).cast("double")
+        )
+        .cast("int")
+        .alias("score_decile"),
+    )
+    per_dec = (
+        j.join(F.broadcast(dec_map), "score")
+        .groupBy("score_decile")
+        .agg(F.count("*").alias("n_docs"), F.sum("pos").alias("n_pos"))
+    )
+    totals = per_dec.agg(
+        F.sum("n_docs").alias("n_tot"), F.sum("n_pos").alias("p_tot")
+    )
+    wtop = Window.orderBy(F.col("score_decile").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_dec.crossJoin(F.broadcast(totals))
+        .withColumn("cum_pos", F.sum("n_pos").over(wtop))
+        .select(
+            "score_decile",
+            "n_docs",
+            "n_pos",
+            F.expr("10000 * n_pos DIV n_docs").alias("pos_rate_bp"),
+            F.when(
+                F.col("p_tot") > 0,
+                F.floor(
+                    F.lit(1000000.0)
+                    * F.col("n_pos").cast("double")
+                    / F.col("n_docs").cast("double")
+                    * F.col("n_tot").cast("double")
+                    / F.col("p_tot").cast("double")
+                ).cast("long"),
+            ).alias("lift_micro"),
+            F.when(F.col("p_tot") > 0, F.expr("10000 * cum_pos DIV p_tot"))
+            .cast("long")
+            .alias("cum_capture_bp"),
+        )
+    )
+
+
+def _decile_lift_oracle() -> str:
+    # composed from the classifier's + the gate's own oracle SQL, like
+    # _calibration_oracle; per-row RANGE cume counts equal the Spark
+    # side's per-distinct-score histogram cumsum (peers included)
+    from .curation import ORACLES as CURATION_ORACLES
+
+    clf_sql = CURATION_ORACLES["quality_classifier_scores"]
+    gopher_sql = ORACLES["gopher_quality_flags"]
+    return f"""
+        WITH clf AS ({clf_sql}),
+        rules AS ({gopher_sql}),
+        j AS MATERIALIZED (
+          SELECT clf.score, CASE WHEN rules.keep THEN 1 ELSE 0 END AS pos
+          FROM clf JOIN rules USING (doc_id)
+        ),
+        dec AS MATERIALIZED (
+          SELECT score, pos,
+                 CAST(ceil({float(LIFT_DECILES)}
+                      * CAST(count(*) OVER (ORDER BY score RANGE BETWEEN
+                             UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      / CAST(count(*) OVER () AS DOUBLE)) AS INTEGER)
+                   AS score_decile
+          FROM j
+        ),
+        per_dec AS MATERIALIZED (
+          SELECT score_decile, count(*) AS n_docs,
+                 CAST(sum(pos) AS BIGINT) AS n_pos
+          FROM dec GROUP BY score_decile
+        ),
+        tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot,
+                 CAST(sum(n_pos) AS BIGINT) AS p_tot
+          FROM per_dec
+        )
+        SELECT p.score_decile, p.n_docs, p.n_pos,
+               CAST(10000 * p.n_pos // p.n_docs AS BIGINT) AS pos_rate_bp,
+               CASE WHEN t.p_tot > 0 THEN
+                 CAST(floor(1000000.0 * CAST(p.n_pos AS DOUBLE)
+                      / CAST(p.n_docs AS DOUBLE)
+                      * CAST(t.n_tot AS DOUBLE)
+                      / CAST(t.p_tot AS DOUBLE)) AS BIGINT)
+               END AS lift_micro,
+               CASE WHEN t.p_tot > 0 THEN
+                 CAST(10000 * sum(p.n_pos) OVER (ORDER BY p.score_decile
+                        DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                        ROW) // t.p_tot AS BIGINT)
+               END AS cum_capture_bp
+        FROM per_dec p CROSS JOIN tot t
+    """
+
+
+QUERIES["classifier_decile_lift"] = classifier_decile_lift
+ORACLES["classifier_decile_lift"] = _decile_lift_oracle()

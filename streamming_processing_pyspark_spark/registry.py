@@ -755,10 +755,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "twap_daily_value",
     "cohort_ltv_cents",
     "conditional_entropy_next_event",
-    # round-6 late batch: distributional analytics
+    # round-6 late batch: distributional analytics + filter rollout eval
     "rfm_segments",
     "nation_revenue_gini",
     "benford_first_digit",
+    "classifier_decile_lift",
     # TPC-H analogues never checked
     "q8_market_share",
     "q9_product_profit",

@@ -98,3 +98,29 @@ def test_rfm_quartiles_and_tie_stability(spark):
     assert all(out[c]["f_q"] == 4 and out[c]["r_q"] == 4 for c in out)
     assert out[4]["rfm_code"] == 444
     assert all(out[c]["recency_days"] == 0 for c in out)
+
+
+def test_classifier_decile_lift_identities(spark):
+    """Lift-table invariants on real corpus data: decile sizes sum to the
+    joined corpus, capture is monotone from the top and ends at 100%, and
+    the docs-weighted average lift is 1x (1e6 micro) up to floor error."""
+    from streamming_processing_pyspark_spark.operators.sampling import (
+        classifier_decile_lift,
+    )
+    from streamming_processing_pyspark_spark.tables import load_tables
+
+    rows = classifier_decile_lift(
+        load_tables(spark, "/root/testdata/sf0.001")
+    ).collect()
+    assert 1 <= len(rows) <= 10
+    by_dec = sorted(rows, key=lambda r: -r["score_decile"])
+    n_tot = sum(r["n_docs"] for r in rows)
+    p_tot = sum(r["n_pos"] for r in rows)
+    assert p_tot > 0
+    # cumulative capture from the top: non-decreasing, ends at 10000 bp
+    caps = [r["cum_capture_bp"] for r in by_dec]
+    assert caps == sorted(caps)
+    assert caps[-1] == 10000
+    # sum over deciles of n_docs * lift == n_tot * 1e6, within floor slack
+    weighted = sum(r["n_docs"] * r["lift_micro"] for r in rows)
+    assert n_tot * 1_000_000 - len(rows) * n_tot <= weighted <= n_tot * 1_000_000

@@ -176,6 +176,7 @@ QUERIES = [
     "rfm_segments",
     "nation_revenue_gini",
     "benford_first_digit",
+    "classifier_decile_lift",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
