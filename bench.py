@@ -29,6 +29,7 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from streamming_processing_pyspark_spark.operators.pipeline import clear_cc_memo
 from streamming_processing_pyspark_spark.registry import build_queries
 from streamming_processing_pyspark_spark.session import get_spark
 from streamming_processing_pyspark_spark.tables import DEFAULT_SF_DIR, load_table
@@ -266,7 +267,10 @@ def main() -> None:
             # queries aren't measured under another query's storage/GC
             # pressure. clearCache only unpersists cached frames;
             # localCheckpoint RDDs are freed by the ContextCleaner when
-            # their Python references die, so collect those too.
+            # their Python references die, so collect those too. The CC
+            # label memo would otherwise make iterations 2..N measure a
+            # dict lookup instead of the loop — clear it every iteration.
+            clear_cc_memo()
             spark.catalog.clearCache()
             gc.collect()
         timings[name] = round(min(runs), 3)

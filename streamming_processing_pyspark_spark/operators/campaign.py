@@ -46,7 +46,9 @@ Tables = dict[str, DataFrame]
 _BIN_KEY_SPAN = 1_000_000
 
 
-def dedup_campaign_summary(t: Tables) -> DataFrame:
+def dedup_campaign_summary(
+    t: Tables, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Ingest → Gopher gate → exact dedup → near-dup CC → pack, one row.
 
     Output (all exact integers, hash-matched against a DuckDB replay of
@@ -83,7 +85,7 @@ def dedup_campaign_summary(t: Tables) -> DataFrame:
     sub = dict(t)
     sub["documents"] = exact.select("doc_id", "text")
     clusters = _connected_components(
-        ngram_jaccard_pairs(sub).select("id_a", "id_b")
+        ngram_jaccard_pairs(sub).select("id_a", "id_b"), checkpoint_dir
     )
     surv = (
         exact.join(F.broadcast(clusters), "doc_id", "left")

@@ -333,9 +333,36 @@ def regex_scrub(t: Tables) -> DataFrame:
     )
 
 
-def _connected_components(pairs: DataFrame) -> DataFrame:
+#: rounds the last _connected_components call took to converge (the
+#: O(log diameter) bound is pinned by tests/test_operators.py on a
+#: 64-edge chain graph — a plain neighbor-min loop would take ~64 rounds)
+LAST_CC_ROUNDS = 0
+
+#: pair-plan → converged-label memo, bounded FIFO. dedup_canonical_docs /
+#: dedup_clusters_minhash_check re-run the SAME pair discovery + CC loop
+#: their sibling query just converged; the memo returns the
+#: already-materialized (checkpointed) labels instead. Keyed by
+#: ``semanticHash`` but CONFIRMED with ``sameSemantics`` (exact
+#: canonical-plan equality — a hash collision can't leak wrong labels;
+#: a stopped/replaced session makes sameSemantics raise → miss). Entries
+#: hold checkpoint-backed frames — evicting one frees its blocks via the
+#: ContextCleaner once no plan references them. bench.py calls
+#: :func:`clear_cc_memo` between timed iterations so repeat timings
+#: measure the loop, not the memo.
+_CC_MEMO: dict[int, tuple[DataFrame, DataFrame]] = {}
+_CC_MEMO_CAP = 4
+
+
+def clear_cc_memo() -> None:
+    """Drop all memoized CC label frames (benchmark/test hygiene)."""
+    _CC_MEMO.clear()
+
+
+def _connected_components(
+    pairs: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Min-label connected components over an (id_a, id_b) pair frame →
-    (doc_id, component) labels. The pair plan is localCheckpointed here —
+    (doc_id, component) labels. The pair plan is checkpointed here —
     exactly once — so the (expensive) pair-discovery pipeline
     materializes a single time and a single copy of the pair RDD sits in
     executor storage; edge mirroring and every CC round replay from the
@@ -347,16 +374,45 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     label[label]). Plain neighbor-min alone needs O(component diameter)
     rounds; the doubling step halves the distance to the component minimum
     every round, so chain-shaped clusters converge in O(log diameter) —
-    the same round bound as star-contraction CC. ``localCheckpoint``
-    truncates lineage so plans don't grow exponentially (on a cluster:
-    ``checkpoint`` to a reliable dir). This is the scalable
-    GraphFrames-free formulation, shared by every registered pair source.
+    the same round bound as star-contraction CC. Checkpointing truncates
+    lineage so plans don't grow exponentially.
+
+    Durability: ``checkpoint_dir`` (or ``$SPARK_GRAFT_CHECKPOINT_DIR``)
+    switches the loop from ``localCheckpoint`` (executor-local blocks —
+    fast, but lost with a failed executor, killing a long campaign run)
+    to RELIABLE ``checkpoint()`` into that directory (HDFS/S3 on a
+    cluster): every round's state survives executor loss and the loop
+    restarts tasks, not the campaign. Local mode keeps the default
+    localCheckpoint — single-JVM executors can't fail independently.
+    This is the scalable GraphFrames-free formulation, shared by every
+    registered pair source.
     """
+    import os
+
+    spark = pairs.sparkSession
+    if checkpoint_dir is None:
+        checkpoint_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None
+    memo_key = pairs.semanticHash()
+    hit = _CC_MEMO.get(memo_key)
+    if hit is not None:
+        stored_pairs, stored_labels = hit
+        try:
+            if pairs.sameSemantics(stored_pairs):
+                return stored_labels
+        except Exception:
+            pass  # stopped/replaced session → recompute
+        _CC_MEMO.pop(memo_key, None)
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df, eager=True: df.checkpoint(eager=eager)
+    else:
+        _ckpt = lambda df, eager=True: df.localCheckpoint(eager=eager)
     # ONE checkpoint: materializes pair discovery and makes the count
     # below free. (A second checkpoint after the repartition would store
     # the pair RDD twice until GC — the storage leak bench.py has to
     # gc-collect around.)
-    pairs = pairs.localCheckpoint()
+    orig_pairs = pairs
+    pairs = _ckpt(pairs)
     # Size the loop's shuffles to the GRAPH, not the corpus: near-dup pairs
     # are a tiny fraction of the input, so running every CC round at the
     # corpus-sized shuffle width pays pure scheduling overhead per round;
@@ -364,7 +420,6 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     # pair graph is big enough to need them. The repartition stays LAZY —
     # its shuffle runs once and later jobs reuse the shuffle files.
     n_pairs = pairs.count()
-    spark = pairs.sparkSession
     width = max(
         2,
         min(
@@ -376,11 +431,11 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF(
         "src", "dst"
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)  # materialized by round 1's action
+        .withColumn("label", F.col("node")),
+        eager=False,  # materialized by round 1's action
     )
     # Convergence check: labels only ever DECREASE (least of self and
     # neighbor minima), so sum(label) is strictly monotone until the fixed
@@ -391,7 +446,9 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     # sentinel, which only an empty graph (sum NULL) matches — and an
     # empty graph IS converged.
     label_sum = None
+    rounds = 0
     for _ in range(CC_MAX_ITERS):
+        rounds += 1
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst")
@@ -410,15 +467,15 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
         # lazy checkpoint: the convergence aggregate right below is the
         # round's one action — it materializes the checkpoint as a side
         # effect, halving the jobs per round vs an eager checkpoint
-        new_labels = (
+        new_labels = _ckpt(
             propagated.join(parent, propagated.label == parent.p_node, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("p_label", "label")).alias(
                     "label"
                 ),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
@@ -427,12 +484,18 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
         label_sum = new_sum
     else:  # pragma: no cover - safety net for pathological chains
         raise RuntimeError("dedup_clusters did not converge")
-    return labels.select(
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = rounds
+    out = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
+    while len(_CC_MEMO) >= _CC_MEMO_CAP:
+        _CC_MEMO.pop(next(iter(_CC_MEMO)))
+    _CC_MEMO[memo_key] = (orig_pairs, out)
+    return out
 
 
-def dedup_clusters(t: Tables) -> DataFrame:
+def dedup_clusters(t: Tables, checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over the exact near-duplicate pairs → cluster
     labels: one canonical component id (= min doc_id reachable) per
     clustered document. Pair source: :func:`dedup.ngram_jaccard_pairs`
@@ -444,10 +507,14 @@ def dedup_clusters(t: Tables) -> DataFrame:
     union of the raw pair plan with its swap would run the whole
     shingle→posting→pair pipeline twice in one action.
     """
-    return _connected_components(ngram_jaccard_pairs(t).select("id_a", "id_b"))
+    return _connected_components(
+        ngram_jaccard_pairs(t).select("id_a", "id_b"), checkpoint_dir
+    )
 
 
-def dedup_clusters_minhash(t: Tables) -> DataFrame:
+def dedup_clusters_minhash(
+    t: Tables, checkpoint_dir: str | None = None
+) -> DataFrame:
     """The 100 TB dedup-campaign composition (DEPLOY.md §6): connected
     components fed from :func:`dedup.minhash_lsh_pairs` — candidate
     discovery is banded LSH (cost ∝ candidates, immune to the shingle
@@ -459,7 +526,9 @@ def dedup_clusters_minhash(t: Tables) -> DataFrame:
     Rows-only driver check: the pair source is xxhash64-based and not
     SQL-reproducible; its quality contract is ``minhash_recall_check``.
     """
-    return _connected_components(minhash_lsh_pairs(t).select("id_a", "id_b"))
+    return _connected_components(
+        minhash_lsh_pairs(t).select("id_a", "id_b"), checkpoint_dir
+    )
 
 
 def dedup_clusters_minhash_check(t: Tables) -> DataFrame:
@@ -505,7 +574,9 @@ def dedup_clusters_minhash_check(t: Tables) -> DataFrame:
     )
 
 
-def dedup_canonical_docs(t: Tables) -> DataFrame:
+def dedup_canonical_docs(
+    t: Tables, checkpoint_dir: str | None = None
+) -> DataFrame:
     """The dedup pipeline's OUTPUT: doc_ids that survive near-dup removal.
 
     A document survives iff it is not in any near-dup cluster, or it is
@@ -513,8 +584,11 @@ def dedup_canonical_docs(t: Tables) -> DataFrame:
     from :func:`dedup_clusters`). This is the set a training pipeline
     feeds downstream; at 100 TB the cluster map is a small fraction of
     the corpus, so the final filter is a broadcast-able left join.
+    Cluster labels come through the :data:`_CC_MEMO` — in a session that
+    just ran :func:`dedup_clusters` on the same corpus this reuses the
+    converged (checkpoint-backed) labels instead of re-running the loop.
     """
-    clusters = dedup_clusters(t)
+    clusters = dedup_clusters(t, checkpoint_dir)
     return (
         t["documents"]
         .select("doc_id")

@@ -262,6 +262,78 @@ def test_dedup_clusters_transitive(spark):
     assert out == {10: 10, 11: 10, 12: 10}
 
 
+def test_cc_reliable_checkpoint_identical_labels(spark, tmp_path):
+    """With a reliable checkpoint dir configured (the cluster-durable
+    posture — localCheckpoint blocks die with their executor), the CC
+    loop must produce byte-identical labels AND actually write checkpoint
+    data into the directory."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    pipeline.clear_cc_memo()
+    local = {
+        r["doc_id"]: r["component"]
+        for r in pipeline._connected_components(pairs).collect()
+    }
+    pipeline.clear_cc_memo()
+    ckpt_dir = str(tmp_path / "cc_ckpt")
+    reliable = {
+        r["doc_id"]: r["component"]
+        for r in pipeline._connected_components(
+            pairs, checkpoint_dir=ckpt_dir
+        ).collect()
+    }
+    assert reliable == local == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                                 20: 20, 21: 20, 22: 20, 23: 20}
+    written = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt_dir)
+        for f in fs
+    ]
+    assert written, "reliable checkpoint() wrote nothing to checkpoint_dir"
+    pipeline.clear_cc_memo()
+
+
+def test_cc_chain_converges_in_log_rounds(spark):
+    """Pointer doubling must bound the round count at O(log diameter):
+    a 64-edge chain (diameter 64) converges in ~log2(64)+2 rounds, not
+    ~64 — the property that makes the loop viable on a 100 TB pair graph
+    with long thin components."""
+    n = 65
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    pipeline.clear_cc_memo()
+    labels = pipeline._connected_components(pairs).collect()
+    assert {r["component"] for r in labels} == {0}
+    assert len(labels) == n
+    # log2(64) = 6 doubling rounds + neighbor slack + the equal-sum
+    # convergence round; a plain neighbor-min loop would need ~64
+    assert pipeline.LAST_CC_ROUNDS <= 12, pipeline.LAST_CC_ROUNDS
+    pipeline.clear_cc_memo()
+
+
+def test_cc_memo_reuses_converged_labels(spark):
+    """Two calls on the same pair plan must reuse the first call's
+    converged labels (dedup_canonical_docs re-deriving dedup_clusters'
+    clustering) — and clear_cc_memo must drop the entry."""
+    pipeline.clear_cc_memo()
+    first = pipeline.dedup_clusters(load_tables(spark, SF_DIR))
+    # a FRESH plan over the same parquet canonicalizes equal → memo hit
+    again = pipeline.dedup_clusters(load_tables(spark, SF_DIR))
+    assert again is first  # memo hit: same materialized frame
+    pipeline.clear_cc_memo()
+    third = pipeline.dedup_clusters(load_tables(spark, SF_DIR))
+    assert third is not first
+    assert sorted(map(tuple, third.collect())) == sorted(
+        map(tuple, first.collect())
+    )
+    pipeline.clear_cc_memo()
+
+
 def test_token_pack_bins_invariants(spark):
     t = load_tables(spark, SF_DIR)
     rows = pipeline.token_pack_bins(t).collect()
