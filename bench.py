@@ -251,30 +251,56 @@ def main() -> None:
     # round-over-round comparisons can distinguish real code wins from
     # one-lucky-run measurement noise. Iteration count is recorded in the
     # output JSON.
+    #
+    # Noise control (VERDICT r6: five false 1.3-1.6x "regressions" whose
+    # source never changed): a query whose relative spread
+    # (max-min)/min across its iterations exceeds NOISE_SPREAD gets up to
+    # MAX_EXTRA_ITERS re-measurements — under suite-pressure/GC noise the
+    # extra runs tighten min and median toward the machine-limited figure.
+    # Queries still above the budget after re-measure are declared in the
+    # final line's `noisy` list, so a round-over-round delta on one of
+    # them is read as measurement noise, not a plan regression.
     import statistics
+
+    NOISE_SPREAD = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_SPREAD", "0.2"))
+    MAX_EXTRA_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_ITERS", "3"))
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        elapsed = time.perf_counter() - t0
+        # benchmark hygiene: operators that persist/localCheckpoint
+        # shared frames (minhash, dedup_clusters) are done with them
+        # once the query is materialized — drop the blocks so later
+        # queries aren't measured under another query's storage/GC
+        # pressure. clearCache only unpersists cached frames;
+        # localCheckpoint RDDs are freed by the ContextCleaner when
+        # their Python references die, so collect those too. The CC
+        # label memo would otherwise make iterations 2..N measure a
+        # dict lookup instead of the loop — clear it every iteration.
+        clear_cc_memo()
+        spark.catalog.clearCache()
+        gc.collect()
+        return elapsed
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    iters_used: dict[str, int] = {}
+    noisy: list[str] = []
     for name in HEADLINE:
-        runs: list[float] = []
-        for _ in range(N_ITERS):
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-            # benchmark hygiene: operators that persist/localCheckpoint
-            # shared frames (minhash, dedup_clusters) are done with them
-            # once the query is materialized — drop the blocks so later
-            # queries aren't measured under another query's storage/GC
-            # pressure. clearCache only unpersists cached frames;
-            # localCheckpoint RDDs are freed by the ContextCleaner when
-            # their Python references die, so collect those too. The CC
-            # label memo would otherwise make iterations 2..N measure a
-            # dict lookup instead of the loop — clear it every iteration.
-            clear_cc_memo()
-            spark.catalog.clearCache()
-            gc.collect()
+        runs = [run_once(name) for _ in range(N_ITERS)]
+        while (
+            (max(runs) - min(runs)) / min(runs) > NOISE_SPREAD
+            and len(runs) < N_ITERS + MAX_EXTRA_ITERS
+        ):
+            runs.append(run_once(name))
         timings[name] = round(min(runs), 3)
         medians[name] = round(statistics.median(runs), 3)
+        spreads[name] = round((max(runs) - min(runs)) / min(runs), 3)
+        iters_used[name] = len(runs)
+        if spreads[name] > NOISE_SPREAD:
+            noisy.append(name)
 
     total = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
@@ -290,6 +316,10 @@ def main() -> None:
         "metric": "headline_suite_detail",
         "value_median": total_median,
         "queries_median": medians,
+        "queries_spread": spreads,
+        "queries_iters": iters_used,
+        "noise_spread_budget": NOISE_SPREAD,
+        "noisy": noisy,
         "iters_per_query": N_ITERS,
         "sf": sf,
     }
@@ -316,6 +346,12 @@ def main() -> None:
         "queries": dict(timings),
         "queries_shown": len(timings),
         "queries_total": len(timings),
+        # queries whose spread stayed over the noise budget after
+        # re-measure: round-over-round deltas on these are measurement
+        # noise, not regressions (count first; names capped to keep the
+        # driver-parsed final line short)
+        "noisy_count": len(noisy),
+        "noisy": noisy[:8],
         "iters_per_query": N_ITERS,
         "sf": sf,
         "events_rows_per_sec": round(events_rows / pipeline_sec)

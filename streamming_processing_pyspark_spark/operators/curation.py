@@ -115,6 +115,19 @@ def perplexity_buckets(t: Tables) -> DataFrame:
     )
 
 
+def classifier_score_col() -> Column:
+    """The hashed-feature classifier score as ONE Column over ``text`` —
+    exposed so composite queries (calibration bins, decile lift, kappa)
+    can evaluate the classifier and the Gopher gate in a SINGLE documents
+    scan projection instead of joining two scans."""
+    return F.expr(
+        "aggregate(transform(split(trim(text), '\\\\s+'),"
+        " tok -> aggregate(split(tok, ''), CAST(7 AS BIGINT),"
+        "   (a, c) -> (a * 31 + ascii(c)) % 1000000007) % 21 - 10),"
+        f" CAST({CLASSIFIER_BIAS} AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
 def quality_classifier_scores(t: Tables) -> DataFrame:
     """Hashed-feature linear classifier score per document, map-only.
 
@@ -126,12 +139,7 @@ def quality_classifier_scores(t: Tables) -> DataFrame:
     bias; ``keep`` = score > 0. No shuffle, no Python: the whole
     classifier evaluates inside the scan projection.
     """
-    score = F.expr(
-        "aggregate(transform(split(trim(text), '\\\\s+'),"
-        " tok -> aggregate(split(tok, ''), CAST(7 AS BIGINT),"
-        "   (a, c) -> (a * 31 + ascii(c)) % 1000000007) % 21 - 10),"
-        f" CAST({CLASSIFIER_BIAS} AS BIGINT), (acc, x) -> acc + x)"
-    )
+    score = classifier_score_col()
     return t["documents"].select(
         "doc_id",
         score.alias("score"),

@@ -146,6 +146,22 @@ def gopher_quality_flags(t: Tables) -> DataFrame:
     )
 
 
+def _score_and_gate(t: Tables) -> DataFrame:
+    """ONE ``documents`` scan evaluating BOTH quality filters: the learned
+    classifier score and the Gopher rule gate are each map-only functions
+    of ``text``, so computing them in a single projection removes the
+    doc-keyed join (and its shuffle) plus the second full corpus scan the
+    two-frames-joined formulation paid — at 100 TB the dominant cost of
+    every classifier-vs-gate rollout query (VERDICT r6 §2)."""
+    from .curation import classifier_score_col
+
+    return t["documents"].select(
+        "doc_id",
+        classifier_score_col().alias("score"),
+        gopher_keep_col().alias("k_rule"),
+    )
+
+
 def filter_agreement_kappa(t: Tables) -> DataFrame:
     """Cohen's kappa between the two independent quality filters (the
     hashed-feature classifier's ``keep`` vs the Gopher rule gate's
@@ -158,16 +174,13 @@ def filter_agreement_kappa(t: Tables) -> DataFrame:
     n total, kappa = (po − pe)/(1 − pe) becomes
     ``10000·(n·(n00+n11) − E) div (n² − E)`` where
     ``E = (n00+n01)·(n00+n10) + (n10+n11)·(n01+n11)`` — so the statistic
-    itself hash-matches the oracle. One broadcast-joinable doc-keyed join
-    of two map-only filters, then a single global aggregate.
+    itself hash-matches the oracle. Both filters evaluate in ONE
+    documents scan (:func:`_score_and_gate` — no join, no second scan),
+    then a single global aggregate.
     """
-    from .curation import quality_classifier_scores
-
-    clf = quality_classifier_scores(t).select(
-        "doc_id", F.col("keep").alias("k_clf")
+    j = _score_and_gate(t).select(
+        (F.col("score") > 0).alias("k_clf"), "k_rule"
     )
-    rules = gopher_quality_flags(t).select("doc_id", F.col("keep").alias("k_rule"))
-    j = clf.join(rules, "doc_id")
     counts = j.agg(
         F.count("*").cast("long").alias("n"),
         F.sum((~F.col("k_clf") & ~F.col("k_rule")).cast("long")).alias("n00"),
@@ -342,20 +355,15 @@ def classifier_calibration_bins(t: Tables) -> DataFrame:
     filter's keep-rate should rise monotonically with score; kappa says
     whether they agree overall, this says WHERE they disagree).
 
-    One doc-keyed join of two map-only filters, then a fixed-width
-    integer histogram (bin = ``score DIV width``, floor semantics from
-    both engines' operators on the possibly-negative integer score via
-    explicit floor division) — all-integer, exact basis points.
+    Both filters evaluate in ONE documents scan (:func:`_score_and_gate`),
+    then a fixed-width integer histogram (bin = ``score DIV width``,
+    floor semantics from both engines' operators on the possibly-negative
+    integer score via explicit floor division) — all-integer, exact basis
+    points.
 
     Output per bin: ``score_bin``, ``n_docs``, ``rule_keep_bp``.
     """
-    from .curation import quality_classifier_scores
-
-    clf = quality_classifier_scores(t).select("doc_id", "score")
-    rules = gopher_quality_flags(t).select(
-        "doc_id", F.col("keep").alias("k_rule")
-    )
-    j = clf.join(rules, "doc_id")
+    j = _score_and_gate(t)
     score_bin = F.floor(F.col("score") / F.lit(CAL_BIN_WIDTH)).cast("long")
     return (
         j.groupBy(score_bin.alias("score_bin"))
@@ -605,14 +613,9 @@ def classifier_decile_lift(t: Tables) -> DataFrame:
     ``cum_capture_bp`` (cumulative from the TOP decile down).
     """
     from ..tables import persist_replacing
-    from .curation import quality_classifier_scores
 
-    clf = quality_classifier_scores(t).select("doc_id", "score")
-    rules = gopher_quality_flags(t).select(
-        "doc_id", F.col("keep").alias("k_rule")
-    )
     j = persist_replacing(
-        clf.join(rules, "doc_id").select(
+        _score_and_gate(t).select(
             "score", F.col("k_rule").cast("long").alias("pos")
         ),
         "sampling.lift_joined",

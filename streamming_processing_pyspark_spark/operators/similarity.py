@@ -1386,28 +1386,46 @@ SEMDEDUP_ITERS = 3
 SEMDEDUP_THRESHOLD = 0.4
 #: multi-probe width: each vector joins its P nearest clusters
 SEMDEDUP_PROBES = 3
+#: Lloyd's-iteration convergence tolerance: stop when no centroid moved
+#: more than this (1 − cos of old vs new unit centroid). Near-converged
+#: rounds don't change assignments, so stopping early is free recall-wise
+#: and drops whole (scan + shuffle) rounds at 100 TB.
+KMEANS_TOL = 1e-4
 
 
-def _spherical_kmeans(emb: DataFrame, k: int, iters: int):
+def _spherical_kmeans(emb: DataFrame, k: int, iters: int, tol: float = KMEANS_TOL):
     """Distributed spherical k-means (Lloyd's) over (vec_id, vec).
 
-    Each iteration: map-side assignment against the BROADCAST centroid
-    matrix (Arrow-batched matmul), then ONE applyInPandas shuffle reduces
-    each cluster to its mean. The assignment UDF CARRIES the vector
-    through to its output, so no iteration (and no downstream consumer)
-    ever joins the assignment back to the embeddings — the join-by-vec_id
-    exchange that formulation costs is gone; the only per-iteration
-    exchange is the groupBy(cluster) reduction itself. The driver only
-    ever holds the k x d centroid matrix (model state, same posture as
-    ivf_topk's quantizer) — per-iteration cost is one shuffle of n rows,
-    independent of k.
+    Each iteration is ONE map-only Python stage and ZERO shuffles: the
+    Arrow-batched UDF assigns its partition's vectors against the
+    BROADCAST centroid matrix and emits per-(partition, cluster) PARTIAL
+    SUMS — ≤ k rows per batch, the map-side-combine shape — which the
+    driver reduces to new centroids (a few hundred rows of model state,
+    same posture as ivf_topk's quantizer). The earlier formulation
+    shuffled all n carried vectors into a groupBy(cluster) applyInPandas
+    per round; at 100 TB that is a corpus-wide exchange per Lloyd round
+    for what is mathematically a k×d reduction. Partials are reduced in
+    sorted (cluster, partition, batch) order, so centroids are
+    deterministic for a given partitioning.
+
+    Iteration cost control: the input frame is PERSISTED for the life of
+    the call (every Lloyd's round — and the caller's final assignment —
+    re-reads it; uncached that is one full parquet scan + cast + fan_out
+    per round), and the loop stops as soon as the largest centroid
+    movement (1 − cos(old, new)) drops under ``tol`` instead of always
+    running ``iters`` rounds.
+
     Deterministic: init = the k lowest vec_ids; no RNG anywhere.
-    Returns (centroids ndarray, assign_fn) where assign_fn(df, probes=P)
-    yields (vec_id, cluster, vec) rows map-side — one row per (vector,
-    probed cluster), P = 1 giving the plain hard assignment.
+    Returns (centroids ndarray, assign_fn, persisted_emb) where
+    assign_fn(df, probes=P) yields (vec_id, cluster, vec) rows map-side —
+    one row per (vector, probed cluster), P = 1 giving the plain hard
+    assignment.
     """
     import numpy as np
 
+    from ..tables import persist_replacing
+
+    emb = persist_replacing(emb, "similarity.kmeans_emb")
     spark = emb.sparkSession
 
     def normalize(m):
@@ -1442,36 +1460,67 @@ def _spherical_kmeans(emb: DataFrame, k: int, iters: int):
 
         return assign
 
-    def mean_vec(pdf):
-        import numpy as np
+    def make_partials(c):
+        b = spark.sparkContext.broadcast(c)
 
-        mat = np.array(pdf["vec"].tolist(), dtype="float64")
-        return pd.DataFrame(
-            {
-                "cluster": [int(pdf["cluster"].iloc[0])],
-                "centroid": [mat.mean(axis=0).tolist()],
-            }
-        )
+        def partials(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            for seq, pdf in enumerate(batches):
+                raw = np.array(pdf["vec"].tolist(), dtype="float64")
+                sims = normalize(raw) @ b.value.T
+                top = sims.argmax(axis=1)
+                clusters = np.unique(top)
+                yield pd.DataFrame(
+                    {
+                        "pid": pid,
+                        "seq": seq,
+                        "cluster": clusters.astype("int32"),
+                        # raw-vector sums: centroid = normalize(mean(raw)),
+                        # matching the original groupBy-mean formulation
+                        "sum_vec": [
+                            raw[top == cl].sum(axis=0).tolist()
+                            for cl in clusters
+                        ],
+                        "cnt": [int((top == cl).sum()) for cl in clusters],
+                    }
+                )
+
+        return partials
 
     _ASSIGN_SCHEMA = "vec_id bigint, cluster int, vec array<double>"
+    _PARTIAL_SCHEMA = (
+        "pid int, seq int, cluster int, sum_vec array<double>, cnt long"
+    )
 
     for _ in range(iters):
-        upd = (
-            emb.mapInPandas(make_assign(cents), schema=_ASSIGN_SCHEMA)
-            .groupBy("cluster")
-            .applyInPandas(mean_vec, schema="cluster int, centroid array<double>")
-            .toPandas()
-        )
-        for _, row in upd.iterrows():
-            v = np.array(row["centroid"], dtype="float64")
+        upd = emb.mapInPandas(make_partials(cents), schema=_PARTIAL_SCHEMA).toPandas()
+        upd = upd.sort_values(["cluster", "pid", "seq"], kind="mergesort")
+        moved = 0.0
+        for cl, grp in upd.groupby("cluster", sort=True):
+            total = np.zeros(cents.shape[1], dtype="float64")
+            cnt = 0
+            for _, row in grp.iterrows():
+                total += np.array(row["sum_vec"], dtype="float64")
+                cnt += int(row["cnt"])
+            if cnt == 0:
+                continue
+            v = total / cnt
             n = np.linalg.norm(v)
             if n > 0:
-                cents[int(row["cluster"])] = v / n
+                new = v / n
+                moved = max(moved, 1.0 - float(new @ cents[int(cl)]))
+                cents[int(cl)] = new
+        if moved < tol:
+            break
 
     def assign_df(df: DataFrame, probes: int = 1) -> DataFrame:
         return df.mapInPandas(make_assign(cents, probes), schema=_ASSIGN_SCHEMA)
 
-    return cents, assign_df
+    # the persisted frame, so the caller's final assignment pass reads
+    # the cache instead of re-scanning parquet
+    return cents, assign_df, emb
 
 
 def semantic_dedup_pairs(t: Tables) -> DataFrame:
@@ -1500,7 +1549,7 @@ def semantic_dedup_pairs(t: Tables) -> DataFrame:
     emb = fan_out(
         t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
     )
-    _, assign = _spherical_kmeans(emb, SEMDEDUP_K, SEMDEDUP_ITERS)
+    _, assign, emb = _spherical_kmeans(emb, SEMDEDUP_K, SEMDEDUP_ITERS)
 
     def pairs_in_cluster(pdf):
         mat = np.array(pdf["vec"].tolist(), dtype="float64")

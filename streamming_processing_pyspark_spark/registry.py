@@ -844,10 +844,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
 )
 
 
-def _checked_row_counts() -> dict[str, int]:
-    """Per-query count of completed driver checks across the committed
-    CORRECTNESS_r*.json result files (these are tracked in git, so the
-    count — and therefore :func:`check_order` — is deterministic for a
+def _checked_row_counts() -> tuple[dict[str, int], dict[str, int]]:
+    """Per-query (count, last-round) of completed driver checks across the
+    committed CORRECTNESS_r*.json result files (these are tracked in git,
+    so both — and therefore :func:`check_order` — are deterministic for a
     given checkout, not a function of untracked local state).
 
     A row counts as a completed check when either (a) every recorded
@@ -857,14 +857,24 @@ def _checked_row_counts() -> dict[str, int]:
     rows-only run IS their completed check and they must not consume the
     verification budget every round. Failed or errored rows never count,
     so regressed queries sort back to the front for re-verification.
+
+    The second map records the LAST round each query completed a check
+    (parsed from the ``CORRECTNESS_r{N}`` filename): once every query has
+    ≥1 green row the count-based rotation goes flat, and staleness — how
+    long since the driver last re-verified a query — becomes the
+    regression-canary ordering (VERDICT r6 §7).
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     counts: dict[str, int] = {}
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -882,7 +892,8 @@ def _checked_row_counts() -> dict[str, int]:
             )
             if green or rows_only_done:
                 counts[name] = counts.get(name, 0) + 1
-    return counts
+                last_round[name] = max(last_round.get(name, 0), rnd)
+    return counts, last_round
 
 
 def check_order(names: list[str]) -> list[str]:
@@ -892,12 +903,16 @@ def check_order(names: list[str]) -> list[str]:
     stops after a fixed budget (~50 entries), so ordering IS coverage.
     Policy (default ``rotate``): least-checked queries first — a query's
     rank is its completed-check count from the committed
-    CORRECTNESS_r*.json files, ties broken by the curated
-    ``_CHECK_PRIORITY`` order then module order. Because every check
-    increments the count, the ordering CYCLES through the whole surface:
-    a previously-green query is re-verified every ceil(total/budget)
-    rounds, so regressions in verified queries still reach the driver
-    (they then sort back to the front until green again).
+    CORRECTNESS_r*.json files; ties (once every query has ≥1 green row
+    the counts go flat) break by OLDEST last-green round first, so the
+    driver's fixed budget becomes a regression canary sweeping the
+    stalest-verified part of the surface every round; final ties break by
+    the curated ``_CHECK_PRIORITY`` order then module order. Because
+    every check increments the count and refreshes the round stamp, the
+    ordering CYCLES through the whole surface: a previously-green query
+    is re-verified every ceil(total/budget) rounds, so regressions in
+    verified queries still reach the driver (they then sort back to the
+    front until green again).
 
     Set ``SPARK_GRAFT_CHECK_ORDER=static`` to disable rotation and get the
     curated order alone (deterministic, independent of any result files).
@@ -907,8 +922,11 @@ def check_order(names: list[str]) -> list[str]:
     base = list(names)
     if os.environ.get("SPARK_GRAFT_CHECK_ORDER", "rotate") == "static":
         return base
-    checked = _checked_row_counts()
-    return sorted(base, key=lambda n: (checked.get(n, 0), base.index(n)))
+    checked, last_round = _checked_row_counts()
+    return sorted(
+        base,
+        key=lambda n: (checked.get(n, 0), last_round.get(n, 0), base.index(n)),
+    )
 
 
 def build_queries() -> dict[str, QueryFn]:

@@ -16,17 +16,44 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+#: streaming state-store providers by short name. HDFSBackedStateStore
+#: (Spark's default — what the reference ran) keeps every stateful
+#: operator's keyed state ON-HEAP with periodic snapshots; once session
+#: windows / dedup horizons / stream-stream join buffers outgrow the
+#: executor heap that is the known 100 TB cliff (GC stalls, OOM).
+#: RocksDB keeps state off-heap with incremental checkpointing and is the
+#: production choice for large state. Runtime-settable per session; new
+#: queries pick it up at start.
+STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
 
 def get_spark(
     app_name: str = "streamming_processing_pyspark_spark",
     master: str | None = None,
     shuffle_partitions: str | int | None = None,
     extra_conf: dict[str, str] | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
     On a real cluster ``master`` comes from spark-submit; locally we default
     to ``local[$SPARK_GRAFT_CPUS]``.
+
+    ``state_store`` (or ``$SPARK_GRAFT_STATE_STORE``) selects the streaming
+    state backend: ``"rocksdb"`` for large-state production runs,
+    ``"hdfs"`` for Spark's on-heap default, or a full provider class name.
+    Applied with ``spark.conf.set`` as well, so it takes effect even when
+    ``getOrCreate`` returns an existing session (the conf is read at query
+    start).
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None:
@@ -43,10 +70,23 @@ def get_spark(
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
+    state_store = state_store or os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if state_store:
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            STATE_STORE_PROVIDERS.get(state_store, state_store)
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if state_store:
+        # getOrCreate may have returned an existing session whose builder
+        # confs were ignored; the provider is a runtime conf, so set it on
+        # the live session too
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            STATE_STORE_PROVIDERS.get(state_store, state_store),
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

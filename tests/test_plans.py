@@ -539,6 +539,41 @@ def test_cms_join_size_sketch_sized_inner_product(spark):
     assert_no_python_eval(df)
 
 
+def test_classifier_vs_gate_single_scan(spark):
+    """The classifier-vs-gate rollout family must evaluate BOTH filters
+    (learned score + Gopher gate) inside ONE documents scan projection —
+    no doc-keyed join of two scans (at 100 TB the second corpus scan is
+    the query's single biggest avoidable cost). Calibration and kappa
+    read parquet exactly once with zero joins on corpus-sized data; the
+    decile lift's only documents access is its one persisted projection
+    (every 'Scan parquet' occurrence in the executed string is the
+    cached plan reprinted under an InMemoryTableScan)."""
+    from streamming_processing_pyspark_spark.operators import sampling
+    from streamming_processing_pyspark_spark.plans.explain import (
+        executed_plan_string,
+    )
+
+    t = load_tables(spark, SF_DIR)
+
+    def final_plan(df):
+        # AdaptiveSparkPlan prints Final + Initial sections; evidence is
+        # the final (runtime) plan only
+        return executed_plan_string(df).split("== Initial Plan ==")[0]
+
+    for fn in (
+        sampling.classifier_calibration_bins,
+        sampling.filter_agreement_kappa,
+    ):
+        s = final_plan(fn(t))
+        assert s.count("Scan parquet") == 1, s[:2000]
+        assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s, s[:2000]
+
+    s = final_plan(sampling.classifier_decile_lift(t))
+    n_mem = s.count("InMemoryTableScan")
+    assert n_mem >= 1
+    assert s.count("Scan parquet") == n_mem, s[:2000]
+
+
 def test_psi_value_drift_one_corpus_shuffle(spark):
     """PSI runs on the conditional-sum histogram: the EXECUTED plan (the
     persisted histogram dedups its two consumer branches at runtime)

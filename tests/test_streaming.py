@@ -972,6 +972,80 @@ def test_rocksdb_state_store_parity(spark):
     assert rocks == default and len(rocks) > 0
 
 
+def test_rocksdb_session_window_and_ddwm(spark, tmp_path):
+    """The two LARGE-state streaming ops (session windows — unbounded
+    per-user state until the gap closes — and
+    dropDuplicatesWithinWatermark — one state row per key in the
+    redelivery horizon) run under the RocksDB provider via the session
+    factory's ``state_store`` knob: results must match the on-heap
+    default's semantics (batch parity for sessions, dedup semantics for
+    ddwm) and the metrics listener must report a nonzero state size —
+    the operational signal that state actually lives in the store."""
+    from streamming_processing_pyspark_spark.operators.relational2 import (
+        session_window_counts,
+    )
+    from streamming_processing_pyspark_spark.session import (
+        STATE_STORE_PROVIDERS,
+        get_spark,
+    )
+    from streamming_processing_pyspark_spark.streaming.jobs import sessionize_stream
+    from streamming_processing_pyspark_spark.streaming.metrics import attach_metrics
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    ev = load_table(spark, SF_DIR, "events")
+    d = str(tmp_path / "events_split")
+    ev.repartition(4).write.parquet(d)
+
+    s = get_spark(state_store="rocksdb")
+    assert s is spark  # factory reconfigures the live session
+    assert spark.conf.get(key) == STATE_STORE_PROVIDERS["rocksdb"]
+    listener = attach_metrics(spark)
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(d)
+        )
+        q, table = run_to_memory(sessionize_stream(stream), "complete")
+        q.stop()
+        rocks_sessions = sorted(
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.table(table).collect()
+        )
+
+        dd = str(tmp_path / "ddwm")
+        rows = [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:01:00"),  # dup within watermark window
+            (2, "2024-01-01 10:02:00"),
+        ]
+        spark.createDataFrame(rows, "event_id long, ts string").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts")
+        ).coalesce(1).write.parquet(dd)
+        schema = spark.read.parquet(dd).schema
+        dstream = (
+            spark.readStream.schema(schema)
+            .parquet(dd)
+            .withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q2, table2 = run_to_memory(dstream, "append")
+        q2.stop()
+        rocks_dd = sorted(r["event_id"] for r in spark.table(table2).collect())
+    finally:
+        spark.streams.removeListener(listener)
+        spark.conf.set(key, prev)
+
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_window_counts({"events": ev}).collect()
+    )
+    assert rocks_sessions == want and rocks_sessions
+    assert rocks_dd == [1, 2]
+    assert max(r["state_rows"] for r in listener.batches()) > 0
+
+
 def test_outer_interval_join_null_emission(spark, tmp_path):
     """Pins the left-outer stream-stream join emission rule the
     registry.streaming_interval_join_outer oracle encodes: an unmatched

@@ -272,6 +272,64 @@ def summarize(plan: str) -> list[str]:
     return out
 
 
+def aqe_skew_demo(spark) -> list[str]:
+    """Executed-plan evidence for AQE's AUTOMATIC skew-join split (the
+    runtime complement to the deterministic salting in
+    salted_customer_join / storage.salted_aggregate): a join where half
+    the probe rows share one key, run under proportionally lowered skew
+    thresholds (the demo is ~MBs where production partitions are ~GBs),
+    must show SortMergeJoin(skew=true) + skewed AQEShuffleRead — pinned
+    by tests/test_plans.py::test_aqe_splits_skewed_join_partition."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "512k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "64",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.pmod("id", F.lit(5000)))
+            .alias("k"),
+            F.repeat(F.md5(F.col("id").cast("string")), 8).alias("pad"),
+        )
+        dim = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        plan = executed_plan_string(fact.join(dim, "k"))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    final = plan.split("== Initial Plan ==")[0]
+    out = ["## aqe_skew_join_demo (synthetic, not a registry query)\n"]
+    out.append(
+        "- setup: 300k-row fact, 50% of rows on ONE key, broadcast join"
+        " disabled, skew thresholds scaled to the demo's MB-sized"
+        " partitions (512k/256k/2x; production keeps Spark's 256m/64m/5x"
+        " defaults)"
+    )
+    for ln in final.splitlines():
+        s = ln.strip().lstrip("+-:* ()0123456789")
+        if s.startswith("SortMergeJoin") or "AQEShuffleRead" in s:
+            out.append(f"- `{s[:150]}`")
+    assert any("skew=true" in ln for ln in out), "AQE skew split missing"
+    out.append(
+        "- verdict: AQE split the hot partition at runtime (skew=true,"
+        " skewed AQEShuffleRead) — no manual salting needed on the"
+        " automatic path; salted_customer_join remains the deterministic"
+        " variant for joins where AQE can't see the skew (e.g. broadcast-"
+        "disabled stream-static)"
+    )
+    out.append("")
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="gen_plans")
     qs = build_queries()
@@ -291,6 +349,7 @@ def main() -> None:
         if name in NOTES:
             parts.append(NOTES[name])
         parts.append("")
+    parts.extend(aqe_skew_demo(spark))
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("\n".join(parts) + "\n")
     print("wrote PLANS.md")
