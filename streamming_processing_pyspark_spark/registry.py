@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from .functions.geo import classify_sql
 from .operators import (
     analytics2,
+    analytics3,
     distribution,
     asof,
     attribution,
@@ -605,6 +606,7 @@ _STREAMING_ORACLES: dict[str, str] = {
 
 #: modules whose queries take the full tables dict
 _TABLE_MODULES = (
+    analytics3,
     distribution,
     campaign,
     curation,

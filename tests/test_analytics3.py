@@ -1,0 +1,122 @@
+"""Property tests for the round-7 analytics batch (oracle parity itself is
+covered by the parametrized test_oracle_parity sweep)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from streamming_processing_pyspark_spark.operators import analytics3
+from streamming_processing_pyspark_spark.tables import load_table, load_tables
+
+from .conftest import SF_DIR
+
+
+def test_rolling_active_users_matches_bruteforce(spark):
+    """The broadcast-grid range join must equal the brute-force definition:
+    for every day d, |{user : user active in [d-6, d]}|."""
+    ev = load_table(spark, SF_DIR, "events")
+    rows = (
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+        .collect()
+    )
+    by_day: dict[datetime, set] = {}
+    for r in rows:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    got = {
+        r["day"]: (r["active_users_7d"], r["active_users_1d"])
+        for r in analytics3.rolling_7d_active_users({"events": ev}).collect()
+    }
+    assert set(got) == set(by_day)
+    for d, (a7, a1) in got.items():
+        want7 = set()
+        for k in range(analytics3.ACTIVE_WINDOW_DAYS):
+            want7 |= by_day.get(d - timedelta(days=k), set())
+        assert a7 == len(want7), d
+        assert a1 == len(by_day[d]), d
+
+
+def test_morton_interleave_bijective(spark):
+    """The div/mod Morton interleave must be a bijection on the
+    16×16 grid (distinct codes = 256, range [0, 255]) — the property that
+    makes Z-range file assignment a true space-filling layout."""
+    grid = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    z = grid.select(
+        analytics3._morton(F.col("x"), F.col("y"), analytics3.Z_BITS).alias("z")
+    )
+    vals = sorted(r["z"] for r in z.collect())
+    assert vals == list(range(256))
+
+
+def test_zorder_files_are_contiguous_code_ranges(spark):
+    """Every target file must cover a disjoint contiguous Morton range
+    (file_id·span ≤ z < (file_id+1)·span) — what gives the layout its
+    per-file min/max skipping guarantees."""
+    t = load_tables(spark, SF_DIR)
+    for r in analytics3.zorder_cluster_assign(t).collect():
+        lo = r["file_id"] * analytics3.Z_CODES_PER_FILE
+        hi = lo + analytics3.Z_CODES_PER_FILE - 1
+        assert lo <= r["z_min"] <= r["z_max"] <= hi
+
+
+def test_compression_ratio_short_doc_null_and_bounds(spark):
+    """Docs shorter than the n-gram width emit NULL metrics; ratios stay
+    in (0, 1000]; a fully repeated doc is flagged repetitive."""
+    docs = spark.createDataFrame(
+        [
+            (1, "too short"),
+            (2, " ".join(["spam"] * 40)),
+            (3, " ".join(f"w{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in analytics3.text_compression_ratio({"documents": docs}).collect()
+    }
+    assert out[1]["n_grams"] is None and out[1]["repetitive"] is None
+    assert out[2]["n_distinct_grams"] == 1 and out[2]["repetitive"]
+    assert out[3]["distinct_milli"] == 1000 and not out[3]["repetitive"]
+
+
+def test_anonymization_ladder_monotone_and_nested(spark):
+    """Generalizing can only merge cells: coarser widths have fewer cells,
+    a no-smaller minimum cell size, and no-more rows at risk — the
+    property that makes the ladder a usable anonymization dial."""
+    t = load_tables(spark, SF_DIR)
+    rows = sorted(
+        analytics3.anonymization_ladder(t).collect(),
+        key=lambda r: r["bucket_width"],
+    )
+    assert [r["bucket_width"] for r in rows] == list(analytics3.LADDER_WIDTHS)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_cells"] <= prev["n_cells"]
+        assert cur["min_cell_rows"] >= prev["min_cell_rows"]
+        assert cur["rows_at_risk"] <= prev["rows_at_risk"]
+
+
+def test_referential_integrity_detects_planted_breaks(spark):
+    """Plant one orphan lineitem order, one childless order and one
+    dangling customer FK in a toy warehouse and assert each counter."""
+    orders = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 200.0), (3, 99, 50.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).withColumn("o_orderstatus", F.lit("O"))
+    lineitem = spark.createDataFrame(
+        [(1, 100.0, 0.0, 0.0), (7, 10.0, 0.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double,"
+        " l_tax double",
+    )
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    row = analytics3.referential_integrity_audit(
+        {"orders": orders, "lineitem": lineitem, "customer": customer}
+    ).first()
+    assert row["n_orders"] == 3
+    assert row["n_orphan_lineitem_orders"] == 1  # orderkey 7
+    assert row["n_childless_orders"] == 2  # orders 2 and 3
+    assert row["n_orders_no_customer"] == 1  # order 3 → custkey 99
+    assert row["n_price_mismatch"] == 0  # order 1 header == its one line

@@ -177,6 +177,16 @@ QUERIES = [
     "nation_revenue_gini",
     "benford_first_digit",
     "classifier_decile_lift",
+    "rolling_7d_active_users",
+    "seasonality_profile",
+    "burst_users_audit",
+    "referential_integrity_audit",
+    "dup_leakage_matrix",
+    "embedding_dim_stats",
+    "zorder_cluster_assign",
+    "packing_efficiency_report",
+    "text_compression_ratio",
+    "anonymization_ladder",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
