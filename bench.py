@@ -168,6 +168,8 @@ HEADLINE = [
     "packing_efficiency_report",
     "text_compression_ratio",
     "anonymization_ladder",
+    "token_budget_waterfill",
+    "dedup_cluster_size_histogram",
 ]
 
 

@@ -338,9 +338,12 @@ def zorder_cluster_assign(t: Tables) -> DataFrame:
     min/max ranges on BOTH dimensions, so predicate-driven file skipping
     works for either column — the per-file ``x``/``y`` extents this
     report emits are exactly the skipping statistics. The code is
-    map-only integer algebra; the writer step would be
-    ``repartitionByRange(z)`` + sortWithinPartitions. Output is one row
-    per target file (bounded), from one map-combined aggregation.
+    map-only integer algebra; the actual writer is
+    :func:`storage.write_zordered` (same Morton construction with
+    bitwise operators) — this is its oracle-checked PLANNING report,
+    in portable div/mod algebra so DuckDB replays the codes bit-exactly.
+    Output is one row per target file (bounded), from one map-combined
+    aggregation.
     """
     x = (F.col("o_custkey") % (2**Z_BITS)).cast("long")
     y = (F.dayofmonth("o_orderdate") % (2**Z_BITS)).cast("long")

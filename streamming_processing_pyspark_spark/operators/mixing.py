@@ -53,7 +53,7 @@ for the training-data use case per the build plan (SURVEY.md §7 phase 4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import words as _words
@@ -589,12 +589,89 @@ def _doremi_oracle_sql(n_iters: int) -> str:
     return "".join(parts)
 
 
+#: water-filling: budget = this fraction (numerator/denominator) of the
+#: corpus token mass, so the allocator is meaningfully constrained at any
+#: scale factor (some sources saturate, some don't)
+WF_BUDGET_NUM = 1
+WF_BUDGET_DEN = 2
+
+
+def token_budget_waterfill(t: Tables) -> DataFrame:
+    """Water-filling token-budget allocator across sources — the mixing
+    step that answers "given a total training budget of B tokens, how
+    many come from each source?" under sqrt prioritization (rare sources
+    get MORE than proportional share) with per-source availability caps.
+
+    Math: allocation ``a_s = min(cap_s, ⌊w_s·λ⌋)`` with ``cap_s`` =
+    source token mass, ``w_s = ⌊√cap_s⌋`` (the sqrt-mixing weight; IEEE
+    sqrt is correctly rounded, so both engines floor the same double) and
+    the water level λ chosen so the budget is met: sort sources by
+    ``cap/w`` ascending, the saturated set is the maximal prefix where
+    ``w_k·(B − cumcap_{k−1}) ≥ cap_k·(W − cumw_{k−1})`` (integer
+    cross-multiplication — no float λ anywhere), and unsaturated sources
+    get ``w_s·(B − cap(sat)) DIV w(unsat)``.
+
+    Scale shape: ONE corpus scan reduces to per-source (cap, w) rows;
+    everything after is windows over the |sources|-row frame. The same
+    plan at 100 TB allocates across thousands of domains from one
+    map-combined aggregation.
+    """
+    from ..functions.text import words
+
+    src = (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.sum(F.size(words("text")).cast("long")).alias("cap"))
+        .select("source", "cap", F.floor(F.sqrt("cap")).cast("long").alias("w"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_ord = Window.orderBy(F.expr("cap * 1.0 / w"), "source")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = src.select(
+        "source",
+        "cap",
+        "w",
+        F.sum("cap").over(w_all).alias("cap_total"),
+        F.sum("w").over(w_all).alias("w_total"),
+        F.coalesce(F.sum("cap").over(w_prev), F.lit(0)).alias("cumcap"),
+        F.coalesce(F.sum("w").over(w_prev), F.lit(0)).alias("cumw"),
+    ).withColumn(
+        "budget",
+        F.expr(f"cap_total * {WF_BUDGET_NUM} DIV {WF_BUDGET_DEN}"),
+    ).withColumn(
+        "saturated",
+        F.expr("w * (budget - cumcap) >= cap * (w_total - cumw)"),
+    )
+    lam = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ranked.withColumn(
+            "lam_num",
+            F.col("budget")
+            - F.sum(F.when(F.col("saturated"), F.col("cap")).otherwise(0)).over(lam),
+        )
+        .withColumn(
+            "lam_den",
+            F.sum(F.when(~F.col("saturated"), F.col("w")).otherwise(0)).over(lam),
+        )
+        .select(
+            "source",
+            F.col("cap").alias("cap_tokens"),
+            F.col("w").alias("weight"),
+            "saturated",
+            F.when(F.col("saturated"), F.col("cap"))
+            .otherwise(F.expr("w * lam_num DIV lam_den"))
+            .alias("alloc_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "dsir_resample": dsir_resample,
     "temperature_mix_sample": temperature_mix_sample,
     "kl_source_divergence": kl_source_divergence,
     "epoch_upsample_manifest": epoch_upsample_manifest,
     "doremi_mixture_weights": doremi_mixture_weights,
+    "token_budget_waterfill": token_budget_waterfill,
 }
 
 #: DuckDB mirror of the affine-fold hash over a string expression
@@ -737,3 +814,49 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES["doremi_mixture_weights"] = _doremi_oracle_sql(DOREMI_ITERS)
+
+ORACLES["token_budget_waterfill"] = f"""
+    WITH src AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                  AS BIGINT) AS cap
+      FROM documents GROUP BY source
+    ),
+    sw AS (
+      SELECT source, cap, CAST(floor(sqrt(cap)) AS BIGINT) AS w FROM src
+    ),
+    r AS (
+      SELECT source, cap, w,
+             CAST(sum(cap) OVER () AS BIGINT) AS cap_total,
+             CAST(sum(w) OVER () AS BIGINT) AS w_total,
+             CAST(coalesce(sum(cap) OVER (
+               ORDER BY cap * 1.0 / w, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumcap,
+             CAST(coalesce(sum(w) OVER (
+               ORDER BY cap * 1.0 / w, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumw
+      FROM sw
+    ),
+    s AS (
+      SELECT *,
+             cap_total * {WF_BUDGET_NUM} // {WF_BUDGET_DEN} AS budget,
+             w * (cap_total * {WF_BUDGET_NUM} // {WF_BUDGET_DEN} - cumcap)
+               >= cap * (w_total - cumw) AS saturated
+      FROM r
+    ),
+    l AS (
+      SELECT *,
+             budget - CAST(sum(CASE WHEN saturated THEN cap ELSE 0 END)
+                           OVER () AS BIGINT) AS lam_num,
+             CAST(sum(CASE WHEN saturated THEN 0 ELSE w END) OVER ()
+                  AS BIGINT) AS lam_den
+      FROM s
+    )
+    SELECT source, cap AS cap_tokens, w AS weight, saturated,
+           CAST(CASE WHEN saturated THEN cap
+                     ELSE w * lam_num // lam_den END AS BIGINT)
+             AS alloc_tokens
+    FROM l
+"""

@@ -600,6 +600,35 @@ def dedup_canonical_docs(
     )
 
 
+def dedup_cluster_size_histogram(t: Tables) -> DataFrame:
+    """Cluster-size distribution of the exact near-dup clustering
+    (:func:`dedup_clusters`) — the dedup campaign's report card: how much
+    redundancy sits in pairs vs giant templated clusters (a few huge
+    clusters mean boilerplate; many near-pairs mean true near-copies).
+
+    Cost on top of the CC labels (reused through the label memo when a
+    sibling query just converged them): one groupBy(component) on the
+    cluster map — graph-sized, not corpus-sized — plus a bounded
+    histogram rollup. ``docs_removed`` per size = (size − 1)·n_clusters,
+    the exact dedup yield attributable to that cluster size."""
+    sizes = (
+        dedup_clusters(t)
+        .groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "docs_removed"
+            ),
+        )
+    )
+
+
 _RATE_CASE = " ".join(
     f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items()
 )
@@ -785,6 +814,29 @@ ORACLES: dict[str, str] = {
                TRUE AS refine_ok, TRUE AS covered_ok
         FROM comp
     """,
+    "dedup_cluster_size_histogram": f"""
+        WITH RECURSIVE {_SHINGLE_DUCK},
+        jp AS (
+          SELECT id_a, id_b
+          FROM p JOIN n na ON p.id_a = na.doc_id
+                 JOIN n nb ON p.id_b = nb.doc_id
+          WHERE round(common * 1.0 / (na.n + nb.n - common), 4)
+                >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (SELECT id_a AS s, id_b AS d FROM jp
+                  UNION SELECT id_b, id_a FROM jp),
+        reach(node, lab) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+        ),
+        comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+        cs AS (SELECT component, count(*) AS cluster_size
+               FROM comp GROUP BY component)
+        SELECT cluster_size, count(*) AS n_clusters,
+               CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removed
+        FROM cs GROUP BY cluster_size
+    """,
 }
 
 QUERIES = {
@@ -801,4 +853,5 @@ QUERIES = {
     "dedup_clusters_minhash": dedup_clusters_minhash,
     "dedup_clusters_minhash_check": dedup_clusters_minhash_check,
     "dedup_canonical_docs": dedup_canonical_docs,
+    "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
 }

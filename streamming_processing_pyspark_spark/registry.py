@@ -509,7 +509,39 @@ def streaming_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mi_projection(spark.table(table))
 
 
+def streaming_burst_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics3.burst_users_audit maintained BY the event stream: the
+    (user, minute) counts are a plain streaming aggregation in complete
+    mode (state ∝ active user-minutes — at scale you'd watermark the
+    minute window; complete mode here makes the drain equal the batch
+    table exactly), and the per-user burst rollup + threshold filter runs
+    on the drained cells. Shares burst_users_audit's oracle verbatim —
+    the abuse-triage feed stays warm as events arrive instead of being
+    recomputed per report."""
+    from .operators.analytics3 import BURST_PER_MINUTE
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_to_memory
+
+    ev = stream_events(spark, sf_dir)
+    cells = ev.groupBy(
+        "user_id", F.window("ts", "1 minute").alias("w")
+    ).agg(F.count("*").alias("c"))
+    q, table = run_to_memory(cells, "complete")
+    q.stop()
+    return (
+        spark.table(table)
+        .groupBy("user_id")
+        .agg(
+            F.max("c").alias("max_events_per_minute"),
+            F.count("*").alias("n_active_minutes"),
+            F.sum("c").alias("n_events"),
+        )
+        .where(F.col("max_events_per_minute") >= BURST_PER_MINUTE)
+    )
+
+
 _STREAMING_QUERIES: dict[str, QueryFn] = {
+    "streaming_burst_alerts": streaming_burst_alerts,
     "streaming_cms_cells": streaming_cms_cells,
     "streaming_dataset_card": streaming_dataset_card,
     "streaming_mutual_info": streaming_mutual_info,
@@ -531,6 +563,8 @@ _STREAMING_QUERIES: dict[str, QueryFn] = {
 }
 
 _STREAMING_ORACLES: dict[str, str] = {
+    # stream/batch twin: identical per-user rollup, identical oracle
+    "streaming_burst_alerts": analytics3.ORACLES["burst_users_audit"],
     "streaming_cms_cells": sketches.CELLS_ORACLE,
     # stream/batch twin: identical cells, identical oracle
     "streaming_woe_value_bins": featurize.ORACLES["woe_value_bins"],

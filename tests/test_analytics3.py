@@ -99,6 +99,45 @@ def test_anonymization_ladder_monotone_and_nested(spark):
         assert cur["rows_at_risk"] <= prev["rows_at_risk"]
 
 
+def test_token_budget_waterfill_invariants(spark):
+    """Allocation must respect every cap, land the budget within the
+    floor-rounding slack (budget − Σalloc < |unsaturated sources|), and
+    saturate exactly the sources whose full cap costs less water than
+    their weight share buys."""
+    from streamming_processing_pyspark_spark.operators import mixing
+
+    t = load_tables(spark, SF_DIR)
+    rows = mixing.token_budget_waterfill(t).collect()
+    assert rows
+    total_cap = sum(r["cap_tokens"] for r in rows)
+    budget = total_cap * mixing.WF_BUDGET_NUM // mixing.WF_BUDGET_DEN
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    n_unsat = sum(1 for r in rows if not r["saturated"])
+    assert alloc <= budget
+    # each unsaturated source loses < 1 token to the floor, nothing else
+    assert budget - alloc <= max(n_unsat, 0), (budget, alloc, n_unsat)
+    assert n_unsat > 0  # half the corpus can't saturate every source
+    for r in rows:
+        assert 0 <= r["alloc_tokens"] <= r["cap_tokens"]
+        if r["saturated"]:
+            assert r["alloc_tokens"] == r["cap_tokens"]
+
+
+def test_cluster_size_histogram_consistent_with_labels(spark):
+    """Histogram must re-aggregate the label map exactly: Σ size·n =
+    clustered docs, Σ docs_removed = clustered docs − clusters."""
+    from streamming_processing_pyspark_spark.operators import pipeline as pl
+
+    t = load_tables(spark, SF_DIR)
+    labels = pl.dedup_clusters(t).collect()
+    hist = pl.dedup_cluster_size_histogram(t).collect()
+    n_docs = len(labels)
+    n_comps = len({r["component"] for r in labels})
+    assert sum(r["cluster_size"] * r["n_clusters"] for r in hist) == n_docs
+    assert sum(r["docs_removed"] for r in hist) == n_docs - n_comps
+    assert all(r["cluster_size"] >= 2 for r in hist)
+
+
 def test_referential_integrity_detects_planted_breaks(spark):
     """Plant one orphan lineitem order, one childless order and one
     dangling customer FK in a toy warehouse and assert each counter."""

@@ -187,6 +187,8 @@ QUERIES = [
     "packing_efficiency_report",
     "text_compression_ratio",
     "anonymization_ladder",
+    "token_budget_waterfill",
+    "dedup_cluster_size_histogram",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from streamming_processing_pyspark_spark.session import get_spark
 from streamming_processing_pyspark_spark.tables import load_tables
 from streamming_processing_pyspark_spark.operators import (
+    analytics3,
     campaign,
     curation,
     dedup,
@@ -72,6 +73,9 @@ OPS = {
     "doremi_mixture_weights": mixing.doremi_mixture_weights,
     "dataset_card_rollup": curation.dataset_card_rollup,
     "bigram_pmi_topk": lm.bigram_pmi_topk,
+    "dup_leakage_matrix": analytics3.dup_leakage_matrix,
+    "text_compression_ratio": analytics3.text_compression_ratio,
+    "packing_efficiency_report": analytics3.packing_efficiency_report,
 }
 
 #: embedding-table operators probed against a scaled embeddings table.
@@ -93,6 +97,7 @@ EMB_OPS = {
     "knn_graph_triangles": similarity.knn_graph_triangles,
     "label_propagation_knn": similarity.label_propagation_knn,
     "embedding_centroid_drift": similarity.embedding_centroid_drift,
+    "embedding_dim_stats": analytics3.embedding_dim_stats,
 }
 
 
@@ -193,11 +198,14 @@ def main() -> None:
         t["embeddings"] = emb_k
         rows[k] = docs.count()
         for name, fn in {**OPS, **EMB_OPS}.items():
+            pipeline.clear_cc_memo()  # warm-up/warm-run labels would leak in
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(t).write.mode("overwrite").format("noop").save()
             warm = time.perf_counter() - t0
-            # second run: measured figure (first absorbs cache/JIT)
+            # second run: measured figure (first absorbs cache/JIT);
+            # drop the CC label memo so the rerun measures the loop
+            pipeline.clear_cc_memo()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(t).write.mode("overwrite").format("noop").save()
@@ -208,7 +216,10 @@ def main() -> None:
             # collect them so op N's leftover blocks don't squeeze op
             # N+1's executor memory (measured: the k=8 embedding matmuls
             # read 5-10x slower when run after the k=8 dedup ops without
-            # this, and normal in a fresh JVM).
+            # this, and normal in a fresh JVM). The CC label memo would
+            # otherwise turn the measured (second) run of dedup_clusters /
+            # campaign into a dict lookup — clear it between runs.
+            pipeline.clear_cc_memo()
             spark.catalog.clearCache()
             gc.collect()
             print(f"k={k} {name}: {results[name][k]}s", flush=True)
@@ -265,6 +276,10 @@ def main() -> None:
         "- `dedup_clusters` growth tracks the pair-graph size (CC rounds are",
         "  log-bounded via pointer doubling); at a fixed duplication RATE its",
         "  input grows linearly with the corpus.",
+        "- `dup_leakage_matrix` inherits its pair source's growth: it is the",
+        "  exact `ngram_jaccard_pairs` frame plus pair-sized metadata joins",
+        "  and a |sources|²-bounded rollup. On a production run the same",
+        "  rollup reads the banded `minhash_lsh_pairs` candidates (α≈0.2).",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
     with open(out, "w") as f:
