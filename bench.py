@@ -170,6 +170,8 @@ HEADLINE = [
     "anonymization_ladder",
     "token_budget_waterfill",
     "dedup_cluster_size_histogram",
+    "asof_next_event",
+    "exact_percentiles_by_type",
 ]
 
 

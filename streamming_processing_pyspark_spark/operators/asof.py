@@ -120,6 +120,7 @@ def asof_join_window(
     right_time: str,
     right_cols: list[str],
     right_tiebreak: str,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join as ONE window over the tagged union of both sides — the
     sort-merge formulation, all JVM-side.
@@ -141,7 +142,15 @@ def asof_join_window(
     audit), this is 1 exchange and stays inside whole-stage codegen —
     the right shape for a 100 TB fact stream. Skewed keys sort within
     one partition either way; the window is linear per partition.
+
+    ``direction="forward"`` flips the scan to time-DESCENDING, giving
+    the NEAREST right row at-or-after the left time (inclusive
+    ``right_time >= left_time``); the tie-break inverts with it, so
+    among equal-time right rows the SMALLEST ``right_tiebreak`` wins —
+    the deterministic "next event" choice.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     tag = "_is_left"
     left_cols = [c for c in left.columns]
     # the right payload travels as ONE nullable struct column: carrying
@@ -180,9 +189,14 @@ def asof_join_window(
         F.col(right_tiebreak).alias("_tb"),
         F.lit(0).alias(tag),
     )
+    order = (
+        [F.asc("_t"), F.asc(tag), F.asc("_tb")]
+        if direction == "backward"
+        else [F.desc("_t"), F.asc(tag), F.desc("_tb")]
+    )
     w = (
         Window.partitionBy(key)
-        .orderBy("_t", tag, "_tb")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_proj.unionByName(r_proj).select(
@@ -236,7 +250,46 @@ def asof_latest_order_cogroup(t: Tables) -> DataFrame:
     )
 
 
+def asof_next_event(t: Tables) -> DataFrame:
+    """Forward as-of: each order joined to the customer's NEXT site event
+    at or after the order date — the "time to next engagement" join,
+    symmetric to :func:`asof_latest_order` and running the same
+    single-shuffle window-over-union plan with the scan direction
+    flipped (the datasets put orders before events, so this direction is
+    the populated one). Tie at equal timestamps resolves to the smallest
+    event_id (deterministic in both engines)."""
+    orders = t["orders"].select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    ev = t["events"].select("user_id", "event_id", "ts")
+    return asof_join_window(
+        orders,
+        ev,
+        key="user_id",
+        left_time="o_orderdate",
+        right_time="ts",
+        right_cols=["event_id", "ts"],
+        right_tiebreak="event_id",
+        direction="forward",
+    )
+
+
 ORACLES: dict[str, str] = {
+    "asof_next_event": """
+        WITH e AS (
+          SELECT user_id, ts, event_id FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (
+                     PARTITION BY user_id, ts ORDER BY event_id
+                   ) AS rn
+            FROM events
+          ) WHERE rn = 1
+        )
+        SELECT o.o_orderkey, o.o_custkey AS user_id, o.o_orderdate,
+               e.event_id, e.ts
+        FROM orders o
+        ASOF JOIN e ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    """,
     "asof_latest_order": """
         WITH o AS (
           SELECT o_custkey, o_orderdate, o_orderkey FROM (
@@ -255,4 +308,5 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "asof_latest_order": asof_latest_order,
+    "asof_next_event": asof_next_event,
 }

@@ -354,7 +354,72 @@ def pareto_front_orders(t: Tables) -> DataFrame:
     ).select("o_orderkey", "price_cents", "o_orderdate")
 
 
+#: exact-percentile targets in percent (P50/P90/P99)
+EXACT_PCT = (50, 90, 99)
+
+
+def exact_percentiles_by_type(t: Tables) -> DataFrame:
+    """EXACT P50/P90/P99 of the event value (cents) per type — without a
+    global sort: aggregate to a per-(type, cents) histogram (map-side
+    combinable, one shuffle of |distinct cents| rows), cumulate counts
+    over the tiny histogram with one window per type, and pick the
+    smallest value whose cumulative count reaches ``ceil(q·n)`` — the
+    same machinery as ``curation.perplexity_buckets``' terciles, the
+    standard way to take exact quantiles of 100 TB. All-integer
+    (``cum ≥ (q·n + 99) DIV 100``), so it hash-matches the oracle; the
+    sketch twin is :func:`approx_percentiles_by_type`.
+    """
+    hist = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("v_c")
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "v_c",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_events")]
+    for q in EXACT_PCT:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.expr(f"cum >= ({q} * n + 99) DIV 100"), F.col("v_c")
+                )
+            ).alias(f"p{q}_cents")
+        )
+    return cum.groupBy("event_type").agg(*aggs)
+
+
 ORACLES: dict[str, str] = {
+    "exact_percentiles_by_type": f"""
+        WITH hist AS (
+          SELECT event_type,
+                 CAST(round(value * 100, 0) AS BIGINT) AS v_c,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, v_c,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v_c)
+                      AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM hist
+        )
+        SELECT event_type, max(n) AS n_events,
+               {", ".join(
+                   f"min(CASE WHEN cum >= ({q} * n + 99) // 100 THEN v_c END)"
+                   f" AS p{q}_cents"
+                   for q in EXACT_PCT
+               )}
+        FROM cum GROUP BY event_type
+    """,
     "pareto_front_orders": """
         WITH o AS (
           SELECT o_orderkey,
@@ -532,6 +597,7 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "stats_by_type": stats_by_type,
     "percentiles_by_type": percentiles_by_type,
+    "exact_percentiles_by_type": exact_percentiles_by_type,
     "approx_percentiles_by_type": approx_percentiles_by_type,
     "approx_percentile_rank_check": approx_percentile_rank_check,
     "mode_value_by_type": mode_value_by_type,

@@ -138,6 +138,66 @@ def test_cluster_size_histogram_consistent_with_labels(spark):
     assert all(r["cluster_size"] >= 2 for r in hist)
 
 
+def test_asof_next_event_semantics(spark):
+    """Forward as-of: nearest event AT/AFTER the order date (inclusive),
+    min-event_id tie-break at equal timestamps, unmatched orders drop."""
+    from streamming_processing_pyspark_spark.operators import asof
+
+    orders = spark.createDataFrame(
+        [
+            (100, 7, "2024-01-10 00:00:00"),
+            (101, 7, "2024-01-15 00:00:00"),  # equal to event ts → inclusive
+            (102, 7, "2024-01-20 00:00:00"),  # after last event → drops
+            (103, 8, "2024-01-01 00:00:00"),  # user with no events → drops
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-12 00:00:00"),
+            (2, 7, "2024-01-15 00:00:00"),
+            (3, 7, "2024-01-15 00:00:00"),  # tie: min event_id 2 wins
+        ],
+        "event_id long, user_id long, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    got = {
+        r["o_orderkey"]: r["event_id"]
+        for r in asof.asof_next_event({"events": ev, "orders": orders}).collect()
+    }
+    assert got == {100: 1, 101: 2}
+
+
+def test_exact_percentiles_match_bruteforce(spark):
+    """Histogram-cumsum percentiles must equal the ceil-rank order
+    statistic of the sorted cents list, per group."""
+    import math
+
+    from streamming_processing_pyspark_spark.operators import relational2
+
+    ev = load_table(spark, SF_DIR, "events")
+    cents = {}
+    for r in ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c")
+    ).collect():
+        cents.setdefault(r["event_type"], []).append(r["c"])
+    got = {
+        r["event_type"]: r
+        for r in relational2.exact_percentiles_by_type({"events": ev}).collect()
+    }
+    assert set(got) == set(cents)
+    for etype, vals in cents.items():
+        vals.sort()
+        row = got[etype]
+        assert row["n_events"] == len(vals)
+        for q in relational2.EXACT_PCT:
+            rank = math.ceil(q * len(vals) / 100)
+            assert row[f"p{q}_cents"] == vals[rank - 1], (etype, q)
+
+
 def test_referential_integrity_detects_planted_breaks(spark):
     """Plant one orphan lineitem order, one childless order and one
     dangling customer FK in a toy warehouse and assert each counter."""

@@ -189,6 +189,8 @@ QUERIES = [
     "anonymization_ladder",
     "token_budget_waterfill",
     "dedup_cluster_size_histogram",
+    "asof_next_event",
+    "exact_percentiles_by_type",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
