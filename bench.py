@@ -278,7 +278,23 @@ def main() -> None:
     import statistics
 
     NOISE_SPREAD = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_SPREAD", "0.2"))
+    # Noise criterion: MEDIAN drift over min, with an absolute floor.
+    # max-min flags any single GC/compile spike (measured: 62-76/124
+    # queries trip a max-based 20% budget on an IDLE host, medians rock-
+    # steady), but the carried figures are min and median — both robust
+    # to one spike at iters>=3. What actually corrupted r6's readings was
+    # the MEDIAN shifting under sustained contention; so noisy :=
+    # (median-min)/min > 20% AND median-min > 250 ms (sub-second queries
+    # jitter by tens of ms from task scheduling alone — irrelevant).
+    NOISE_ABS_FLOOR = float(
+        os.environ.get("SPARK_GRAFT_BENCH_NOISE_FLOOR", "0.25")
+    )
     MAX_EXTRA_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_ITERS", "3"))
+    import statistics as _stats
+
+    def is_noisy(runs: list[float]) -> bool:
+        drift = _stats.median(runs) - min(runs)
+        return drift / min(runs) > NOISE_SPREAD and drift > NOISE_ABS_FLOOR
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -305,16 +321,13 @@ def main() -> None:
     noisy: list[str] = []
     for name in HEADLINE:
         runs = [run_once(name) for _ in range(N_ITERS)]
-        while (
-            (max(runs) - min(runs)) / min(runs) > NOISE_SPREAD
-            and len(runs) < N_ITERS + MAX_EXTRA_ITERS
-        ):
+        while is_noisy(runs) and len(runs) < N_ITERS + MAX_EXTRA_ITERS:
             runs.append(run_once(name))
         timings[name] = round(min(runs), 3)
         medians[name] = round(statistics.median(runs), 3)
         spreads[name] = round((max(runs) - min(runs)) / min(runs), 3)
         iters_used[name] = len(runs)
-        if spreads[name] > NOISE_SPREAD:
+        if is_noisy(runs):
             noisy.append(name)
 
     total = round(sum(timings.values()), 3)
@@ -331,9 +344,11 @@ def main() -> None:
         "metric": "headline_suite_detail",
         "value_median": total_median,
         "queries_median": medians,
+        "queries_min": dict(timings),
         "queries_spread": spreads,
         "queries_iters": iters_used,
         "noise_spread_budget": NOISE_SPREAD,
+        "noise_abs_floor_sec": NOISE_ABS_FLOOR,
         "noisy": noisy,
         "iters_per_query": N_ITERS,
         "sf": sf,

@@ -87,10 +87,14 @@ def rolling_7d_active_users(t: Tables) -> DataFrame:
     aggregates are done when the window function can't (count DISTINCT
     over a range frame is unsupported and would be corpus-sorted anyway).
     """
+    from ..tables import persist_replacing
+
     ev = t["events"]
-    du = (
-        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
-        .distinct()
+    # persisted: the day grid derives from the SAME reduced frame instead
+    # of a second corpus scan (PLANS.md audit r7)
+    du = persist_replacing(
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct(),
+        "analytics3.day_user",
     )
     grid = du.select(F.col("day").alias("grid_day")).distinct()
     span = F.expr(f"INTERVAL {ACTIVE_WINDOW_DAYS - 1} DAYS")

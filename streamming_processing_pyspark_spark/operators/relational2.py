@@ -397,7 +397,54 @@ def exact_percentiles_by_type(t: Tables) -> DataFrame:
     return cum.groupBy("event_type").agg(*aggs)
 
 
+def value_outliers_by_percentile(t: Tables) -> DataFrame:
+    """Rows above their group's exact P99 — the standard "show me the
+    tail" query, composed from :func:`exact_percentiles_by_type`: the
+    per-type percentile table (|types| rows) BROADCASTS back onto the
+    events scan, so outlier extraction runs at scan speed — the quantile
+    machinery never touches the fact table a second time beyond the
+    histogram it already built. Deterministic ordering not needed (full
+    result set, order-insensitive driver hash)."""
+    p = exact_percentiles_by_type(t).select("event_type", "p99_cents")
+    ev = t["events"].select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .where(F.col("v_c") > F.col("p99_cents"))
+        .select("event_id", "event_type", "v_c", "p99_cents")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "value_outliers_by_percentile": f"""
+        WITH hist AS (
+          SELECT event_type,
+                 CAST(round(value * 100, 0) AS BIGINT) AS v_c,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, v_c,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v_c)
+                      AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM hist
+        ),
+        p AS (
+          SELECT event_type,
+                 min(CASE WHEN cum >= (99 * n + 99) // 100 THEN v_c END)
+                   AS p99_cents
+          FROM cum GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               CAST(round(e.value * 100, 0) AS BIGINT) AS v_c,
+               p.p99_cents
+        FROM events e JOIN p USING (event_type)
+        WHERE CAST(round(e.value * 100, 0) AS BIGINT) > p.p99_cents
+    """,
     "exact_percentiles_by_type": f"""
         WITH hist AS (
           SELECT event_type,
@@ -598,6 +645,7 @@ QUERIES = {
     "stats_by_type": stats_by_type,
     "percentiles_by_type": percentiles_by_type,
     "exact_percentiles_by_type": exact_percentiles_by_type,
+    "value_outliers_by_percentile": value_outliers_by_percentile,
     "approx_percentiles_by_type": approx_percentiles_by_type,
     "approx_percentile_rank_check": approx_percentile_rank_check,
     "mode_value_by_type": mode_value_by_type,

@@ -509,6 +509,44 @@ def streaming_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mi_projection(spark.table(table))
 
 
+def streaming_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics3.seasonality_profile maintained BY the event stream: the
+    ≤168 (day-of-week, hour) cells are a plain streaming aggregation in
+    complete mode (bounded state by construction — the cell grid can't
+    grow), and the share/avg arithmetic runs on the drained cell frame.
+    Shares the batch oracle verbatim — the capacity-planning baseline
+    stays warm instead of being recomputed per report."""
+    from pyspark.sql import Window
+
+    from .sources.streams import stream_events
+    from .streaming.jobs import run_to_memory
+
+    ev = stream_events(spark, sf_dir)
+    cells = ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    )
+    q, table = run_to_memory(cells, "complete")
+    q.stop()
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        spark.table(table)
+        .withColumn("total", F.sum("n_events").over(w_all))
+        .select(
+            "dow",
+            "hod",
+            "n_events",
+            "sum_value_cents",
+            F.expr("sum_value_cents DIV n_events").alias("avg_value_cents"),
+            F.expr("10000 * n_events DIV total").alias("share_bp"),
+        )
+    )
+
+
 def streaming_burst_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """analytics3.burst_users_audit maintained BY the event stream: the
     (user, minute) counts are a plain streaming aggregation in complete
@@ -541,6 +579,7 @@ def streaming_burst_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAMING_QUERIES: dict[str, QueryFn] = {
+    "streaming_seasonality_profile": streaming_seasonality_profile,
     "streaming_burst_alerts": streaming_burst_alerts,
     "streaming_cms_cells": streaming_cms_cells,
     "streaming_dataset_card": streaming_dataset_card,
@@ -563,7 +602,8 @@ _STREAMING_QUERIES: dict[str, QueryFn] = {
 }
 
 _STREAMING_ORACLES: dict[str, str] = {
-    # stream/batch twin: identical per-user rollup, identical oracle
+    # stream/batch twins: identical rollups, identical oracles
+    "streaming_seasonality_profile": analytics3.ORACLES["seasonality_profile"],
     "streaming_burst_alerts": analytics3.ORACLES["burst_users_audit"],
     "streaming_cms_cells": sketches.CELLS_ORACLE,
     # stream/batch twin: identical cells, identical oracle
