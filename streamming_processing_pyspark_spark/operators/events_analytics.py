@@ -662,7 +662,56 @@ def conditional_entropy_next_event(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: recency decay: half-life in days and the fixed-point shift. Weight for
+#: an event b half-lives old is 2^(SHIFT−b) — an INTEGER (b capped at
+#: SHIFT), so the decayed sum is exact int64 arithmetic in both engines:
+#: the classic float-free way to do exponential time-decay scoring
+#: (cents ≤ ~5e4 × 2^30 ≈ 5e13 per row, corpus sums well inside int64).
+DECAY_HALF_LIFE_DAYS = 7
+DECAY_SHIFT = 30
+
+
+def user_recency_decay_scores(t: Tables) -> DataFrame:
+    """Recency-weighted engagement score per user — each event's value
+    halves every ``DECAY_HALF_LIFE_DAYS`` (bucketed to whole half-lives),
+    the standard recency prior for replay sampling / CRM ranking, done in
+    EXACT integer arithmetic: weight = 2^(SHIFT−half_lives_old) is a pure
+    bit-shift, so no float summation-order hazard exists and the oracle
+    hash-matches. The reference epoch is the corpus max timestamp
+    (broadcast 1-row aggregate); the scoring pass is map-side and one
+    groupBy(user) with partial combine.
+
+    Output: ``user_id``, ``n_events``, ``score_scaled`` (Σ cents·weight;
+    divide by 2^SHIFT for unit-cents), ``last_seen_ts``.
+    """
+    ev = t["events"].select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    # pinned cross-engine equivalence: Spark cast(ts as bigint) difference
+    # == DuckDB date_diff('second', ts, max_ts); the weight is a pure
+    # bit-shift (shiftleft with a column shift needs the SQL form)
+    weighted = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "ts",
+        F.expr(
+            "cents * shiftleft(CAST(1 AS BIGINT),"
+            f" CAST({DECAY_SHIFT} - least("
+            "(CAST(max_ts AS BIGINT) - CAST(ts AS BIGINT))"
+            f" DIV {86400 * DECAY_HALF_LIFE_DAYS}, {DECAY_SHIFT}) AS INT))"
+        ).alias("w_cents"),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("w_cents").alias("score_scaled"),
+        F.max("ts").alias("last_seen_ts"),
+    )
+
+
 QUERIES = {
+    "user_recency_decay_scores": user_recency_decay_scores,
     "km_conversion_survival": km_conversion_survival,
     "basket_pair_lift": basket_pair_lift,
     "cohort_ltv_cents": cohort_ltv_cents,
@@ -692,6 +741,22 @@ _TRANSITIONS_CTE = """
 
 
 ORACLES: dict[str, str] = {
+    "user_recency_decay_scores": f"""
+        WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+        w AS (
+          SELECT user_id, ts,
+                 CAST(round(value * 100, 0) AS BIGINT)
+                   * CAST(power(2, {DECAY_SHIFT} - least(
+                       date_diff('second', ts, mx.max_ts)
+                         // {86400 * DECAY_HALF_LIFE_DAYS},
+                       {DECAY_SHIFT})) AS BIGINT) AS w_cents
+          FROM events, mx
+        )
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(w_cents) AS BIGINT) AS score_scaled,
+               max(ts) AS last_seen_ts
+        FROM w GROUP BY user_id
+    """,
     "cohort_ltv_cents": """
         WITH e AS (
           SELECT user_id, CAST(ts AS DATE) AS d,

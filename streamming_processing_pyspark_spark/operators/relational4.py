@@ -316,11 +316,71 @@ def q21_waiting_suppliers(t: Tables) -> DataFrame:
     )
 
 
+#: dormancy horizon: customers with no order in the trailing N days of
+#: the order history are "dormant" (churn candidates)
+DORMANT_DAYS = 365
+
+
+def dormant_customers(t: Tables) -> DataFrame:
+    """Churn list: customers whose LAST order predates the corpus's
+    latest order date by more than ``DORMANT_DAYS``, with their lifetime
+    order count and value — the reactivation-campaign input.
+
+    Plan: one groupBy(custkey) over orders (map-combined), the 1-row
+    horizon aggregate broadcast back, a broadcast customer join for the
+    segment. No window, no second orders scan.
+    """
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "lifetime_cents"
+            ),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+    horizon = t["orders"].agg(F.max("o_orderdate").alias("max_date"))
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(horizon))
+        .where(
+            F.expr(f"last_order < max_date - INTERVAL {DORMANT_DAYS} DAYS")
+        )
+        .join(F.broadcast(cust), "o_custkey")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "c_mktsegment",
+            "n_orders",
+            "lifetime_cents",
+            "last_order",
+        )
+    )
+
+
 _NATIONS_SQL = ", ".join(f"'{n}'" for n in SUPPLIER_NATIONS)
 _Q12_HIGH_SQL = ", ".join(f"'{p}'" for p in Q12_HIGH)
 _Q16_SIZES_SQL = ", ".join(str(s) for s in Q16_SIZES)
 
 ORACLES: dict[str, str] = {
+    "dormant_customers": f"""
+        WITH pc AS (
+          SELECT o_custkey, count(*) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                      AS BIGINT) AS lifetime_cents,
+                 max(o_orderdate) AS last_order
+          FROM orders GROUP BY o_custkey
+        ),
+        h AS (SELECT max(o_orderdate) AS max_date FROM orders)
+        SELECT pc.o_custkey AS custkey, c.c_mktsegment, pc.n_orders,
+               pc.lifetime_cents, pc.last_order
+        FROM pc, h
+        JOIN customer c ON pc.o_custkey = c.c_custkey
+        WHERE pc.last_order < h.max_date - INTERVAL {DORMANT_DAYS} DAY
+    """,
     "q2_min_cost_supplier": f"""
         WITH pp AS (
           SELECT p_partkey, p_name FROM part
@@ -433,4 +493,5 @@ QUERIES = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_excess_shipped": q20_excess_shipped,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    "dormant_customers": dormant_customers,
 }
