@@ -1386,6 +1386,12 @@ SEMDEDUP_ITERS = 3
 SEMDEDUP_THRESHOLD = 0.4
 #: multi-probe width: each vector joins its P nearest clusters
 SEMDEDUP_PROBES = 3
+#: target vectors per cluster: k grows as max(SEMDEDUP_K, n/TARGET) so the
+#: per-cluster pairwise block stays BOUNDED as the corpus grows — with a
+#: fixed k the within-cluster all-pairs is n²/k (quadratic at scale); with
+#: k ∝ n it is n·TARGET (linear). This is the "k ~ n/target_cluster_size"
+#: production rule the docstring cites, made real.
+SEMDEDUP_TARGET_CLUSTER = 400
 #: Lloyd's-iteration convergence tolerance: stop when no centroid moved
 #: more than this (1 − cos of old vs new unit centroid). Near-converged
 #: rounds don't change assignments, so stopping early is free recall-wise
@@ -1537,19 +1543,21 @@ def semantic_dedup_pairs(t: Tables) -> DataFrame:
     (precision exact; recall approximate, bounded empirically in tests
     and by semdedup_check's subset claim).
 
-    Scale note: here k=16 suits the test corpus; production SemDeDup
-    picks k ~ n/target_cluster_size so each cluster's pairwise block fits
-    one task — the plan shape (map-side multi-probe assign, per-cluster
-    grouped pairwise, distinct) is unchanged. Rows-only driver check
-    (float kmeans isn't SQL-replayable); semdedup_check is the hard
-    driver contract.
+    Scale note: k adapts to the corpus — ``max(SEMDEDUP_K,
+    n/SEMDEDUP_TARGET_CLUSTER)`` — so each cluster's pairwise block stays
+    bounded (~TARGET² dot products) and total pairwise cost is linear in
+    n instead of n²/k; the plan shape (map-side multi-probe assign,
+    per-cluster grouped pairwise, distinct) is unchanged. Rows-only
+    driver check (float kmeans isn't SQL-replayable); semdedup_check is
+    the hard driver contract.
     """
     import numpy as np
 
     emb = fan_out(
         t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
     )
-    _, assign, emb = _spherical_kmeans(emb, SEMDEDUP_K, SEMDEDUP_ITERS)
+    k = max(SEMDEDUP_K, int(emb.count()) // SEMDEDUP_TARGET_CLUSTER)
+    _, assign, emb = _spherical_kmeans(emb, k, SEMDEDUP_ITERS)
 
     def pairs_in_cluster(pdf):
         mat = np.array(pdf["vec"].tolist(), dtype="float64")

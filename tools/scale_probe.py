@@ -280,6 +280,11 @@ def main() -> None:
         "  exact `ngram_jaccard_pairs` frame plus pair-sized metadata joins",
         "  and a |sources|²-bounded rollup. On a production run the same",
         "  rollup reads the banded `minhash_lsh_pairs` candidates (α≈0.2).",
+        "- `semantic_dedup_pairs` scales its cluster count with the corpus",
+        "  (k = max(16, n/400)), so the per-cluster pairwise block is",
+        "  bounded and total pairwise cost stays linear — with a FIXED k",
+        "  the within-cluster all-pairs would be n²/k and the growth row",
+        "  here would go quadratic at larger spans.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
     with open(out, "w") as f:
