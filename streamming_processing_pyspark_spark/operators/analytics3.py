@@ -318,6 +318,50 @@ def embedding_dim_stats(t: Tables) -> DataFrame:
     )
 
 
+#: unit-norm audit band: vectors whose norm² is off 1.0 by more than
+#: NORM_BAND_BP basis points are counted as broken
+NORM_BAND_BP = 500
+#: fixed-point scale for norm² (components floored at 1e-6 → norm² of a
+#: unit vector ≈ 1e12)
+_NORM_UNIT = 1_000_000_000_000
+
+
+def embedding_norm_audit(t: Tables) -> DataFrame:
+    """One-row unit-norm audit of the embedding table — the gate an ANN
+    build runs before treating cosine as a dot product (IVF/PQ/LSH here
+    all assume ~unit vectors): count of vectors whose norm² is more than
+    ``NORM_BAND_BP`` basis points off 1.0, plus the exact min/max/mean
+    norm² so drift is visible before it breaks the band.
+
+    Fixed-point exactness: components floor at 1e-6 and norm² is the
+    integer sum of their squares (≤ ~2e10/dim × dims — far inside
+    int64), so every output hash-matches the oracle with no float-sum
+    order hazard. Map-only scoring + one 1-row aggregate. (The corpus
+    SUM of norm² overflows int64 past ~9e6 billion-scale vectors; at
+    that scale shift norm² down 20 bits before the mean — the band
+    counter itself never sums norm² and is overflow-free at any n.)
+    """
+    from .similarity import as_double
+
+    norm2 = F.expr(
+        "aggregate(transform(_vec, x -> CAST(floor(x * 1000000.0) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (a, v) -> a + v * v)"
+    )
+    m = t["embeddings"].select(
+        as_double("embedding").alias("_vec")
+    ).select(norm2.alias("norm2"))
+    off = F.abs(F.col("norm2") - F.lit(_NORM_UNIT))
+    return m.agg(
+        F.count("*").alias("n_vecs"),
+        F.min("norm2").alias("min_norm2"),
+        F.max("norm2").alias("max_norm2"),
+        F.expr("sum(norm2) DIV count(*)").alias("mean_norm2"),
+        F.sum(
+            (off * 10000 > F.lit(NORM_BAND_BP) * F.lit(_NORM_UNIT)).cast("long")
+        ).alias("n_outside_band"),
+    )
+
+
 def _morton(x: Column, y: Column, bits: int) -> Column:
     """Interleave the low ``bits`` of x (even positions) and y (odd) —
     pure div/mod integer algebra, so both engines compute it identically
@@ -639,6 +683,24 @@ def _oracles() -> dict[str, str]:
                     JOIN documents db ON jp.id_b = db.doc_id
             GROUP BY 1, 2, 4
         """,
+        "embedding_norm_audit": f"""
+            WITH m AS (
+              SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> CAST(floor(x * 1000000.0) AS BIGINT))),
+                       (a, v) -> a + v * v) AS norm2
+              FROM embeddings
+            )
+            SELECT count(*) AS n_vecs,
+                   min(norm2) AS min_norm2,
+                   max(norm2) AS max_norm2,
+                   CAST(sum(norm2) // count(*) AS BIGINT) AS mean_norm2,
+                   CAST(sum(CASE WHEN abs(norm2 - {_NORM_UNIT}) * 10000
+                                      > {NORM_BAND_BP} * {_NORM_UNIT}
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_outside_band
+            FROM m
+        """,
         "embedding_dim_stats": f"""
             WITH x AS (
               SELECT i - 1 AS dim,
@@ -743,6 +805,7 @@ QUERIES = {
     "referential_integrity_audit": referential_integrity_audit,
     "dup_leakage_matrix": dup_leakage_matrix,
     "embedding_dim_stats": embedding_dim_stats,
+    "embedding_norm_audit": embedding_norm_audit,
     "zorder_cluster_assign": zorder_cluster_assign,
     "packing_efficiency_report": packing_efficiency_report,
     "text_compression_ratio": text_compression_ratio,
