@@ -164,6 +164,10 @@ HEADLINE = [
     "referential_integrity_audit",
     "dup_leakage_matrix",
     "embedding_dim_stats",
+    # round-8 additions: banded-source leakage matrix, exercised-threshold
+    # LSH pairs
+    "dup_leakage_matrix_minhash",
+    "lsh_pairs_at_theta",
     "zorder_cluster_assign",
     "packing_efficiency_report",
     "text_compression_ratio",
@@ -237,6 +241,41 @@ def taxi_replay_rows_per_sec() -> tuple[int, float, float]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def prior_round_floors() -> dict:
+    """Per-query min (and replay steady rows/s) from the LAST COMMITTED
+    BENCH_DETAIL.json (``git show HEAD:...`` — the working-tree copy may
+    be a noisy local run; the committed one is the previous round's
+    accepted clean figure).
+
+    Purpose (VERDICT r7 §1): the within-query noise detector can't see a
+    sustained external CPU burst that slows ALL of a query's iterations
+    uniformly — r7 recorded 3 queries at 2-4× their true time that way.
+    A cross-ROUND floor can: a query whose best-of-N exceeds the prior
+    round's recorded min by >1.5× is re-measured at end-of-suite before
+    the JSON is written; still-slow queries are declared as
+    ``regression_suspects``, recovered ones as ``contention_suspects``.
+    """
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "-C", root, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if out.returncode != 0:
+            return {}
+        return json.loads(out.stdout)
+    except Exception:
+        return {}
+
+
+#: cross-round guard: re-measure queries whose min is this factor over the
+#: prior round's committed min (and replay runs this factor under its floor)
+CROSS_ROUND_FACTOR = 1.5
+REPLAY_FLOOR_SLACK = 1.15
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -252,11 +291,36 @@ def main() -> None:
     # pressure left by the suite), while standalone runs reach 22k+
     # rows/s. Best-of-N (throughput → max) for the shared-host reason
     # the suite uses min.
+    prior = prior_round_floors()
+    prior_min = prior.get("queries_min", {}) if isinstance(prior, dict) else {}
+
     taxi_rows = taxi_rps = taxi_steady_rps = 0
     for i in range(N_ITERS):
         rows, rps, steady = taxi_replay_rows_per_sec()
         if i == 0 or steady > taxi_steady_rps:
             taxi_rows, taxi_rps, taxi_steady_rps = rows, rps, steady
+    # Cross-round floor for the replay (VERDICT r7 §7): r7 committed a
+    # contention-depressed 17.8k while three clean runs sat at 20.8-25.3k.
+    # The check runs HERE, while the JVM is still fresh (post-suite replay
+    # loses ~30% to heap/GC pressure, so a late re-measure can't recover).
+    replay_floor = (
+        prior.get("taxi_replay_steady_rows_per_sec")
+        if isinstance(prior, dict)
+        else None
+    )
+    extra_replays = 0
+    while (
+        replay_floor
+        and taxi_steady_rps * REPLAY_FLOOR_SLACK < replay_floor
+        and extra_replays < 2
+    ):
+        rows, rps, steady = taxi_replay_rows_per_sec()
+        if steady > taxi_steady_rps:
+            taxi_rows, taxi_rps, taxi_steady_rps = rows, rps, steady
+        extra_replays += 1
+    replay_below_floor = bool(
+        replay_floor and taxi_steady_rps * REPLAY_FLOOR_SLACK < replay_floor
+    )
     spark.catalog.clearCache()
     gc.collect()
 
@@ -319,16 +383,47 @@ def main() -> None:
     spreads: dict[str, float] = {}
     iters_used: dict[str, int] = {}
     noisy: list[str] = []
-    for name in HEADLINE:
-        runs = [run_once(name) for _ in range(N_ITERS)]
-        while is_noisy(runs) and len(runs) < N_ITERS + MAX_EXTRA_ITERS:
-            runs.append(run_once(name))
+    all_runs: dict[str, list[float]] = {}
+
+    def record(name: str) -> None:
+        runs = all_runs[name]
         timings[name] = round(min(runs), 3)
         medians[name] = round(statistics.median(runs), 3)
         spreads[name] = round((max(runs) - min(runs)) / min(runs), 3)
         iters_used[name] = len(runs)
+
+    for name in HEADLINE:
+        runs = [run_once(name) for _ in range(N_ITERS)]
+        while is_noisy(runs) and len(runs) < N_ITERS + MAX_EXTRA_ITERS:
+            runs.append(run_once(name))
+        all_runs[name] = runs
+        record(name)
         if is_noisy(runs):
             noisy.append(name)
+
+    # Cross-round contention guard (VERDICT r7 §1): the within-query noise
+    # detector above only sees median-vs-min drift, so an external CPU
+    # burst that slows ALL of a query's iterations uniformly is recorded
+    # as truth (r7: three consecutive queries at 2-4× their idle-host
+    # time). Any query whose best-of-N exceeds the PRIOR ROUND's committed
+    # min by >CROSS_ROUND_FACTOR gets one end-of-suite re-measure pass —
+    # by then a transient burst has usually passed; a REAL regression
+    # stays slow and is reported under `regression_suspects` so the
+    # round-over-round reader knows re-measurement already happened.
+    contention_suspects: list[str] = []
+    regression_suspects: list[str] = []
+    suspects = [
+        n
+        for n in HEADLINE
+        if prior_min.get(n) and timings[n] > CROSS_ROUND_FACTOR * prior_min[n]
+    ]
+    for name in suspects:
+        all_runs[name].extend(run_once(name) for _ in range(2))
+        record(name)
+        if timings[name] > CROSS_ROUND_FACTOR * prior_min[name]:
+            regression_suspects.append(name)
+        else:
+            contention_suspects.append(name)
 
     total = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
@@ -351,6 +446,15 @@ def main() -> None:
         "noise_abs_floor_sec": NOISE_ABS_FLOOR,
         "noisy": noisy,
         "iters_per_query": N_ITERS,
+        "cross_round_factor": CROSS_ROUND_FACTOR,
+        "contention_suspects": contention_suspects,
+        "regression_suspects": regression_suspects,
+        # replay figures carried in the detail file so the NEXT round's
+        # cross-round guard has its floor (read via git show HEAD:)
+        "taxi_replay_rows_per_sec": taxi_rps,
+        "taxi_replay_steady_rows_per_sec": taxi_steady_rps,
+        "replay_floor_prior": replay_floor,
+        "replay_below_floor": replay_below_floor,
         "sf": sf,
     }
     print(json.dumps(detail), flush=True)
@@ -382,6 +486,12 @@ def main() -> None:
         # driver-parsed final line short)
         "noisy_count": len(noisy),
         "noisy": noisy[:8],
+        # cross-round guard outcome: contention = re-measure recovered the
+        # prior-round floor (burst, not code); regression = still >1.5×
+        # prior min after re-measure (read as real until proven otherwise)
+        "contention_suspects": contention_suspects[:6],
+        "regression_suspects": regression_suspects[:6],
+        "replay_below_floor": replay_below_floor,
         "iters_per_query": N_ITERS,
         "sf": sf,
         "events_rows_per_sec": round(events_rows / pipeline_sec)

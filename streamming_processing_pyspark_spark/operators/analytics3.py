@@ -64,11 +64,11 @@ LADDER_WIDTHS = (10, 50, 250)
 #: k-anonymity threshold shared with governance.k_anonymity_check
 LADDER_K = 5
 
-#: embedding stats: fixed-point scale (micro-units) and a dimension cap
-#: for the oracle's index series (the data is 64-dim; the cap only bounds
-#: the generated series, the WHERE clause tracks the true length)
+#: embedding stats: fixed-point scale (micro-units). The oracle's
+#: dimension-index series is derived from max(len(embedding)) in the data
+#: itself (ADVICE r7: a fixed literal cap would silently truncate the
+#: oracle on wider embedding tables).
 EMB_MICRO = 1_000_000
-EMB_DIM_CAP = 256
 
 
 def _cents(col: str = "value") -> Column:
@@ -242,12 +242,17 @@ def referential_integrity_audit(t: Tables) -> DataFrame:
     )
 
 
-def dup_leakage_matrix(t: Tables) -> DataFrame:
-    """Near-duplicate LEAKAGE matrix: exact near-dup pairs
-    (:func:`dedup.ngram_jaccard_pairs`) bucketed by unordered source
-    pair — which corpora duplicate into which (cross-source rows are the
-    train/eval or licensing leaks; the same-source diagonal is ordinary
-    redundancy).
+def dup_leakage_matrix(t: Tables, pairs: DataFrame | None = None) -> DataFrame:
+    """Near-duplicate LEAKAGE matrix: near-dup pairs bucketed by unordered
+    source pair — which corpora duplicate into which (cross-source rows
+    are the train/eval or licensing leaks; the same-source diagonal is
+    ordinary redundancy).
+
+    The PAIR SOURCE is a parameter (VERDICT r7 §3). This default binding
+    reads the exact :func:`dedup.ngram_jaccard_pairs` frame — the
+    oracle-checkable baseline, quadratic-ish in pair density — and serves
+    as the ``_check`` for :func:`dup_leakage_matrix_minhash`, the banded
+    production wiring that runs at candidate-proportional cost.
 
     Scale: the pair frame is tiny next to the corpus, so the two metadata
     probes join pair-sized rows against the (doc_id, source) projection;
@@ -256,7 +261,8 @@ def dup_leakage_matrix(t: Tables) -> DataFrame:
     """
     from .dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(t).select("id_a", "id_b")
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(t).select("id_a", "id_b")
     meta = t["documents"].select("doc_id", "source")
     a = meta.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
     b = meta.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
@@ -274,6 +280,50 @@ def dup_leakage_matrix(t: Tables) -> DataFrame:
             "n_pairs",
             (F.col("source_a") != F.col("source_b")).alias("cross_source"),
         )
+    )
+
+
+def dup_leakage_matrix_minhash(t: Tables) -> DataFrame:
+    """The 100 TB wiring of :func:`dup_leakage_matrix`: the pair source is
+    :func:`dedup.minhash_lsh_pairs` — banded LSH candidate discovery
+    (cost ∝ candidates, α≈0.2 in SCALE.md) with every candidate
+    exact-Jaccard verified, so its pairs are a high-recall SUBSET of the
+    exact frame and every matrix cell is bounded by the exact matrix's.
+    Rows-only driver check (xxhash64 MinHash isn't SQL-reproducible);
+    :func:`dup_leakage_matrix_minhash_check` is the hard contract.
+    """
+    from .dedup import minhash_lsh_pairs
+
+    return dup_leakage_matrix(t, minhash_lsh_pairs(t).select("id_a", "id_b"))
+
+
+def dup_leakage_matrix_minhash_check(t: Tables) -> DataFrame:
+    """Hard driver contract for :func:`dup_leakage_matrix_minhash`: one
+    row with the EXACT matrix's cell count (oracle recomputes it) and the
+    claims that (a) every minhash-sourced cell exists in the exact matrix
+    and (b) no minhash cell counts more pairs than its exact counterpart —
+    both structurally guaranteed by the subset property of the verified
+    banded candidates, now driver-verified as data.
+    """
+    exact = dup_leakage_matrix(t).select(
+        "source_a", "source_b", F.col("n_pairs").alias("n_exact")
+    )
+    mh = dup_leakage_matrix_minhash(t).select(
+        "source_a", "source_b", F.col("n_pairs").alias("n_mh")
+    )
+    j = exact.join(mh, ["source_a", "source_b"], "full_outer")
+    return j.agg(
+        F.count("n_exact").alias("n_cells_exact"),
+        F.sum(
+            F.when(F.col("n_exact").isNull(), 1).otherwise(0)
+        ).alias("_outside"),
+        F.sum(
+            F.when(F.col("n_mh") > F.col("n_exact"), 1).otherwise(0)
+        ).alias("_over"),
+    ).select(
+        "n_cells_exact",
+        (F.col("_outside") == 0).alias("subset_ok"),
+        (F.col("_over") == 0).alias("bounded_ok"),
     )
 
 
@@ -683,6 +733,29 @@ def _oracles() -> dict[str, str]:
                     JOIN documents db ON jp.id_b = db.doc_id
             GROUP BY 1, 2, 4
         """,
+        # the minhash-sourced matrix itself is rows-only (xxhash64 isn't
+        # SQL-reproducible); this check recomputes the EXACT matrix's cell
+        # count and expects the subset/bound claims to hold as data
+        "dup_leakage_matrix_minhash_check": f"""
+            WITH {_SHINGLE_DUCK},
+            jp AS (
+              SELECT id_a, id_b
+              FROM p JOIN n na ON p.id_a = na.doc_id
+                     JOIN n nb ON p.id_b = nb.doc_id
+              WHERE round(common * 1.0 / (na.n + nb.n - common), 4)
+                    >= {JACCARD_THRESHOLD}
+            ),
+            cells AS (
+              SELECT DISTINCT least(da.source, db.source) AS source_a,
+                     greatest(da.source, db.source) AS source_b
+              FROM jp JOIN documents da ON jp.id_a = da.doc_id
+                      JOIN documents db ON jp.id_b = db.doc_id
+            )
+            SELECT count(*) AS n_cells_exact,
+                   TRUE AS subset_ok,
+                   TRUE AS bounded_ok
+            FROM cells
+        """,
         "embedding_norm_audit": f"""
             WITH m AS (
               SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -707,7 +780,11 @@ def _oracles() -> dict[str, str]:
                      CAST(floor((CAST(embedding AS DOUBLE[]))[i]
                                 * {float(EMB_MICRO)}) AS BIGINT) AS vm
               FROM embeddings,
-                   (SELECT unnest(range(1, {EMB_DIM_CAP + 1})) AS i)
+                   -- index series bound derived from the DATA (ADVICE r7:
+                   -- a fixed literal cap silently drops dims on wider
+                   -- embedding tables and the parity check would miss them)
+                   (SELECT unnest(range(1,
+                      (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i)
               WHERE i <= len(embedding)
             )
             SELECT CAST(dim AS INTEGER) AS dim,
@@ -804,6 +881,8 @@ QUERIES = {
     "burst_users_audit": burst_users_audit,
     "referential_integrity_audit": referential_integrity_audit,
     "dup_leakage_matrix": dup_leakage_matrix,
+    "dup_leakage_matrix_minhash": dup_leakage_matrix_minhash,
+    "dup_leakage_matrix_minhash_check": dup_leakage_matrix_minhash_check,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_norm_audit": embedding_norm_audit,
     "zorder_cluster_assign": zorder_cluster_assign,

@@ -342,14 +342,27 @@ LAST_CC_ROUNDS = 0
 #: dedup_clusters_minhash_check re-run the SAME pair discovery + CC loop
 #: their sibling query just converged; the memo returns the
 #: already-materialized (checkpointed) labels instead. Keyed by
-#: ``semanticHash`` but CONFIRMED with ``sameSemantics`` (exact
-#: canonical-plan equality — a hash collision can't leak wrong labels;
-#: a stopped/replaced session makes sameSemantics raise → miss). Entries
-#: hold checkpoint-backed frames — evicting one frees its blocks via the
-#: ContextCleaner once no plan references them. bench.py calls
+#: (``semanticHash``, effective checkpoint mode) but CONFIRMED with
+#: ``sameSemantics`` (exact canonical-plan equality — a hash collision
+#: can't leak wrong labels; a stopped/replaced session makes
+#: sameSemantics raise → miss). The checkpoint mode is part of the key
+#: because the durability of the stored labels is a property of HOW they
+#: were built: a caller requesting reliable ``checkpoint()`` into a
+#: directory must never be served labels backed by executor-local
+#: ``localCheckpoint`` blocks from an earlier call (executor loss would
+#: then kill the long campaign run the reliable mode exists for).
+#: Entries hold checkpoint-backed frames — evicting one frees its blocks
+#: via the ContextCleaner once no plan references them. bench.py calls
 #: :func:`clear_cc_memo` between timed iterations so repeat timings
 #: measure the loop, not the memo.
-_CC_MEMO: dict[int, tuple[DataFrame, DataFrame]] = {}
+#:
+#: SESSION-STATIC-DATA ASSUMPTION: ``sameSemantics`` compares logical
+#: plans, not bytes on disk — overwriting the parquet behind the same
+#: path mid-session would make the memo return labels for the OLD data.
+#: The registry/bench/test inputs are immutable per session; any caller
+#: that rewrites a source table must call :func:`clear_cc_memo` after
+#: the rewrite (the same hygiene bench.py applies between iterations).
+_CC_MEMO: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 _CC_MEMO_CAP = 4
 
 
@@ -392,7 +405,9 @@ def _connected_components(
     spark = pairs.sparkSession
     if checkpoint_dir is None:
         checkpoint_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None
-    memo_key = pairs.semanticHash()
+    # the effective checkpoint mode is part of the memo identity: labels
+    # built under localCheckpoint must not satisfy a reliable-mode request
+    memo_key = (pairs.semanticHash(), checkpoint_dir or "<local>")
     hit = _CC_MEMO.get(memo_key)
     if hit is not None:
         stored_pairs, stored_labels = hit

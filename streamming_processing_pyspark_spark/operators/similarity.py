@@ -1158,6 +1158,7 @@ def lsh_bucketed_pairs(
     dim: int = 64,
     n_planes: int | None = None,
     n_bands: int | None = None,
+    threshold: float = NEAR_DUP_THRESHOLD,
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup: candidates per band-bucket, verified
     with exact cosine. The scale path for `embedding_near_dup_pairs`.
@@ -1230,7 +1231,62 @@ def lsh_bucketed_pairs(
             "id_b",
             F.round(cosine_pudf(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
         )
-        .where(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+#: operating point for the non-vacuous LSH slate row (VERDICT r7 §4): the
+#: synthetic embedding table's max pairwise cosine is ~0.51, so the 0.95
+#: near-dup cut is structurally empty at every test SF — the default
+#: lsh_bucketed_pairs row passed the driver gate on 0 rows in r3 and r7.
+#: The fixtures are immutable, so the verified-as-data variant runs at the
+#: SemDeDup threshold (0.4: 59-66 exact pairs at sf0.01/sf0.001) where the
+#: bucketing, verification, and subset/recall claims are all exercised on
+#: real pairs.
+LSH_THETA_RECALL_PCT = 30
+
+
+def lsh_pairs_at_theta(t: Tables) -> DataFrame:
+    """:func:`lsh_bucketed_pairs` at the SemDeDup threshold — the same
+    banded random-hyperplane candidate mining + exact-cosine verification,
+    run at an operating point the test fixtures actually exercise (the
+    0.95 default is empty on every test SF — see LSH_THETA_RECALL_PCT
+    note). Rows-only driver check (hyperplane signatures aren't
+    SQL-reproducible); :func:`lsh_theta_recall_check` is the contract.
+    """
+    return lsh_bucketed_pairs(t, threshold=SEMDEDUP_THRESHOLD)
+
+
+def lsh_theta_recall_check(t: Tables) -> DataFrame:
+    """Hard driver contract for :func:`lsh_pairs_at_theta`, and — unlike
+    ``lsh_subset_check``, whose n_exact is 0 on the test fixtures — one
+    whose claims quantify over REAL pairs: one row with the exact
+    ≥-threshold pair count (oracle recomputes it), the subset claim
+    (every LSH pair is exact-verified), and a pinned recall floor
+    (≥ LSH_THETA_RECALL_PCT% of exact pairs recovered — sign-bit
+    collision probability for cos 0.4 is ~0.16/band, ~50% over 4 bands;
+    the pin is set below the worst measured fixture).
+    """
+    exact = _all_pairs_at(t, SEMDEDUP_THRESHOLD).select(
+        "id_a", "id_b", F.lit(1).alias("in_exact")
+    )
+    lsh = lsh_pairs_at_theta(t).select("id_a", "id_b", F.lit(1).alias("in_lsh"))
+    j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count("in_exact").alias("n_exact"),
+        F.count(F.when(F.col("in_exact").isNull(), F.col("in_lsh"))).alias(
+            "_outside"
+        ),
+        F.count(F.when(F.col("in_exact").isNotNull(), F.col("in_lsh"))).alias(
+            "_overlap"
+        ),
+    ).select(
+        "n_exact",
+        (F.col("_outside") == 0).alias("subset_ok"),
+        (
+            F.lit(100) * F.col("_overlap")
+            >= F.lit(LSH_THETA_RECALL_PCT) * F.col("n_exact")
+        ).alias("recall_ok"),
     )
 
 
@@ -1386,17 +1442,39 @@ SEMDEDUP_ITERS = 3
 SEMDEDUP_THRESHOLD = 0.4
 #: multi-probe width: each vector joins its P nearest clusters
 SEMDEDUP_PROBES = 3
-#: target vectors per cluster: k grows as max(SEMDEDUP_K, n/TARGET) so the
-#: per-cluster pairwise block stays BOUNDED as the corpus grows — with a
-#: fixed k the within-cluster all-pairs is n²/k (quadratic at scale); with
-#: k ∝ n it is n·TARGET (linear). This is the "k ~ n/target_cluster_size"
-#: production rule the docstring cites, made real.
+#: target vectors per (fine) cluster: the TOTAL cluster count grows as
+#: max(SEMDEDUP_K, n/TARGET) so the per-cluster pairwise block stays
+#: BOUNDED as the corpus grows — with a fixed k the within-cluster
+#: all-pairs is n²/k (quadratic at scale); with k ∝ n it is n·TARGET
+#: (linear). This is the "k ~ n/target_cluster_size" production rule.
 SEMDEDUP_TARGET_CLUSTER = 400
+#: floor on the COARSE (routing) cluster count of the two-level quantizer
+SEMDEDUP_COARSE_MIN = 4
+#: Lloyd rounds for the per-branch FINE k-means (cheaper than the coarse
+#: level: multi-probe covers cell boundaries, so near-converged fine
+#: centroids buy no recall)
+SEMDEDUP_FINE_ITERS = 2
 #: Lloyd's-iteration convergence tolerance: stop when no centroid moved
 #: more than this (1 − cos of old vs new unit centroid). Near-converged
 #: rounds don't change assignments, so stopping early is free recall-wise
 #: and drops whole (scan + shuffle) rounds at 100 TB.
 KMEANS_TOL = 1e-4
+
+#: live assignment broadcasts of the CURRENT _spherical_kmeans call.
+#: Assignment frames are lazy — the broadcast must outlive the call — so
+#: each new call retires the previous call's broadcasts instead (slot
+#: pattern, same lifetime discipline as tables.persist_replacing). Bounds
+#: a long session at one call's broadcast blocks (ADVICE r7).
+_ASSIGN_BROADCASTS: list = []
+
+
+def _retire_assign_broadcasts() -> None:
+    while _ASSIGN_BROADCASTS:
+        b = _ASSIGN_BROADCASTS.pop()
+        try:
+            b.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped
 
 
 def _spherical_kmeans(emb: DataFrame, k: int, iters: int, tol: float = KMEANS_TOL):
@@ -1421,6 +1499,13 @@ def _spherical_kmeans(emb: DataFrame, k: int, iters: int, tol: float = KMEANS_TO
     movement (1 − cos(old, new)) drops under ``tol`` instead of always
     running ``iters`` rounds.
 
+    Broadcast hygiene (ADVICE r7): every Lloyd round's partial-sum
+    broadcast is unpersisted as soon as the round's toPandas() completes
+    (the job is done with it), and assignment broadcasts are slot-managed
+    — a new ``_spherical_kmeans`` call retires the previous call's live
+    assignment broadcasts — so a long session holds at most one call's
+    worth of broadcast blocks instead of accumulating one per round.
+
     Deterministic: init = the k lowest vec_ids; no RNG anywhere.
     Returns (centroids ndarray, assign_fn, persisted_emb) where
     assign_fn(df, probes=P) yields (vec_id, cluster, vec) rows map-side —
@@ -1433,6 +1518,7 @@ def _spherical_kmeans(emb: DataFrame, k: int, iters: int, tol: float = KMEANS_TO
 
     emb = persist_replacing(emb, "similarity.kmeans_emb")
     spark = emb.sparkSession
+    _retire_assign_broadcasts()
 
     def normalize(m):
         return m / np.linalg.norm(m, axis=1, keepdims=True)
@@ -1446,6 +1532,7 @@ def _spherical_kmeans(emb: DataFrame, k: int, iters: int, tol: float = KMEANS_TO
 
     def make_assign(c, probes=1):
         b = spark.sparkContext.broadcast(c)
+        _ASSIGN_BROADCASTS.append(b)
 
         def assign(batches):
             for pdf in batches:
@@ -1493,7 +1580,7 @@ def _spherical_kmeans(emb: DataFrame, k: int, iters: int, tol: float = KMEANS_TO
                     }
                 )
 
-        return partials
+        return partials, b
 
     _ASSIGN_SCHEMA = "vec_id bigint, cluster int, vec array<double>"
     _PARTIAL_SCHEMA = (
@@ -1501,7 +1588,11 @@ def _spherical_kmeans(emb: DataFrame, k: int, iters: int, tol: float = KMEANS_TO
     )
 
     for _ in range(iters):
-        upd = emb.mapInPandas(make_partials(cents), schema=_PARTIAL_SCHEMA).toPandas()
+        partials_fn, b_round = make_partials(cents)
+        upd = emb.mapInPandas(partials_fn, schema=_PARTIAL_SCHEMA).toPandas()
+        # the round's job is complete — its centroid broadcast is garbage
+        # now, not at session end (ADVICE r7: these accumulated per round)
+        b_round.unpersist(blocking=False)
         upd = upd.sort_values(["cluster", "pid", "seq"], kind="mergesort")
         moved = 0.0
         for cl, grp in upd.groupby("cluster", sort=True):
@@ -1530,55 +1621,131 @@ def _spherical_kmeans(emb: DataFrame, k: int, iters: int, tol: float = KMEANS_TO
 
 
 def semantic_dedup_pairs(t: Tables) -> DataFrame:
-    """SemDeDup: semantic near-duplicate pairs found WITHIN k-means
-    clusters only (Abbas et al. 2023 shape) — cluster the embedding space,
-    then run exact pairwise cosine inside each cluster, so the candidate
-    space is sum-of-cluster-sizes², not n². Assignment is MULTI-PROBE
-    (each vector joins its SEMDEDUP_PROBES nearest clusters, cf. IVF
-    multi-probe): single-assignment SemDeDup misses every pair split
-    across a cluster boundary, and on a near-isotropic embedding table
-    that is most of them (measured 30% recall at P=1 vs 94% at P=3 on
-    the test corpus). Pairs found in two shared clusters are deduped with
-    one distinct. Output pairs are verified with the exact cosine
-    (precision exact; recall approximate, bounded empirically in tests
-    and by semdedup_check's subset claim).
+    """SemDeDup: semantic near-duplicate pairs found WITHIN quantizer
+    cells only (Abbas et al. 2023 shape) — cluster the embedding space,
+    then run exact pairwise cosine inside each cell, so the candidate
+    space is sum-of-cell-sizes², not n². Output pairs are verified with
+    the exact cosine (precision exact; recall approximate, bounded
+    empirically in tests and by semdedup_check's subset claim).
 
-    Scale note: k adapts to the corpus — ``max(SEMDEDUP_K,
-    n/SEMDEDUP_TARGET_CLUSTER)`` — so each cluster's pairwise block stays
-    bounded (~TARGET² dot products) and total pairwise cost is linear in
-    n instead of n²/k; the plan shape (map-side multi-probe assign,
-    per-cluster grouped pairwise, distinct) is unchanged. Rows-only
-    driver check (float kmeans isn't SQL-replayable); semdedup_check is
-    the hard driver contract.
+    TWO-LEVEL quantizer (VERDICT r7 §2 — the single-level k ∝ n rule kept
+    pairwise cost linear but made assignment FLOPs n²d/TARGET and the
+    broadcast/driver model state O(n); at 10¹⁰ docs × 768 dims that is a
+    ~150 GB driver-held centroid matrix — dead):
+
+    - COARSE: distributed spherical k-means with k₁ = ⌈√k_total⌉ routing
+      centroids (k_total = max(SEMDEDUP_K, n/TARGET)), multi-probe
+      assignment (each vector enters its SEMDEDUP_PROBES nearest coarse
+      branches, so pairs split across a coarse boundary still share a
+      branch — the IVF multi-probe pattern of :func:`ivf_topk`).
+    - FINE: per-branch LOCAL spherical k-means inside one applyInPandas
+      task — k₂ = |branch|/TARGET cells, multi-probe again, exact
+      pairwise cosine within each fine cell. Fine codebooks are built,
+      used, and dropped inside their branch task: they never touch the
+      driver or a broadcast.
+
+    Cost bounds as f(n), d = dims, P = SEMDEDUP_PROBES, T = TARGET:
+    broadcast bytes = 8·d·k₁ ≈ 8·d·√(n/T)  (O(√n): n = 10¹⁰, d = 768 →
+    ~31 MB; the old rule needed ~150 GB); driver model state identical;
+    assignment FLOPs = n·d·(k₁ + k₂) ≈ 2·n·d·√(n/T) (n^1.5, vs n²d/T);
+    per-cell pairwise stays ~n·T·P² (linear). The one remaining growth
+    term is the per-branch task working set, 8·P·d·√(T·n) bytes (~36 GB
+    at 10¹⁰×768) — past that, the same split recurses inside the branch
+    (k₁ per level ∝ n^(1/3)); the branch function is self-contained
+    numpy, so the recursion is a local change.
+
+    Determinism: coarse init/reduction as in :func:`_spherical_kmeans`;
+    the branch UDF sorts by vec_id before fine init/means, so results
+    don't depend on shuffle arrival order. Rows-only driver check (float
+    kmeans isn't SQL-replayable); semdedup_check is the hard contract.
     """
+    import math
+
     import numpy as np
 
     emb = fan_out(
         t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
     )
-    k = max(SEMDEDUP_K, int(emb.count()) // SEMDEDUP_TARGET_CLUSTER)
-    _, assign, emb = _spherical_kmeans(emb, k, SEMDEDUP_ITERS)
+    k_total = max(SEMDEDUP_K, int(emb.count()) // SEMDEDUP_TARGET_CLUSTER)
+    k_coarse = max(SEMDEDUP_COARSE_MIN, math.isqrt(k_total - 1) + 1)
+    _, assign, emb = _spherical_kmeans(emb, k_coarse, SEMDEDUP_ITERS)
 
-    def pairs_in_cluster(pdf):
+    def pairs_in_branch(pdf):
+        # sort: fine init (lowest vec_ids) and float mean order must not
+        # depend on shuffle arrival order
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
         mat = np.array(pdf["vec"].tolist(), dtype="float64")
-        # same operation order as _all_pairs_at (dot / (|a|·|b|), rounded
-        # to 6 dp) so a threshold-boundary pair can never appear here
-        # while missing from the exact set semdedup_check compares against
-        norms = np.linalg.norm(mat, axis=1)
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
         ids = pdf["vec_id"].to_numpy()
-        ia, ib = np.where(np.triu(sims >= SEMDEDUP_THRESHOLD, k=1))
-        lo = np.minimum(ids[ia], ids[ib])
-        hi = np.maximum(ids[ia], ids[ib])
+        norms = np.linalg.norm(mat, axis=1)
+        n_b = len(ids)
+        # size the fine level on the REPLICATED membership (each member
+        # lands in p fine cells), so realized cell size ≈ TARGET; and
+        # skip the fine level entirely when it cannot prune (k_fine ≤ p
+        # would put every member in every cell — pure p× duplication of
+        # the branch all-pairs, measured 3× the work for zero pruning)
+        k_fine = max(1, n_b * SEMDEDUP_PROBES // SEMDEDUP_TARGET_CLUSTER)
+        if k_fine <= SEMDEDUP_PROBES:
+            cells = [np.arange(n_b)]
+        else:
+            unit = mat / norms[:, None]
+            c = unit[:k_fine].copy()
+            # fewer Lloyd rounds than the coarse level: the fine cells
+            # only need to be locality-plausible (multi-probe covers the
+            # boundaries), and each round costs n_b·k_fine·d — at larger
+            # branches that rivals the pairwise block itself
+            for _ in range(SEMDEDUP_FINE_ITERS):
+                a = (unit @ c.T).argmax(axis=1)
+                for j in np.unique(a):
+                    v = mat[a == j].sum(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        c[j] = v / nv
+            p = min(SEMDEDUP_PROBES, k_fine)
+            # top-p via argpartition (O(k_fine) per row, not a full sort)
+            top = np.argpartition(-(unit @ c.T), p - 1, axis=1)[:, :p]
+            cells = [
+                np.where((top == j).any(axis=1))[0] for j in range(k_fine)
+            ]
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        for idx in cells:
+            if len(idx) < 2:
+                continue
+            sub = mat[idx]
+            # same operation order as _all_pairs_at (dot / (|a|·|b|),
+            # rounded to 6 dp) so a threshold-boundary pair can never
+            # appear here while missing from the exact set
+            # semdedup_check compares against
+            sims = np.round(
+                (sub @ sub.T) / np.outer(norms[idx], norms[idx]), 6
+            )
+            ia, ib = np.where(np.triu(sims >= SEMDEDUP_THRESHOLD, k=1))
+            gi, gj = ids[idx[ia]], ids[idx[ib]]
+            out_a.append(np.minimum(gi, gj))
+            out_b.append(np.maximum(gi, gj))
+            out_s.append(sims[ia, ib])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": np.array([], dtype="int64"),
+                    "id_b": np.array([], dtype="int64"),
+                    "cos_sim": np.array([], dtype="float64"),
+                }
+            )
         return pd.DataFrame(
-            {"id_a": lo, "id_b": hi, "cos_sim": sims[ia, ib]}
-        )
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s),
+            }
+        ).drop_duplicates(["id_a", "id_b"])
 
     return (
         assign(emb, probes=SEMDEDUP_PROBES)
         .groupBy("cluster")
         .applyInPandas(
-            pairs_in_cluster, schema="id_a bigint, id_b bigint, cos_sim double"
+            pairs_in_branch, schema="id_a bigint, id_b bigint, cos_sim double"
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -1854,6 +2021,17 @@ ORACLES: dict[str, str] = {
           WHERE {_COS_DUCK} >= {NEAR_DUP_THRESHOLD}
         )
     """,
+    # lsh_pairs_at_theta: rows-only (hyperplane signatures); its contract
+    # check quantifies subset AND recall over the 0.4-threshold pairs the
+    # fixtures actually contain (lsh_subset_check's n_exact is 0 there)
+    "lsh_theta_recall_check": f"""
+        SELECT count(*) AS n_exact, TRUE AS subset_ok, TRUE AS recall_ok
+        FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE {_COS_DUCK} >= {SEMDEDUP_THRESHOLD}
+        )
+    """,
     "lsh_query_topk": _lsh_query_oracle_sql(LSH_QUERY_BITS),
     "mmr_diverse_topk": _mmr_oracle_sql(MMR_K),
     "knn_graph_triangles": _triangles_oracle_sql(),
@@ -1970,6 +2148,8 @@ QUERIES = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lsh_bucketed_pairs": lsh_bucketed_pairs,
     "lsh_subset_check": lsh_subset_check,
+    "lsh_pairs_at_theta": lsh_pairs_at_theta,
+    "lsh_theta_recall_check": lsh_theta_recall_check,
     "ivf_topk": ivf_topk,
     "ivf_recall_check": ivf_recall_check,
     # PQ: rows-only ANN + hard driver contract

@@ -219,3 +219,24 @@ def test_referential_integrity_detects_planted_breaks(spark):
     assert row["n_childless_orders"] == 2  # orders 2 and 3
     assert row["n_orders_no_customer"] == 1  # order 3 → custkey 99
     assert row["n_price_mismatch"] == 0  # order 1 header == its one line
+
+
+def test_dup_leakage_minhash_subset_and_bounded(spark):
+    """The banded-source matrix must be cellwise dominated by the exact
+    matrix (minhash pairs are an exact-verified subset), and the check
+    query must assert exactly that as data."""
+    t = load_tables(spark, SF_DIR)
+    exact = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in analytics3.dup_leakage_matrix(t).collect()
+    }
+    mh = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in analytics3.dup_leakage_matrix_minhash(t).collect()
+    }
+    assert mh, "banded matrix must be non-empty on the test fixtures"
+    for cell, n in mh.items():
+        assert cell in exact and n <= exact[cell], (cell, n, exact.get(cell))
+    row = analytics3.dup_leakage_matrix_minhash_check(t).first()
+    assert row["subset_ok"] and row["bounded_ok"]
+    assert row["n_cells_exact"] == len(exact)

@@ -74,6 +74,7 @@ OPS = {
     "dataset_card_rollup": curation.dataset_card_rollup,
     "bigram_pmi_topk": lm.bigram_pmi_topk,
     "dup_leakage_matrix": analytics3.dup_leakage_matrix,
+    "dup_leakage_matrix_minhash": analytics3.dup_leakage_matrix_minhash,
     "text_compression_ratio": analytics3.text_compression_ratio,
     "packing_efficiency_report": analytics3.packing_efficiency_report,
 }
@@ -85,6 +86,7 @@ OPS = {
 EMB_OPS = {
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     "lsh_bucketed_pairs": similarity.lsh_bucketed_pairs,
+    "lsh_pairs_at_theta": similarity.lsh_pairs_at_theta,
     "semantic_dedup_pairs": similarity.semantic_dedup_pairs,
     "knn_join_topk": similarity.knn_join_topk,
     "pq_topk": similarity.pq_topk,
@@ -224,6 +226,40 @@ def main() -> None:
             gc.collect()
             print(f"k={k} {name}: {results[name][k]}s", flush=True)
 
+    # extended single-op probe: semantic_dedup_pairs at k=16 (VERDICT r7
+    # §2 asked the two-level quantizer to hold α ≤ 0.3 out to k=16; the
+    # full op matrix at k=16 would spend most of its time in the declared
+    # exact-baseline quadratic ops, so only the fixed op runs there)
+    import math as _math
+
+    ext_k = int(os.environ.get("SPARK_GRAFT_PROBE_EXT_K", "16"))
+    ext_name = "semantic_dedup_pairs"
+    if ext_k > KS[-1]:
+        t_ext = dict(base)
+        t_ext["embeddings"] = scaled_embeddings(base["embeddings"], ext_k)
+        runs = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            gc.collect()
+            t0 = time.perf_counter()
+            EMB_OPS[ext_name](t_ext).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        ext_time = round(min(runs), 2)
+        ext_alpha = _math.log(ext_time / results[ext_name][KS[0]]) / _math.log(
+            ext_k / KS[0]
+        )
+        extended_note = (
+            f"- Extended probe: `{ext_name}` at k={ext_k} → {ext_time:.2f}s, "
+            f"α(k=1→{ext_k}) ≈ {ext_alpha:.2f} (two-level quantizer; "
+            "target ≤ 0.3)."
+        )
+        print(f"extended k={ext_k} {ext_name}: {ext_time}s α={ext_alpha:.2f}",
+              flush=True)
+    else:
+        extended_note = ""
+
     k0 = KS[0]
     lines = [
         "# SCALE — empirical operator scaling (tools/scale_probe.py)",
@@ -278,13 +314,18 @@ def main() -> None:
         "  input grows linearly with the corpus.",
         "- `dup_leakage_matrix` inherits its pair source's growth: it is the",
         "  exact `ngram_jaccard_pairs` frame plus pair-sized metadata joins",
-        "  and a |sources|²-bounded rollup. On a production run the same",
-        "  rollup reads the banded `minhash_lsh_pairs` candidates (α≈0.2).",
-        "- `semantic_dedup_pairs` scales its cluster count with the corpus",
-        "  (k = max(16, n/400)), so the per-cluster pairwise block is",
-        "  bounded and total pairwise cost stays linear — with a FIXED k",
-        "  the within-cluster all-pairs would be n²/k and the growth row",
-        "  here would go quadratic at larger spans.",
+        "  and a |sources|²-bounded rollup — registered as the _check of",
+        "  `dup_leakage_matrix_minhash`, the banded production wiring whose",
+        "  own row above tracks the candidate-proportional minhash source.",
+        "- `semantic_dedup_pairs` uses a TWO-LEVEL quantizer (round 8):",
+        "  coarse spherical k-means with √k_total routing centroids",
+        "  (broadcast/driver model state O(√n) — ~31 MB at 10¹⁰×768d,",
+        "  vs ~150 GB for the old single-level k ∝ n rule), then local",
+        "  fine k-means INSIDE each coarse branch task (fine codebooks",
+        "  never touch the driver). Fine cells stay ~TARGET-sized, so the",
+        "  pairwise block is bounded and total pairwise cost stays linear;",
+        "  assignment FLOPs are n·d·O(√k), not the old n²·d/TARGET.",
+        extended_note,
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
     with open(out, "w") as f:
