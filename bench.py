@@ -176,6 +176,14 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "asof_next_event",
     "exact_percentiles_by_type",
+    # round-8 batch: corpus audits + warehouse concentration/latency
+    "embedding_gram_offdiag_topk",
+    "token_len_percentiles_by_source",
+    "dedup_survivorship_by_source",
+    "context_fit_report",
+    "source_share_drift",
+    "ship_lag_profile",
+    "customer_revenue_deciles",
 ]
 
 

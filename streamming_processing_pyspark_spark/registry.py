@@ -19,6 +19,7 @@ from .functions.geo import classify_sql
 from .operators import (
     analytics2,
     analytics3,
+    analytics4,
     distribution,
     asof,
     attribution,
@@ -578,7 +579,52 @@ def streaming_burst_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics4.context_fit_report maintained BY a documents file
+    stream: the per-doc token count fans out to the |CONTEXT_SIZES|
+    candidate lengths map-side and the per-length cells are a plain
+    streaming aggregation in complete mode (state is |sizes| rows by
+    construction — it cannot grow); the share arithmetic runs on the
+    drained cell frame. Shares the batch oracle verbatim — the
+    sequence-length planning table stays warm as the corpus ingests."""
+    from .operators.analytics4 import CONTEXT_SIZES
+    from .functions.text import token_count
+    from .sources.streams import stream_parquet_table
+    from .streaming.jobs import run_to_memory
+
+    docs = stream_parquet_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        token_count("text").cast("long").alias("n_tok"),
+        F.explode(
+            F.array(*[F.lit(s).cast("long") for s in CONTEXT_SIZES])
+        ).alias("ctx"),
+    )
+    cells = sized.groupBy("ctx").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_tok") <= F.col("ctx")).cast("long")).alias("n_fit"),
+        F.sum((F.col("n_tok") > F.col("ctx")).cast("long")).alias(
+            "n_truncated"
+        ),
+        F.sum(F.least("n_tok", "ctx")).alias("tokens_kept"),
+        F.sum(
+            F.greatest(F.col("n_tok") - F.col("ctx"), F.lit(0).cast("long"))
+        ).alias("tokens_lost"),
+    )
+    q, table = run_to_memory(cells, "complete")
+    q.stop()
+    return spark.table(table).select(
+        "ctx",
+        "n_docs",
+        "n_fit",
+        "n_truncated",
+        "tokens_kept",
+        "tokens_lost",
+        F.expr("10000 * n_fit DIV n_docs").alias("fit_bp"),
+    )
+
+
 _STREAMING_QUERIES: dict[str, QueryFn] = {
+    "streaming_context_fit": streaming_context_fit,
     "streaming_seasonality_profile": streaming_seasonality_profile,
     "streaming_burst_alerts": streaming_burst_alerts,
     "streaming_cms_cells": streaming_cms_cells,
@@ -603,6 +649,7 @@ _STREAMING_QUERIES: dict[str, QueryFn] = {
 
 _STREAMING_ORACLES: dict[str, str] = {
     # stream/batch twins: identical rollups, identical oracles
+    "streaming_context_fit": analytics4.ORACLES["context_fit_report"],
     "streaming_seasonality_profile": analytics3.ORACLES["seasonality_profile"],
     "streaming_burst_alerts": analytics3.ORACLES["burst_users_audit"],
     "streaming_cms_cells": sketches.CELLS_ORACLE,
@@ -681,6 +728,7 @@ _STREAMING_ORACLES: dict[str, str] = {
 #: modules whose queries take the full tables dict
 _TABLE_MODULES = (
     analytics3,
+    analytics4,
     distribution,
     campaign,
     curation,

@@ -193,6 +193,13 @@ QUERIES = [
     "dedup_cluster_size_histogram",
     "asof_next_event",
     "exact_percentiles_by_type",
+    "embedding_gram_offdiag_topk",
+    "token_len_percentiles_by_source",
+    "dedup_survivorship_by_source",
+    "context_fit_report",
+    "source_share_drift",
+    "ship_lag_profile",
+    "customer_revenue_deciles",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"

@@ -32,6 +32,7 @@ from streamming_processing_pyspark_spark.session import get_spark
 from streamming_processing_pyspark_spark.tables import load_tables
 from streamming_processing_pyspark_spark.operators import (
     analytics3,
+    analytics4,
     campaign,
     curation,
     dedup,
@@ -100,6 +101,7 @@ EMB_OPS = {
     "label_propagation_knn": similarity.label_propagation_knn,
     "embedding_centroid_drift": similarity.embedding_centroid_drift,
     "embedding_dim_stats": analytics3.embedding_dim_stats,
+    "embedding_gram_offdiag_topk": analytics4.embedding_gram_offdiag_topk,
 }
 
 
