@@ -176,7 +176,10 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "asof_next_event",
     "exact_percentiles_by_type",
-    # round-8 batch: corpus audits + warehouse concentration/latency
+    # round-8 batch: ANN composition + whitening, corpus audits, warehouse
+    # concentration/latency
+    "ivfpq_topk",
+    "embedding_whiten_audit",
     "embedding_gram_offdiag_topk",
     "token_len_percentiles_by_source",
     "dedup_survivorship_by_source",

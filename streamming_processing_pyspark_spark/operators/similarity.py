@@ -1938,6 +1938,321 @@ def pq_recall_check(t: Tables) -> DataFrame:
     )
 
 
+#: IVFPQ: recall floor the driver-checked claim asserts (percent). Lower
+#: than plain IVF/PQ — the composition stacks both approximations.
+IVFPQ_RECALL_PCT = 50
+#: IVFPQ shortlist sizing: max(PQ_SHORTLIST, n // FRAC). The stacked
+#: quantization noise (coarse + residual codes at the test corpus's tiny
+#: PQ_K=16 codebooks) pushes true neighbors deeper into the ADC ranking
+#: as the corpus grows (measured 30% recall at n=2000 with the fixed
+#: 8·TOPK shortlist vs 70% at n/6) — the faiss "k-factor" re-rank dial.
+#: At production scale the recall lever is PQ_K=256 (1 B/sub-space)
+#: trained on a real sample, which keeps the shortlist O(TOPK); the
+#: corpus-fraction floor here compensates for the fixture-sized
+#: codebooks, not a property you'd ship.
+IVFPQ_SHORTLIST_FRAC = 6
+
+
+def ivfpq_topk(
+    t: Tables, n_centroids: int = IVF_CENTROIDS, n_probe: int = IVF_PROBE
+) -> DataFrame:
+    """IVF routing + PQ RESIDUAL codes + ADC shortlist + exact re-rank —
+    the full inverted-file-ADC composition (the faiss ``IVFx,PQy`` index
+    shape) that serves billion-vector corpora: :func:`ivf_topk` bounds
+    how much of the corpus a query SCANS (n_probe/n_centroids of it),
+    :func:`pq_topk` bounds what each scanned vector COSTS (M byte-code
+    lookups against an 8 B/vector working set); this stacks both.
+
+    Residual encoding is what makes the stack work: PQ codebooks are
+    trained on ``r = x − c(bucket)`` (the residual after coarse
+    assignment), whose spread is much tighter than raw vectors', so the
+    same code budget quantizes finer. ADC for cosine decomposes exactly:
+    ``q·x ≈ q·c_b + Σ_m table[m][code_m(r)]`` — one per-bucket offset
+    plus M lookups.
+
+    All model state (coarse centroids, shared residual codebooks, the
+    query's ADC tables) is trained on a bounded deterministic sample and
+    broadcast — offline-trainable at 100 TB, same harness as its two
+    parents. Recall approximate (both stages can drop true neighbors);
+    returned scores exact (shortlist re-ranked with real cosines).
+    Rows-only driver check; the contract is :func:`ivfpq_recall_check`.
+    """
+    import numpy as np
+
+    emb = fan_out(
+        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    )
+    spark = emb.sparkSession
+
+    sample = np.array(
+        emb.where(F.col("vec_id") % 7 == 0).limit(n_centroids * 20)
+        .toPandas()["vec"].tolist(),
+        dtype="float64",
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    dim = sample.shape[1]
+    dsub = dim // PQ_M
+
+    # coarse quantizer: deterministic sample k-means (ivf_topk's harness)
+    cents = sample[:n_centroids].copy()
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+
+    # shared residual codebooks: train per subspace on sample residuals
+    resid = sample - cents[(sample @ cents.T).argmax(axis=1)]
+    books = np.empty((PQ_M, PQ_K, dsub))
+    for m in range(PQ_M):
+        sub = resid[:, m * dsub : (m + 1) * dsub]
+        bc = sub[:PQ_K].copy()
+        for _ in range(PQ_KMEANS_ITERS):
+            d2 = ((sub[:, None, :] - bc[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(PQ_K):
+                members = sub[a == c]
+                if len(members):
+                    bc[c] = members.mean(axis=0)
+        books[m] = bc
+
+    qvec = np.array(
+        emb.where(F.col("vec_id") == QUERY_VEC_ID).toPandas()["vec"].tolist(),
+        dtype="float64",
+    )[0]
+    qvec = qvec / np.linalg.norm(qvec)
+    probe = np.argsort(-(cents @ qvec))[:n_probe]
+    offsets = cents @ qvec  # q·c_b per bucket
+    adc = np.array(
+        [books[m] @ qvec[m * dsub : (m + 1) * dsub] for m in range(PQ_M)]
+    )
+    b_model = spark.sparkContext.broadcast(
+        (cents, books, set(int(b) for b in probe), offsets, adc)
+    )
+
+    def adc_probed(batches):
+        cc, bb, probed, off, tt = b_model.value
+        for pdf in batches:
+            mat = np.array(pdf["vec"].tolist(), dtype="float64")
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            bucket = (mat @ cc.T).argmax(axis=1)
+            keep = np.isin(bucket, list(probed))
+            if not keep.any():
+                continue
+            mat, bucket = mat[keep], bucket[keep]
+            resid = mat - cc[bucket]
+            score = off[bucket].copy()
+            for m in range(PQ_M):
+                sub = resid[:, m * dsub : (m + 1) * dsub]
+                d2 = ((sub[:, None, :] - bb[m][None, :, :]) ** 2).sum(axis=2)
+                score += tt[m][d2.argmin(axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy()[keep], "adc": score}
+            )
+
+    shortlist_n = max(PQ_SHORTLIST, int(emb.count()) // IVFPQ_SHORTLIST_FRAC)
+    shortlist = (
+        emb.mapInPandas(adc_probed, schema="vec_id bigint, adc double")
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.col("adc").desc(), F.col("vec_id"))
+        .limit(shortlist_n)
+        .select("vec_id")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        emb.join(shortlist, "vec_id", "left_semi")
+        .select(
+            "vec_id",
+            F.round(cosine_pudf(F.col("vec"), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )
+
+
+def ivfpq_recall_check(t: Tables) -> DataFrame:
+    """DuckDB-checkable claim about :func:`ivfpq_topk` (itself rows-only):
+    exact top-k size, recall ≥ IVFPQ_RECALL_PCT% vs brute force, and
+    exact score agreement on the overlap (re-rank computes real
+    cosines). The oracle expects both flags TRUE."""
+    exact = cosine_topk(t).select("vec_id", "cos_sim")
+    ap = ivfpq_topk(t).select("vec_id", F.col("cos_sim").alias("ivfpq_sim"))
+    j = exact.join(ap, "vec_id", "full_outer")
+    return j.agg(
+        F.count("cos_sim").alias("n_exact"),
+        F.count(
+            F.when(F.col("cos_sim").isNotNull(), F.col("ivfpq_sim"))
+        ).alias("n_overlap"),
+        F.coalesce(
+            F.sum((F.col("ivfpq_sim") != F.col("cos_sim")).cast("long")),
+            F.lit(0),
+        ).alias("n_score_mismatch"),
+    ).select(
+        "n_exact",
+        (
+            F.lit(100) * F.col("n_overlap")
+            >= F.lit(IVFPQ_RECALL_PCT) * F.col("n_exact")
+        ).alias("recall_ok"),
+        (F.col("n_score_mismatch") == 0).alias("precision_ok"),
+    )
+
+
+#: whitening audit tolerances (on the whitened sample covariance)
+WHITEN_DIAG_TOL = 1e-6
+WHITEN_OFFDIAG_TOL = 1e-6
+#: eigenvalue regularization floor (rank-deficient covariance guard)
+WHITEN_EIG_FLOOR = 1e-10
+
+
+def _whitening_model(emb: DataFrame):
+    """Mean + ZCA whitening matrix of the embedding table.
+
+    Corpus-sized work is ONE map-only pass: each Arrow batch emits its
+    partial (count, sum, Mᵀ·M) — d²+d+1 numbers per partition, the
+    map-side-combine shape — and the driver reduces partials in sorted
+    partition order (deterministic for a given partitioning) and eigen-
+    decomposes the d×d covariance. Model state is O(d²) regardless of n;
+    the whitening matrix broadcasts back. This is the driver-fixpoint
+    pattern (BPE/DoReMi/k-center) applied to second moments.
+    """
+    import numpy as np
+
+    def partial_moments(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc_g = None
+        acc_s = None
+        n = 0
+        for pdf in batches:
+            m = np.array(pdf["vec"].tolist(), dtype="float64")
+            g = m.T @ m
+            s = m.sum(axis=0)
+            acc_g = g if acc_g is None else acc_g + g
+            acc_s = s if acc_s is None else acc_s + s
+            n += len(m)
+        if acc_g is None:
+            return
+        yield pd.DataFrame(
+            {
+                "pid": [pid],
+                "n": [n],
+                "s": [acc_s.tolist()],
+                "g": [acc_g.ravel().tolist()],
+            }
+        )
+
+    parts = emb.mapInPandas(
+        partial_moments,
+        schema="pid int, n long, s array<double>, g array<double>",
+    ).toPandas()
+    parts = parts.sort_values("pid", kind="mergesort")
+    n = int(parts["n"].sum())
+    s = np.zeros(len(parts["s"].iloc[0]))
+    g = np.zeros(len(parts["g"].iloc[0]))
+    for _, row in parts.iterrows():
+        s += np.array(row["s"])
+        g += np.array(row["g"])
+    d = len(s)
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    w = np.maximum(w, WHITEN_EIG_FLOOR)
+    zca = v @ np.diag(1.0 / np.sqrt(w)) @ v.T
+    return mean, zca, n
+
+
+def embedding_whiten_audit(t: Tables) -> DataFrame:
+    """ZCA-whitened embeddings — the decorrelation step semantic-dedup /
+    retrieval stacks run before cosine thresholds mean the same thing in
+    every direction (raw embedding spaces carry dominant directions that
+    inflate all similarities; see the Gram audit
+    ``analytics4.embedding_gram_offdiag_topk`` for the diagnosis this
+    treats). Output: (vec_id, whitened array<double>).
+
+    Two map-only passes over the corpus (moments, then transform against
+    the broadcast d×d matrix); rows-only driver check (eigenvectors
+    aren't SQL-reproducible); :func:`whiten_check` verifies the identity-
+    covariance contract as data.
+    """
+    import numpy as np
+
+    emb = fan_out(
+        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    )
+    mean, zca, _ = _whitening_model(emb)
+    b = emb.sparkSession.sparkContext.broadcast((mean, zca))
+    _ASSIGN_BROADCASTS.append(b)
+
+    def transform(batches):
+        mu, wm = b.value
+        for pdf in batches:
+            m = np.array(pdf["vec"].tolist(), dtype="float64")
+            out = (m - mu) @ wm.T
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "whitened": list(out)}
+            )
+
+    return emb.mapInPandas(
+        transform, schema="vec_id bigint, whitened array<double>"
+    )
+
+
+def whiten_check(t: Tables) -> DataFrame:
+    """Hard driver contract for :func:`embedding_whiten_audit`: one row
+    with the corpus size (oracle recomputes it) and the claims that the
+    WHITENED sample covariance is the identity — every diagonal within
+    WHITEN_DIAG_TOL of 1, every off-diagonal within WHITEN_OFFDIAG_TOL
+    of 0 — verified by a second distributed moment pass over the
+    whitened output (never driver-collected vectors)."""
+    import numpy as np
+
+    emb = embedding_whiten_audit(t).select(
+        "vec_id", F.col("whitened").alias("vec")
+    )
+
+    def partial_moments(batches):
+        acc_g = None
+        acc_s = None
+        cnt = 0
+        for pdf in batches:
+            m = np.array(pdf["vec"].tolist(), dtype="float64")
+            acc_g = m.T @ m if acc_g is None else acc_g + m.T @ m
+            acc_s = m.sum(axis=0) if acc_s is None else acc_s + m.sum(axis=0)
+            cnt += len(m)
+        if acc_g is None:
+            return
+        yield pd.DataFrame(
+            {"n": [cnt], "s": [acc_s.tolist()], "g": [acc_g.ravel().tolist()]}
+        )
+
+    parts = emb.mapInPandas(
+        partial_moments, schema="n long, s array<double>, g array<double>"
+    ).toPandas()
+    n = int(parts["n"].sum())
+    s = np.zeros(len(parts["s"].iloc[0]))
+    g = np.zeros(len(parts["g"].iloc[0]))
+    for _, row in parts.iterrows():
+        s += np.array(row["s"])
+        g += np.array(row["g"])
+    d = len(s)
+    mu = s / n
+    cov = g.reshape(d, d) / n - np.outer(mu, mu)
+    diag = np.diag(cov)
+    off = cov - np.diag(diag)
+    diag_ok = bool(np.all(np.abs(diag - 1.0) <= WHITEN_DIAG_TOL))
+    offdiag_ok = bool(np.abs(off).max() <= WHITEN_OFFDIAG_TOL)
+    spark = t["embeddings"].sparkSession
+    return spark.createDataFrame(
+        [(n, diag_ok, offdiag_ok)],
+        "n_vecs long, diag_ok boolean, offdiag_ok boolean",
+    )
+
+
 _COS_DUCK = (
     "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
     "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
@@ -2001,6 +2316,25 @@ ORACLES: dict[str, str] = {
           ORDER BY {_COS_DUCK.replace('b.embedding', 'q.embedding')} DESC, a.vec_id
           LIMIT {TOPK}
         )
+    """,
+    "ivfpq_recall_check": f"""
+        SELECT count(*) AS n_exact, TRUE AS recall_ok, TRUE AS precision_ok
+        FROM (
+          SELECT a.vec_id
+          FROM embeddings a,
+               (SELECT embedding FROM embeddings
+                WHERE vec_id = {QUERY_VEC_ID}) q
+          WHERE a.vec_id != {QUERY_VEC_ID}
+          ORDER BY {_COS_DUCK.replace('b.embedding', 'q.embedding')} DESC, a.vec_id
+          LIMIT {TOPK}
+        )
+    """,
+    # embedding_whiten_audit: rows-only (eigenvectors aren't
+    # SQL-reproducible); whiten_check carries the identity-covariance
+    # contract with the corpus size as its oracle-recomputed exact field
+    "whiten_check": """
+        SELECT count(*) AS n_vecs, TRUE AS diag_ok, TRUE AS offdiag_ok
+        FROM embeddings
     """,
     # semantic_dedup_pairs: float kmeans isn't SQL-replayable — rows-only;
     # semdedup_check is its hard driver contract (exact pair count + the
@@ -2155,6 +2489,12 @@ QUERIES = {
     # PQ: rows-only ANN + hard driver contract
     "pq_topk": pq_topk,
     "pq_recall_check": pq_recall_check,
+    # IVF+PQ composition (faiss IVFADC shape): rows-only + hard contract
+    "ivfpq_topk": ivfpq_topk,
+    "ivfpq_recall_check": ivfpq_recall_check,
+    # ZCA whitening: rows-only transform + identity-covariance contract
+    "embedding_whiten_audit": embedding_whiten_audit,
+    "whiten_check": whiten_check,
     "label_centroid_sim": label_centroid_sim,
     "knn_join_topk": knn_join_topk,
     "hard_negative_mining": hard_negative_mining,

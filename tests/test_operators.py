@@ -2112,3 +2112,37 @@ def test_lsh_theta_pairs_nonvacuous_subset_recall(spark):
     row = similarity.lsh_theta_recall_check(t).first()
     assert row["subset_ok"] and row["recall_ok"]
     assert row["n_exact"] == len(exact)
+
+
+def test_ivfpq_recall_and_exact_scores(spark):
+    """IVFADC composition: overlap with brute-force top-k must clear the
+    pinned floor and every returned score must be the exact cosine
+    (re-rank contract)."""
+    t = load_tables(spark, SF_DIR)
+    exact = {r["vec_id"]: r["cos_sim"] for r in similarity.cosine_topk(t).collect()}
+    ap = {r["vec_id"]: r["cos_sim"] for r in similarity.ivfpq_topk(t).collect()}
+    assert len(ap) == similarity.TOPK
+    overlap = set(exact) & set(ap)
+    assert 100 * len(overlap) >= similarity.IVFPQ_RECALL_PCT * len(exact)
+    for v in overlap:
+        assert ap[v] == exact[v]
+    row = similarity.ivfpq_recall_check(t).first()
+    assert row["recall_ok"] and row["precision_ok"]
+
+
+def test_whitening_identity_covariance(spark):
+    """ZCA output must have identity sample covariance (the audit's whole
+    point) and preserve row count / ids."""
+    import numpy as np
+
+    t = load_tables(spark, SF_DIR)
+    pdf = similarity.embedding_whiten_audit(t).toPandas()
+    assert len(pdf) == t["embeddings"].count()
+    m = np.array(pdf["whitened"].tolist(), dtype="float64")
+    cov = np.cov(m, rowvar=False, bias=True)
+    assert np.abs(np.diag(cov) - 1.0).max() <= 1e-6
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() <= 1e-6
+    row = similarity.whiten_check(t).first()
+    assert row["diag_ok"] and row["offdiag_ok"]
+    assert row["n_vecs"] == len(pdf)

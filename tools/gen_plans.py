@@ -193,6 +193,9 @@ QUERIES = [
     "dedup_cluster_size_histogram",
     "asof_next_event",
     "exact_percentiles_by_type",
+    "ivfpq_topk",
+    "ivfpq_recall_check",
+    "embedding_whiten_audit",
     "embedding_gram_offdiag_topk",
     "token_len_percentiles_by_source",
     "dedup_survivorship_by_source",

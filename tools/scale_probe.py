@@ -102,6 +102,8 @@ EMB_OPS = {
     "embedding_centroid_drift": similarity.embedding_centroid_drift,
     "embedding_dim_stats": analytics3.embedding_dim_stats,
     "embedding_gram_offdiag_topk": analytics4.embedding_gram_offdiag_topk,
+    "ivfpq_topk": similarity.ivfpq_topk,
+    "embedding_whiten_audit": similarity.embedding_whiten_audit,
 }
 
 
