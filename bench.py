@@ -187,6 +187,9 @@ HEADLINE = [
     "source_share_drift",
     "ship_lag_profile",
     "customer_revenue_deciles",
+    "inter_event_time_histogram",
+    "prefix_dup_groups",
+    "doc_length_gini_by_source",
 ]
 
 

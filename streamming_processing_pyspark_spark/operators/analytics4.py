@@ -357,10 +357,165 @@ def customer_revenue_deciles(t: Tables) -> DataFrame:
     )
 
 
+#: inter-event-time histogram: bucket b holds gaps with 2^(b-1) ≤ dt < 2^b
+#: seconds (b = count of powers of two ≤ dt — pure integer comparisons, no
+#: runtime log2 in either engine); cap chosen so the widest bucket is
+#: ~194 days
+GAP_BUCKET_BITS = 25
+
+#: prefix dedup: how many leading tokens form the boilerplate key
+PREFIX_TOKENS = 16
+
+
+def inter_event_time_histogram(t: Tables) -> DataFrame:
+    """Log₂-bucketed histogram of per-user inter-event times — the
+    burstiness/returning-visit profile (and the input for choosing
+    session gaps and streaming watermark horizons).
+
+    Plan: ONE user-partitioned window (lag) — the same shuffle shape as
+    sessionization — then a map-combined groupBy over ≤ GAP_BUCKET_BITS
+    keys. The bucket index is a chain of integer comparisons against
+    power-of-two literals, identical in both engines (floor(log2(n))
+    computed in float can round up at 2^k − 1; counting boundaries
+    can't).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("dt"),
+    ).where(F.col("dt").isNotNull())
+    bucket = sum(
+        (F.col("dt") >= F.lit(2**i)).cast("int")
+        for i in range(GAP_BUCKET_BITS)
+    )
+    g = ev.select(F.col("dt"), bucket.cast("int").alias("bucket"))
+    cells = g.groupBy("bucket").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("dt").alias("min_dt_s"),
+        F.max("dt").alias("max_dt_s"),
+    )
+    return cells.select(
+        "bucket",
+        "n_gaps",
+        "min_dt_s",
+        "max_dt_s",
+        F.expr(
+            "10000 * n_gaps DIV sum(n_gaps) OVER ()"
+        ).alias("share_bp"),
+    )
+
+
+def prefix_dup_groups(t: Tables) -> DataFrame:
+    """Shared-prefix duplicate groups: documents whose first
+    PREFIX_TOKENS tokens hash identically — the cheap boilerplate /
+    mirrored-header detector crawl pipelines run before the expensive
+    shingle ladder (a shared long prefix is overwhelmingly template
+    text). One map-only projection to the prefix hash, one map-combined
+    groupBy; emits only groups with >1 member.
+    """
+    h = F.md5(
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, PREFIX_TOKENS), " "
+        )
+    )
+    return (
+        t["documents"]
+        .select(h.alias("prefix_md5"), "doc_id")
+        .groupBy("prefix_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def doc_length_gini_by_source(t: Tables) -> DataFrame:
+    """Per-source token-length concentration: exact Gini and the Lorenz
+    top-decile share — the length-skew audit (a source whose tokens are
+    concentrated in few giant docs packs and mixes very differently from
+    its document count).
+
+    Same exact-integer machinery as distribution.nation_revenue_gini:
+    with per-doc token counts x₁ ≤ … ≤ xₙ (ties broken by doc_id — both
+    statistics are invariant under permuting equal values), Gini =
+    (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx), emitted as floor(1e6·num/den) with one
+    int64→double cast so the IEEE chain matches the oracle. Windows
+    partition by SOURCE (bounded cardinality) — per-partition sorts,
+    never a global one.
+    """
+    from ..tables import persist_replacing
+
+    tok = t["documents"].select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tok")
+    )
+    ranked = persist_replacing(
+        tok.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("n_tok").asc(), F.col("doc_id").asc()
+                )
+            ),
+        ),
+        "analytics4.length_gini_ranked",
+    )
+    per_src = ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.col("rn").cast("long") * F.col("n_tok")).alias("t_weighted"),
+    )
+    top = (
+        ranked.join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("src2"),
+                    F.col("n_docs").alias("n2"),
+                )
+            ),
+            F.col("source") == F.col("src2"),
+        )
+        .where(F.col("rn") >= F.col("n2") - F.ceil(F.col("n2") / 10) + 1)
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("top_tokens"))
+    )
+    num = (
+        F.lit(2) * F.col("t_weighted")
+        - (F.col("n_docs") + F.lit(1)) * F.col("total_tokens")
+    ).cast("double")
+    den = (F.col("n_docs") * F.col("total_tokens")).cast("double")
+    return (
+        per_src.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.floor(F.lit(1000000.0) * num / den)
+            .cast("long")
+            .alias("gini_micro"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("top_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            )
+            .cast("long")
+            .alias("top_decile_share_micro"),
+        )
+    )
+
+
 _TOKC_DUCK = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
 
 
 def _oracles() -> dict[str, str]:
+    gap_bucket = " + ".join(
+        f"(CASE WHEN dt >= {2**i} THEN 1 ELSE 0 END)"
+        for i in range(GAP_BUCKET_BITS)
+    )
     pct_cols = ",\n                   ".join(
         f"min(CASE WHEN cum >= ({q} * n + 99) // 100 THEN n_tok END)"
         f" AS p{q}_tokens"
@@ -368,6 +523,71 @@ def _oracles() -> dict[str, str]:
     )
     ctx_values = ", ".join(f"({s})" for s in CONTEXT_SIZES)
     return {
+        "inter_event_time_histogram": f"""
+            WITH g AS (
+              SELECT date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id), ts) AS dt
+              FROM events
+            ),
+            b AS (
+              SELECT CAST({gap_bucket} AS INTEGER) AS bucket, dt
+              FROM g WHERE dt IS NOT NULL
+            ),
+            cells AS (
+              SELECT bucket, count(*) AS n_gaps,
+                     min(dt) AS min_dt_s, max(dt) AS max_dt_s
+              FROM b GROUP BY bucket
+            )
+            SELECT bucket, n_gaps,
+                   CAST(min_dt_s AS BIGINT) AS min_dt_s,
+                   CAST(max_dt_s AS BIGINT) AS max_dt_s,
+                   CAST(10000 * n_gaps // sum(n_gaps) OVER () AS BIGINT)
+                     AS share_bp
+            FROM cells
+        """,
+        "prefix_dup_groups": f"""
+            SELECT md5(array_to_string(list_slice(
+                     string_split_regex(trim(text), '\\s+'),
+                     1, {PREFIX_TOKENS}), ' ')) AS prefix_md5,
+                   count(*) AS n_docs,
+                   min(doc_id) AS canonical_id
+            FROM documents
+            GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_length_gini_by_source": f"""
+            WITH tok AS (
+              SELECT doc_id, source, {_TOKC_DUCK} AS n_tok FROM documents
+            ),
+            ranked AS (
+              SELECT source, n_tok,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_tok, doc_id) AS rn
+              FROM tok
+            ),
+            p AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                     CAST(sum(rn * n_tok) AS BIGINT) AS t_weighted
+              FROM ranked GROUP BY source
+            ),
+            top AS (
+              SELECT r.source, CAST(sum(r.n_tok) AS BIGINT) AS top_tokens
+              FROM ranked r JOIN p ON r.source = p.source
+              WHERE r.rn >= p.n_docs - ceil(p.n_docs / 10.0) + 1
+              GROUP BY r.source
+            )
+            SELECT p.source, p.n_docs, p.total_tokens,
+                   CAST(floor(1000000.0 *
+                        CAST(2 * t_weighted - (n_docs + 1) * total_tokens
+                             AS DOUBLE)
+                        / CAST(n_docs * total_tokens AS DOUBLE))
+                     AS BIGINT) AS gini_micro,
+                   CAST(floor(1000000.0 * CAST(top_tokens AS DOUBLE)
+                              / CAST(total_tokens AS DOUBLE))
+                     AS BIGINT) AS top_decile_share_micro
+            FROM p JOIN top ON p.source = top.source
+        """,
         "embedding_gram_offdiag_topk": f"""
             WITH e AS (
               SELECT vec_id,
@@ -536,6 +756,9 @@ def _oracles() -> dict[str, str]:
 ORACLES: dict[str, str] = _oracles()
 
 QUERIES = {
+    "inter_event_time_histogram": inter_event_time_histogram,
+    "prefix_dup_groups": prefix_dup_groups,
+    "doc_length_gini_by_source": doc_length_gini_by_source,
     "embedding_gram_offdiag_topk": embedding_gram_offdiag_topk,
     "token_len_percentiles_by_source": token_len_percentiles_by_source,
     "dedup_survivorship_by_source": dedup_survivorship_by_source,

@@ -98,3 +98,56 @@ def test_source_share_drift_shares_sum(spark):
     for col in ("share_a_bp", "share_b_bp"):
         s = sum(r[col] for r in rows)
         assert 10000 - len(rows) <= s <= 10000, (col, s)
+
+
+def test_inter_event_gaps_partition_by_power_of_two(spark):
+    """Every gap must land in the bucket whose [2^(b-1), 2^b) range
+    contains it, and bucket counts must sum to (events − users)."""
+    t = load_tables(spark, SF_DIR)
+    rows = analytics4.inter_event_time_histogram(t).collect()
+    n_events = t["events"].count()
+    n_users = t["events"].select("user_id").distinct().count()
+    assert sum(r["n_gaps"] for r in rows) == n_events - n_users
+    for r in rows:
+        b = r["bucket"]
+        lo = 0 if b == 0 else 2 ** (b - 1)
+        assert lo <= r["min_dt_s"] <= r["max_dt_s"]
+        assert r["max_dt_s"] < 2**b
+
+
+def test_prefix_dup_groups_share_prefix(spark):
+    """Every reported group's members must genuinely share the first
+    PREFIX_TOKENS tokens (hash groups are not collisions)."""
+    t = load_tables(spark, SF_DIR)
+    groups = analytics4.prefix_dup_groups(t).collect()
+    assert groups
+    texts = {r["doc_id"]: r["text"] for r in t["documents"].collect()}
+
+    def prefix(s):
+        return " ".join(s.strip().split()[: analytics4.PREFIX_TOKENS])
+
+    by_prefix: dict[str, list[int]] = {}
+    for did, txt in texts.items():
+        by_prefix.setdefault(prefix(txt), []).append(did)
+    want = {min(v): len(v) for v in by_prefix.values() if len(v) > 1}
+    got = {r["canonical_id"]: r["n_docs"] for r in groups}
+    assert got == want
+
+
+def test_length_gini_bounds_and_uniform_zero(spark):
+    """Gini must sit in [0, 1e6) per source; a constant-length synthetic
+    source must score ~0."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, SF_DIR)
+    for r in analytics4.doc_length_gini_by_source(t).collect():
+        assert 0 <= r["gini_micro"] < 1_000_000
+        assert r["top_decile_share_micro"] >= 10000 // r["n_docs"]
+    const = {
+        "documents": spark.createDataFrame(
+            [(i, "a b c", "x", "s0", 5) for i in range(40)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    }
+    row = analytics4.doc_length_gini_by_source(const).first()
+    assert row["gini_micro"] == 0

@@ -203,6 +203,9 @@ QUERIES = [
     "source_share_drift",
     "ship_lag_profile",
     "customer_revenue_deciles",
+    "inter_event_time_histogram",
+    "prefix_dup_groups",
+    "doc_length_gini_by_source",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
