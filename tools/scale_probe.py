@@ -77,6 +77,10 @@ OPS = {
     "dup_leakage_matrix": analytics3.dup_leakage_matrix,
     "dup_leakage_matrix_minhash": analytics3.dup_leakage_matrix_minhash,
     "text_compression_ratio": analytics3.text_compression_ratio,
+    "prefix_dup_groups": analytics4.prefix_dup_groups,
+    "doc_length_gini_by_source": analytics4.doc_length_gini_by_source,
+    "token_len_percentiles_by_source": analytics4.token_len_percentiles_by_source,
+    "dedup_survivorship_by_source": analytics4.dedup_survivorship_by_source,
     "packing_efficiency_report": analytics3.packing_efficiency_report,
 }
 
