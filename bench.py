@@ -190,6 +190,14 @@ HEADLINE = [
     "inter_event_time_histogram",
     "prefix_dup_groups",
     "doc_length_gini_by_source",
+    # round-8 second wave: winnowing, star CC, diversity, curriculum,
+    # backlog aging
+    "winnow_fingerprint_pairs",
+    "winnow_sampler_stats",
+    "distinct_ngram_diversity",
+    "curriculum_stage_assign",
+    "order_backlog_aging",
+    "dedup_clusters_star",
 ]
 
 

@@ -1,0 +1,515 @@
+"""Round-8 operator batch (second wave): winnowing fingerprints,
+corpus-diversity audits, curriculum staging, and order-backlog aging.
+
+Five operators extending the LLM-pipeline and warehouse surface (the
+reference project — ``/root/reference``, Task2-4/Client.py — has none of
+this; SURVEY.md §7 phase-4 extensions), all Spark-first and
+DuckDB-oracle-checked:
+
+- ``winnow_fingerprint_pairs`` — winnowing-style sampled k-gram
+  fingerprints (Schleimer/Wilkerson/Aiken's MOSS family: keep a k-gram
+  hash only where it is a trailing-window minimum) → document pairs
+  sharing fingerprints. The SLIDING complement of ``span_dedup``'s
+  fixed 8-token spans: overlap that is not span-aligned still collides
+  on winnowed fingerprints, at ~2/(w+1) of the k-gram volume instead of
+  all of it.
+- ``winnow_sampler_stats`` — per-source sampler health: k-gram volume,
+  selected volume, density ppm, distinct fingerprints. The monitoring
+  row a winnowing deployment watches (density drifting from
+  ~2/(w+1) ⇒ adversarial/degenerate text).
+- ``distinct_ngram_diversity`` — per-source distinct 1/2/3-gram ratios
+  (ppm): the Self-BLEU-ish mode-collapse / templated-text audit run on
+  synthetic-data pools before they enter a mix.
+- ``curriculum_stage_assign`` — token-mass-balanced curriculum stages
+  keyed on document length (the standard length-curriculum proxy):
+  stage boundaries from the exact cumulative-histogram percentile
+  machinery, NO global sort, broadcast assignment.
+- ``order_backlog_aging`` — open-order backlog aged into integer day
+  buckets per priority as of the warehouse's latest order date: one
+  scan, ≤ |priorities|·|buckets| output cells.
+
+Scale notes (100 TB): fingerprint extraction is MAP-ONLY — the trailing
+-window minimum is computed inside an array ``transform`` over each
+document row, so no (doc, position) rows ever reach a shuffle; only the
+~2/(w+1)-sampled fingerprints are exploded. Pair formation is bounded by
+the ``WINNOW_MAX_DF`` document-frequency cap exactly like the shingle
+inverted index (dedup.py). Diversity/curriculum/backlog are
+one-scan + small-rollup shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Tables = dict[str, DataFrame]
+
+#: winnowing: k-gram width (tokens) and window width (k-grams). Guarantee
+#: analogue: any shared run of WINNOW_K + WINNOW_W - 1 = 7 tokens shares
+#: at least one SELECTED fingerprint position on both sides.
+WINNOW_K = 4
+WINNOW_W = 4
+#: document-frequency cap: fingerprints present in more docs than this
+#: are boilerplate and never form pairs (bounds per-key join fanout)
+WINNOW_MAX_DF = 20
+#: minimum shared fingerprints for a reported pair
+WINNOW_MIN_SHARED = 2
+
+#: diversity: n-gram orders audited
+DIVERSITY_NGRAMS = (1, 2, 3)
+
+#: curriculum: number of token-mass-balanced stages
+CURRICULUM_STAGES = 4
+
+#: backlog aging bucket upper bounds (days); the last bucket is open
+BACKLOG_DAY_BUCKETS = (30, 90, 180, 365)
+
+
+def _winnow_hashes() -> F.Column:
+    """Per-document array of k-gram md5 hashes (order preserved) —
+    md5-over-joined-tokens is identical in Spark and DuckDB, and the
+    lowercase-hex strings compare identically in both engines, so the
+    trailing-window minimum needs no portable integer hash."""
+    return F.expr(
+        f"""
+        transform(
+          sequence(1, size(split(trim(text), '\\\\s+')) - {WINNOW_K - 1}),
+          i -> md5(concat_ws(' ',
+                 slice(split(trim(text), '\\\\s+'), i, {WINNOW_K})))
+        )
+        """
+    )
+
+
+#: selection rule, shared by the Spark expr and the DuckDB oracle: a
+#: position is selected iff its hash is ≤ the minimum of the previous
+#: WINNOW_W-1 hashes (first position always selected). This is the
+#: trailing-window local-minimum variant of winnowing — deterministic,
+#: expected density 2/(WINNOW_W+1), and any shared token run of length
+#: ≥ WINNOW_K+WINNOW_W-1 contributes ≥ 1 selected fingerprint with an
+#: identical hash on both documents (the windows interior to the run see
+#: identical hash sequences, so they select at identical offsets).
+def _winnow_selected(hs: str) -> str:
+    """SQL sub-expression: array of SELECTED hashes from array col ``hs``
+    (with duplicates, in position order)."""
+    w1 = WINNOW_W - 1
+    return f"""
+      filter(
+        transform({hs}, (h, i) ->
+          case when i = 0
+                 or h <= array_min(slice({hs},
+                          greatest(1, i - {w1 - 1}), least(i, {w1})))
+               then h end),
+        x -> x is not null)
+    """
+
+
+def _docs_with_fps(t: Tables) -> DataFrame:
+    """(doc_id, source, n_kgrams, sel) with sel = selected hashes array.
+    MAP-ONLY: no shuffle until callers aggregate."""
+    return (
+        t["documents"]
+        .where(
+            F.size(F.split(F.trim("text"), r"\s+")) >= F.lit(WINNOW_K)
+        )
+        .select(
+            "doc_id",
+            "source",
+            _winnow_hashes().alias("hs"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.size("hs").alias("n_kgrams"),
+            F.expr(_winnow_selected("hs")).alias("sel"),
+        )
+    )
+
+
+def winnow_fingerprint_pairs(t: Tables) -> DataFrame:
+    """Document pairs sharing ≥ WINNOW_MIN_SHARED winnowed fingerprints,
+    with the shared-fingerprint count — the sampled sliding-k-gram
+    near-dup detector (MOSS winnowing family) complementing
+    ``span_dedup``'s fixed spans and ``minhash_lsh_pairs``' signatures.
+
+    Plan shape at 100 TB: extraction map-only (see module docstring);
+    the inverted index groups by fingerprint with the WINNOW_MAX_DF
+    boilerplate cap bounding per-key fanout to ≤ C(20,2) pairs, so the
+    pair shuffle is candidate-sized, never corpus²."""
+    fps = (
+        _docs_with_fps(t)
+        .select("doc_id", F.explode(F.array_distinct("sel")).alias("h"))
+    )
+    from ..tables import persist_replacing
+
+    # feeds the document-frequency gate AND both join sides
+    fps = persist_replacing(fps, "analytics5.winnow_fps")
+    keep = (
+        fps.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(
+            (F.col("df") >= 2) & (F.col("df") <= F.lit(WINNOW_MAX_DF))
+        )
+        .select("h")
+    )
+    fpk = fps.join(F.broadcast(keep), "h")
+    a = fpk.select(F.col("h"), F.col("doc_id").alias("id_a"))
+    b = fpk.select(F.col("h"), F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(WINNOW_MIN_SHARED))
+    )
+
+
+def winnow_sampler_stats(t: Tables) -> DataFrame:
+    """Per-source winnowing sampler health: document/k-gram/selected
+    volumes, selection density (ppm of k-grams), distinct fingerprints.
+    Density far from the theoretical ~2/(w+1) flags degenerate or
+    adversarial text (constant tokens collapse the hash sequence).
+    One map-only extraction + one |sources|-key rollup; the distinct
+    count shuffles only selected fingerprints."""
+    d = _docs_with_fps(t).select(
+        "doc_id",
+        "source",
+        "n_kgrams",
+        F.size("sel").alias("n_sel"),
+        F.col("sel"),
+    )
+    exploded = d.select("source", F.explode("sel").alias("h"))
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_kgrams").alias("n_kgrams"),
+        F.sum("n_sel").alias("n_selected"),
+    )
+    distincts = exploded.groupBy("source").agg(
+        F.count_distinct("h").alias("n_distinct_fps")
+    )
+    return (
+        per_source.join(distincts, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kgrams",
+            "n_selected",
+            "n_distinct_fps",
+            F.expr("1000000 * n_selected DIV n_kgrams").alias(
+                "density_ppm"
+            ),
+        )
+    )
+
+
+def distinct_ngram_diversity(t: Tables) -> DataFrame:
+    """Per-source distinct-n-gram diversity ratios for n ∈ 1..3 — the
+    mode-collapse / templated-text audit (low distinct-bigram ppm ⇒
+    repetitive or machine-generated text). One row per (source, n):
+    total n-grams, distinct n-grams, diversity ppm.
+
+    Scale: n-gram rows shuffle once on (source, n, gram) for the
+    distinct; the rollup output is |sources|·3 rows. Token arrays stay
+    inside the scan task (no per-token rows before the explode)."""
+    ws = F.split(F.trim("text"), r"\s+")
+    docs = t["documents"].select("source", ws.alias("ws"))
+    frames = []
+    for n in DIVERSITY_NGRAMS:
+        # the length guard also protects Spark's sequence(), which would
+        # DESCEND (1, 0) on a too-short doc instead of being empty
+        grams = docs.where(F.size("ws") >= F.lit(n)).select(
+            "source",
+            F.lit(n).alias("n"),
+            F.explode(
+                F.expr(
+                    f"""
+                    transform(sequence(1, size(ws) - {n - 1}),
+                              i -> concat_ws(' ', slice(ws, i, {n})))
+                    """
+                )
+            ).alias("gram"),
+        )
+        frames.append(grams)
+    allgrams = frames[0]
+    for fr in frames[1:]:
+        allgrams = allgrams.unionByName(fr)
+    return (
+        allgrams.groupBy("source", "n")
+        .agg(
+            F.count("*").alias("total_ngrams"),
+            F.count_distinct("gram").alias("distinct_ngrams"),
+        )
+        .select(
+            "source",
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.expr("1000000 * distinct_ngrams DIV total_ngrams").alias(
+                "diversity_ppm"
+            ),
+        )
+    )
+
+
+def curriculum_stage_assign(t: Tables) -> DataFrame:
+    """Token-mass-balanced curriculum stages keyed on document length —
+    the length-curriculum schedule (short→long) with stages carrying
+    ~equal TOKEN mass rather than equal doc counts, so late stages
+    aren't dominated by a few long documents' tokens.
+
+    Boundaries come from the exact cumulative-histogram machinery
+    (same pattern as ``customer_revenue_deciles``): the length histogram
+    is |distinct lengths| rows, its cumulative token mass picks the
+    smallest length covering ceil(k·total/K) tokens, the K-row boundary
+    table broadcasts, and docs take the smallest covering stage at scan
+    speed. NO global sort, NO NTILE. Output: one row per stage with doc
+    count, token mass, share (bp), and the length range."""
+    from ..functions.text import token_count
+
+    from ..tables import persist_replacing
+
+    docs = persist_replacing(
+        t["documents"].select(
+            "doc_id", token_count(F.col("text")).alias("n_tok")
+        ),
+        "analytics5.curriculum_docs",
+    )
+    hist = docs.groupBy("n_tok").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_tok").alias("mass"),
+    )
+    w = Window.orderBy("n_tok")
+    cum = hist.select(
+        "n_tok",
+        F.sum("mass").over(w).alias("cum_mass"),
+        F.sum("mass")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
+    ks = docs.sparkSession.range(1, CURRICULUM_STAGES + 1).select(
+        F.col("id").alias("k")
+    )
+    bounds = (
+        cum.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.min(
+                F.when(
+                    F.expr(
+                        f"cum_mass >= (k * total + {CURRICULUM_STAGES - 1})"
+                        f" DIV {CURRICULUM_STAGES}"
+                    ),
+                    F.col("n_tok"),
+                )
+            ).alias("cut")
+        )
+    )
+    assigned = (
+        docs.crossJoin(F.broadcast(bounds))
+        .where(F.col("n_tok") <= F.col("cut"))
+        .groupBy("doc_id", "n_tok")
+        .agg(F.min("k").alias("stage"))
+    )
+    total = docs.agg(F.sum("n_tok").alias("total_tok"))
+    return (
+        assigned.groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.min("n_tok").cast("long").alias("min_tokens"),
+            F.max("n_tok").cast("long").alias("max_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            "n_docs",
+            "tokens",
+            "min_tokens",
+            "max_tokens",
+            F.expr("10000 * tokens DIV total_tok").alias("token_share_bp"),
+        )
+    )
+
+
+def order_backlog_aging(t: Tables) -> DataFrame:
+    """Open-order backlog aged into day buckets per priority, as of the
+    warehouse's latest order date — the fulfillment-ops table ("how much
+    value sits unfulfilled, and how stale"). Open = o_orderstatus in
+    ('O','P'). Buckets: ≤30 / ≤90 / ≤180 / ≤365 / older (bucket = upper
+    bound in days; 0 = the open-ended oldest bucket).
+
+    Scale: the cutoff is a 1-row broadcast; then ONE orders scan into a
+    ≤ |priorities|·5-cell rollup."""
+    orders = t["orders"]
+    cutoff = orders.agg(F.max("o_orderdate").alias("cutoff"))
+    bucket = F.lit(0)
+    for ub in reversed(BACKLOG_DAY_BUCKETS):
+        bucket = F.when(
+            F.col("age_days") <= F.lit(ub), F.lit(ub)
+        ).otherwise(bucket)
+    return (
+        orders.where(F.col("o_orderstatus").isin("O", "P"))
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("cutoff"), F.col("o_orderdate")).alias(
+                "age_days"
+            ),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("value_c"),
+        )
+        .select("o_orderpriority", bucket.alias("age_bucket_days"), "value_c")
+        .groupBy("o_orderpriority", "age_bucket_days")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("value_c").alias("backlog_cents"),
+        )
+    )
+
+
+_TOKC_DUCK = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+
+
+def _oracles() -> dict[str, str]:
+    w1 = WINNOW_W - 1
+    kgram = " || ' ' || ".join(f"ws[i + {j}]" for j in range(WINNOW_K))
+    winnow_base = f"""
+        w AS (SELECT doc_id, source,
+                     string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents),
+        s AS (SELECT doc_id, source,
+                     list_transform(
+                       generate_series(1, len(ws) - {WINNOW_K - 1}),
+                       i -> md5({kgram})) AS hs
+              FROM w WHERE len(ws) >= {WINNOW_K}),
+        g AS (SELECT doc_id, source,
+                     unnest(hs) AS h,
+                     unnest(generate_series(1, len(hs))) AS i,
+                     len(hs) AS n_kgrams
+              FROM s),
+        sel AS (SELECT doc_id, source, h, i, n_kgrams,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN {w1} PRECEDING
+                                             AND 1 PRECEDING) AS pm
+                FROM g),
+        picked AS (SELECT doc_id, source, h, n_kgrams
+                   FROM sel WHERE pm IS NULL OR h <= pm),
+        fp AS (SELECT DISTINCT doc_id, h FROM picked)
+    """
+    ngram_branches = "\n            UNION ALL\n".join(
+        f"""
+            SELECT source, {n} AS n,
+                   array_to_string(list_slice(ws, i, i + {n - 1}), ' ')
+                     AS gram
+            FROM w, unnest(generate_series(1, len(ws) - {n - 1})) AS u(i)
+        """
+        for n in DIVERSITY_NGRAMS
+    )
+    buckets_sql = "ELSE 0 END"
+    for ub in reversed(BACKLOG_DAY_BUCKETS):
+        buckets_sql = f"WHEN age_days <= {ub} THEN {ub} " + buckets_sql
+    return {
+        "winnow_fingerprint_pairs": f"""
+            WITH {winnow_base},
+            keep AS (SELECT h FROM fp GROUP BY h
+                     HAVING count(*) BETWEEN 2 AND {WINNOW_MAX_DF}),
+            fpk AS (SELECT doc_id, h FROM fp
+                    WHERE h IN (SELECT h FROM keep))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+            FROM fpk a JOIN fpk b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+        """,
+        "winnow_sampler_stats": f"""
+            WITH {winnow_base},
+            vol AS (SELECT source, count(DISTINCT doc_id) AS n_docs,
+                           count(*) AS n_selected
+                    FROM picked GROUP BY source),
+            kg AS (SELECT source, sum(len(hs)) AS n_kgrams
+                   FROM s GROUP BY source),
+            dst AS (SELECT source, count(DISTINCT h) AS n_distinct_fps
+                    FROM picked GROUP BY source)
+            SELECT vol.source, n_docs,
+                   CAST(n_kgrams AS BIGINT) AS n_kgrams,
+                   n_selected, n_distinct_fps,
+                   CAST(1000000 * n_selected // n_kgrams AS BIGINT)
+                     AS density_ppm
+            FROM vol JOIN kg ON vol.source = kg.source
+                     JOIN dst ON vol.source = dst.source
+        """,
+        "distinct_ngram_diversity": f"""
+            WITH w AS (SELECT source,
+                              string_split_regex(trim(text), '\\s+') AS ws
+                       FROM documents),
+            grams AS ({ngram_branches})
+            SELECT source, n,
+                   count(*) AS total_ngrams,
+                   count(DISTINCT gram) AS distinct_ngrams,
+                   CAST(1000000 * count(DISTINCT gram) // count(*)
+                        AS BIGINT) AS diversity_ppm
+            FROM grams GROUP BY source, n
+        """,
+        "curriculum_stage_assign": f"""
+            WITH docs AS (SELECT doc_id, {_TOKC_DUCK} AS n_tok
+                          FROM documents),
+            hist AS (SELECT n_tok, count(*) AS cnt,
+                            sum(n_tok) AS mass
+                     FROM docs GROUP BY n_tok),
+            cum AS (SELECT n_tok,
+                           sum(mass) OVER (ORDER BY n_tok) AS cum_mass,
+                           sum(mass) OVER () AS total
+                    FROM hist),
+            ks AS (SELECT unnest(generate_series(1,
+                            {CURRICULUM_STAGES})) AS k),
+            bounds AS (SELECT k,
+                              min(CASE WHEN cum_mass >=
+                                    (k * total + {CURRICULUM_STAGES - 1})
+                                      // {CURRICULUM_STAGES}
+                                  THEN n_tok END) AS cut
+                       FROM cum CROSS JOIN ks GROUP BY k),
+            assigned AS (SELECT doc_id, n_tok, min(k) AS stage
+                         FROM docs JOIN bounds ON n_tok <= cut
+                         GROUP BY doc_id, n_tok),
+            total AS (SELECT sum(n_tok) AS total_tok FROM docs)
+            SELECT stage, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS tokens,
+                   CAST(min(n_tok) AS BIGINT) AS min_tokens,
+                   CAST(max(n_tok) AS BIGINT) AS max_tokens,
+                   CAST(10000 * sum(n_tok) // total_tok AS BIGINT)
+                     AS token_share_bp
+            FROM assigned, total
+            GROUP BY stage, total_tok
+        """,
+        "order_backlog_aging": f"""
+            WITH cutoff AS (SELECT max(o_orderdate) AS c FROM orders),
+            aged AS (SELECT o_orderpriority,
+                            date_diff('day', o_orderdate, c) AS age_days,
+                            CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                              AS value_c
+                     FROM orders, cutoff
+                     WHERE o_orderstatus IN ('O', 'P'))
+            SELECT o_orderpriority,
+                   CAST(CASE {buckets_sql} AS INTEGER)
+                     AS age_bucket_days,
+                   count(*) AS n_orders,
+                   CAST(sum(value_c) AS BIGINT) AS backlog_cents
+            FROM aged GROUP BY 1, 2
+        """,
+    }
+
+
+ORACLES: dict[str, str] = _oracles()
+
+QUERIES = {
+    "winnow_fingerprint_pairs": winnow_fingerprint_pairs,
+    "winnow_sampler_stats": winnow_sampler_stats,
+    "distinct_ngram_diversity": distinct_ngram_diversity,
+    "curriculum_stage_assign": curriculum_stage_assign,
+    "order_backlog_aging": order_backlog_aging,
+}

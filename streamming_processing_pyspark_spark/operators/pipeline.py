@@ -644,9 +644,157 @@ def dedup_cluster_size_histogram(t: Tables) -> DataFrame:
     )
 
 
+#: round cap for the star-contraction loop (alternating large/small star
+#: halves component height, so real graphs converge in O(log n) rounds)
+STAR_MAX_ITERS = 30
+
+#: rounds the last _star_connected_components call took (probe telemetry)
+LAST_STAR_ROUNDS = 0
+
+
+def _star_connected_components(pairs: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) over an
+    (id_a, id_b) pair frame → (doc_id, component) labels, component = min
+    reachable id. The published alternative to
+    :func:`_connected_components`' min-label + pointer-doubling loop,
+    here as an independently-derived second implementation whose labels
+    are equality-pinned against it (tests) and against the same recursive
+    -CTE oracle (driver).
+
+    Per round, each op is ONE groupBy(min) + ONE join — both shuffles are
+    sized by the CURRENT edge set, which only shrinks (stars replace
+    paths), so at 100 TB every round after the first runs on a
+    near-forest, not the corpus:
+
+    - large-star: on the symmetric orientation, every node's
+      strictly-larger neighbors re-attach to ``m = min(N(u) ∪ {u})``;
+    - small-star: on the (max → min) orientation, every node's smaller
+      neighbors (and the node) attach to its minimum neighbor.
+
+    Convergence = edge-set fixpoint, detected with one scalar aggregate
+    per round (count + order-insensitive xxhash64 checksum — collision
+    would need 2⁻⁶⁴ bad luck AND an equal count; the oracle hash-match
+    would still catch it). Lineage is truncated per round with
+    ``localCheckpoint`` like the sibling loop.
+    """
+    from ..tables import persist_replacing
+
+    edges = (
+        pairs.where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.greatest("id_a", "id_b").alias("u"),
+            F.least("id_a", "id_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = persist_replacing(
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select("v"))
+        .distinct(),
+        "pipeline.star_nodes",
+    )
+    sig = None
+    rounds = 0
+    for _ in range(STAR_MAX_ITERS):
+        rounds += 1
+        # large-star on the symmetric view: m(u) = min(neighbors ∪ self)
+        sym = edges.union(edges.select(F.col("v"), F.col("u"))).toDF(
+            "u", "v"
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        large = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("hi"), F.col("m").alias("lo")
+            )
+        )
+        # small-star on the (max → min) orientation of large's output
+        d = large.select(
+            F.greatest("hi", "lo").alias("u"), F.least("hi", "lo").alias("v")
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m")))
+            .distinct()
+        )
+        new_edges = small.localCheckpoint(eager=False)
+        # bit_xor: order-insensitive, overflow-free (ANSI-safe — a sum of
+        # hashes overflows int64); edges are distinct so nothing cancels
+        chk = new_edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        edges = new_edges
+        if (chk["n"], chk["h"]) == sig:
+            break
+        sig = (chk["n"], chk["h"])
+    else:  # pragma: no cover - safety net for pathological graphs
+        raise RuntimeError("star contraction did not converge")
+    global LAST_STAR_ROUNDS
+    LAST_STAR_ROUNDS = rounds
+    # fixpoint edges form stars rooted at each component minimum; roots
+    # label themselves
+    labels = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("component")
+    )
+    roots = (
+        nodes.join(
+            labels.select(F.col("doc_id").alias("node")), "node", "left_anti"
+        )
+        .select(F.col("node").alias("doc_id"))
+        .withColumn("component", F.col("doc_id"))
+    )
+    return labels.union(roots)
+
+
+def dedup_clusters_star(t: Tables) -> DataFrame:
+    """:func:`dedup_clusters` computed by the OTHER published CC
+    algorithm — alternating star contraction
+    (:func:`_star_connected_components`) — over the same exact near-dup
+    pair source. Same output contract (doc_id → min reachable id), same
+    recursive-CTE oracle, labels equality-pinned against the
+    pointer-doubling loop in tests. Exists so the clustering result is
+    certified by two independent algorithms, and as the variant whose
+    per-round shuffles shrink with the contracting edge set (the
+    min-label loop's join stays node-sized every round)."""
+    return _star_connected_components(
+        ngram_jaccard_pairs(t).select("id_a", "id_b")
+    )
+
+
 _RATE_CASE = " ".join(
     f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items()
 )
+
+ORACLE_DEDUP_CLUSTERS = f"""
+        WITH RECURSIVE {_SHINGLE_DUCK},
+        jp AS (
+          SELECT id_a, id_b
+          FROM p JOIN n na ON p.id_a = na.doc_id
+                 JOIN n nb ON p.id_b = nb.doc_id
+          WHERE round(common * 1.0 / (na.n + nb.n - common), 4)
+                >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (SELECT id_a AS s, id_b AS d FROM jp
+                  UNION SELECT id_b, id_a FROM jp),
+        reach(node, lab) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+        )
+        SELECT node AS doc_id, min(lab) AS component
+        FROM reach GROUP BY node
+    """
 
 ORACLES: dict[str, str] = {
     "repetition_filter": """
@@ -766,25 +914,10 @@ ORACLES: dict[str, str] = {
                  AS scrubbed_md5
         FROM documents
     """,
-    "dedup_clusters": f"""
-        WITH RECURSIVE {_SHINGLE_DUCK},
-        jp AS (
-          SELECT id_a, id_b
-          FROM p JOIN n na ON p.id_a = na.doc_id
-                 JOIN n nb ON p.id_b = nb.doc_id
-          WHERE round(common * 1.0 / (na.n + nb.n - common), 4)
-                >= {JACCARD_THRESHOLD}
-        ),
-        edges AS (SELECT id_a AS s, id_b AS d FROM jp
-                  UNION SELECT id_b, id_a FROM jp),
-        reach(node, lab) AS (
-          SELECT s, s FROM edges
-          UNION
-          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
-        )
-        SELECT node AS doc_id, min(lab) AS component
-        FROM reach GROUP BY node
-    """,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    # same contract & SQL as dedup_clusters: min reachable id per node —
+    # the star-contraction loop must land on the identical labels
+    "dedup_clusters_star": ORACLE_DEDUP_CLUSTERS,
     "dedup_canonical_docs": f"""
         WITH RECURSIVE {_SHINGLE_DUCK},
         jp AS (
@@ -869,4 +1002,5 @@ QUERIES = {
     "dedup_clusters_minhash_check": dedup_clusters_minhash_check,
     "dedup_canonical_docs": dedup_canonical_docs,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
+    "dedup_clusters_star": dedup_clusters_star,
 }

@@ -20,6 +20,7 @@ from .operators import (
     analytics2,
     analytics3,
     analytics4,
+    analytics5,
     distribution,
     asof,
     attribution,
@@ -729,6 +730,7 @@ _STREAMING_ORACLES: dict[str, str] = {
 _TABLE_MODULES = (
     analytics3,
     analytics4,
+    analytics5,
     distribution,
     campaign,
     curation,

@@ -1,0 +1,146 @@
+"""Property tests for the round-8 second-wave batch (winnowing, star CC,
+diversity, curriculum, backlog). Oracle parity itself is covered by the
+parametrized test_oracle_parity sweep."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamming_processing_pyspark_spark.operators import analytics5, pipeline
+from streamming_processing_pyspark_spark.tables import load_tables
+
+from .conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return {
+        "documents": spark.createDataFrame(
+            [(i, txt, "en", "srcT", len(txt)) for i, txt in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    }
+
+
+def test_winnow_guarantee_shared_run_collides(spark):
+    """Any shared run of ≥ WINNOW_K + WINNOW_W - 1 tokens must contribute
+    at least one identical SELECTED fingerprint to both documents, even
+    when the run sits at different offsets (the property fixed-span
+    dedup lacks)."""
+    run = "alpha beta gamma delta epsilon zeta eta"  # 7 = K + W - 1
+    a = "x1 x2 x3 " + run + " x4 x5"
+    b = "y1 " + run + " y2 y3 y4 y5 y6 y7"
+    t = _docs(spark, [(1, a), (2, b)])
+    fps = {
+        r["doc_id"]: set(r["sel"])
+        for r in analytics5._docs_with_fps(t).collect()
+    }
+    assert fps[1] & fps[2], "shared 7-token run produced no shared fingerprint"
+
+
+def test_winnow_density_near_theoretical(spark):
+    """Selection density should sit near 2/(w+1) of k-grams on natural
+    (non-degenerate) text — the sampler-health property the stats op
+    exists to monitor."""
+    t = load_tables(spark, SF_DIR)
+    rows = analytics5.winnow_sampler_stats(t).collect()
+    assert rows
+    expect = 2_000_000 // (analytics5.WINNOW_W + 1)  # ppm
+    for r in rows:
+        assert r["n_selected"] <= r["n_kgrams"]
+        assert 0 < r["density_ppm"] <= 1_000_000
+        # generous band: hash-order noise on small sources
+        assert abs(r["density_ppm"] - expect) < 200_000, (
+            r["source"],
+            r["density_ppm"],
+        )
+
+
+def test_winnow_pairs_are_symmetric_free_and_thresholded(spark):
+    t = load_tables(spark, SF_DIR)
+    rows = analytics5.winnow_fingerprint_pairs(t).collect()
+    assert rows, "fixture near-dup twins should produce winnow pairs"
+    seen = set()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["n_shared"] >= analytics5.WINNOW_MIN_SHARED
+        assert (r["id_a"], r["id_b"]) not in seen
+        seen.add((r["id_a"], r["id_b"]))
+
+
+def test_star_cc_on_chain_and_islands(spark):
+    """A 10-node chain plus a 2-node island: star contraction must label
+    every node with the component minimum, in O(log n) rounds."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)] + [(100, 101)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in pipeline._star_connected_components(pairs).collect()
+    }
+    assert got == {**{i: 1 for i in range(1, 11)}, 100: 100, 101: 100}
+    assert pipeline.LAST_STAR_ROUNDS <= 8
+
+
+def test_star_cc_matches_pointer_doubling(spark):
+    """Two independently-derived CC algorithms must agree label-for-label
+    on the real near-dup graph."""
+    t = load_tables(spark, SF_DIR)
+    star = {
+        (r["doc_id"], r["component"])
+        for r in pipeline.dedup_clusters_star(t).collect()
+    }
+    ptr = {
+        (r["doc_id"], r["component"])
+        for r in pipeline.dedup_clusters(t).collect()
+    }
+    assert star == ptr
+
+
+def test_curriculum_partitions_all_docs_and_token_mass(spark):
+    t = load_tables(spark, SF_DIR)
+    rows = sorted(
+        analytics5.curriculum_stage_assign(t).collect(),
+        key=lambda r: r["stage"],
+    )
+    n_docs = t["documents"].count()
+    total_tok = (
+        t["documents"]
+        .select(F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["tokens"] for r in rows) == total_tok
+    assert sum(r["token_share_bp"] for r in rows) <= 10_000
+    # value-bucketed stages: length ranges are disjoint and ordered
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["max_tokens"] < cur["min_tokens"]
+
+
+def test_diversity_rows_bounded_and_complete(spark):
+    t = load_tables(spark, SF_DIR)
+    rows = analytics5.distinct_ngram_diversity(t).collect()
+    n_sources = t["documents"].select("source").distinct().count()
+    assert len(rows) == n_sources * len(analytics5.DIVERSITY_NGRAMS)
+    per = {}
+    for r in rows:
+        assert 0 < r["diversity_ppm"] <= 1_000_000
+        assert r["distinct_ngrams"] <= r["total_ngrams"]
+        per.setdefault(r["source"], {})[r["n"]] = r["diversity_ppm"]
+    # longer n-grams are rarer to repeat → diversity non-decreasing in n
+    for source, d in per.items():
+        assert d[1] <= d[2] <= d[3], (source, d)
+
+
+def test_backlog_covers_every_open_order(spark):
+    t = load_tables(spark, SF_DIR)
+    rows = analytics5.order_backlog_aging(t).collect()
+    open_orders = t["orders"].where(
+        F.col("o_orderstatus").isin("O", "P")
+    )
+    assert sum(r["n_orders"] for r in rows) == open_orders.count()
+    valid = set(analytics5.BACKLOG_DAY_BUCKETS) | {0}
+    for r in rows:
+        assert r["age_bucket_days"] in valid
+        assert r["backlog_cents"] > 0

@@ -33,6 +33,7 @@ from streamming_processing_pyspark_spark.tables import load_tables
 from streamming_processing_pyspark_spark.operators import (
     analytics3,
     analytics4,
+    analytics5,
     campaign,
     curation,
     dedup,
@@ -82,6 +83,11 @@ OPS = {
     "token_len_percentiles_by_source": analytics4.token_len_percentiles_by_source,
     "dedup_survivorship_by_source": analytics4.dedup_survivorship_by_source,
     "packing_efficiency_report": analytics3.packing_efficiency_report,
+    "winnow_fingerprint_pairs": analytics5.winnow_fingerprint_pairs,
+    "winnow_sampler_stats": analytics5.winnow_sampler_stats,
+    "distinct_ngram_diversity": analytics5.distinct_ngram_diversity,
+    "curriculum_stage_assign": analytics5.curriculum_stage_assign,
+    "dedup_clusters_star": pipeline.dedup_clusters_star,
 }
 
 #: embedding-table operators probed against a scaled embeddings table.
