@@ -198,6 +198,9 @@ HEADLINE = [
     "curriculum_stage_assign",
     "order_backlog_aging",
     "dedup_clusters_star",
+    "near_dup_threshold_sweep",
+    "langid_confusion_matrix",
+    "order_backlog_aging",
 ]
 
 

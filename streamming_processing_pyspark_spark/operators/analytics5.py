@@ -152,7 +152,10 @@ def winnow_fingerprint_pairs(t: Tables) -> DataFrame:
         )
         .select("h")
     )
-    fpk = fps.join(F.broadcast(keep), "h")
+    # NO broadcast hint: the duplicated-fingerprint set grows with the
+    # corpus, so at 100 TB this must stay a shuffle join (AQE will still
+    # broadcast it when it measures small)
+    fpk = fps.join(keep, "h")
     a = fpk.select(F.col("h"), F.col("doc_id").alias("id_a"))
     b = fpk.select(F.col("h"), F.col("doc_id").alias("id_b"))
     return (

@@ -347,6 +347,86 @@ def ngram_jaccard_pairs(
     )
 
 
+#: threshold sweep points (percent Jaccard) for the aggressiveness curve
+SWEEP_THETAS_PCT = (30, 50, 70, 90)
+
+
+def near_dup_threshold_sweep(t: Tables) -> DataFrame:
+    """Dedup-aggressiveness curve: for each candidate Jaccard threshold,
+    how many exact near-dup pairs and how many documents sit at-or-above
+    it — the table read before committing a campaign's θ (too low wipes
+    topical families; too high leaves templated copies).
+
+    Pair discovery is the SAME capped inverted index as
+    :func:`ngram_jaccard_pairs` (run once, persisted); each (pair, θ)
+    test is the INTEGER comparison ``100·common ≥ θ·(union)`` — no float
+    rounding anywhere, so the DuckDB oracle reproduces every cell
+    bit-for-bit. Thresholds with zero survivors still emit a row (left
+    join from the θ spine), because "0.9 kills everything" is exactly
+    the datum the curve exists to show."""
+    from ..tables import persist_replacing
+
+    # rebuild the capped pair-commons (ngram_jaccard_pairs applies the
+    # registered threshold before returning, so it can't be reused here)
+    sh = persist_replacing(_shingles(t["documents"]), "dedup.sweep_shingles")
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    e = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("shh")
+    )
+    posting = e.groupBy("shh").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    pairs = (
+        posting.where(
+            (F.size("ds") >= 2) & (F.size("ds") <= AUTO_DF_CAP)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+    common = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("common"))
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    pc = persist_replacing(
+        common.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b"),
+        "dedup.sweep_pairs",
+    )
+    spark = pc.sparkSession
+    thetas = spark.createDataFrame(
+        [(p,) for p in SWEEP_THETAS_PCT], "theta_pct int"
+    )
+    hits = pc.crossJoin(F.broadcast(thetas)).where(
+        F.lit(100) * F.col("common")
+        >= F.col("theta_pct") * (F.col("n_a") + F.col("n_b") - F.col("common"))
+    )
+    pairs_per = hits.groupBy("theta_pct").agg(F.count("*").alias("n_pairs"))
+    docs_per = (
+        hits.select(
+            "theta_pct", F.explode(F.array("id_a", "id_b")).alias("d")
+        )
+        .groupBy("theta_pct")
+        .agg(F.count_distinct("d").alias("n_docs_in_pairs"))
+    )
+    return (
+        thetas.join(pairs_per, "theta_pct", "left")
+        .join(docs_per, "theta_pct", "left")
+        .select(
+            "theta_pct",
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce("n_docs_in_pairs", F.lit(0).cast("long")).alias(
+                "n_docs_in_pairs"
+            ),
+        )
+    )
+
+
 def minhash_signatures(t: Tables) -> DataFrame:
     """k MinHash values per doc from one xxhash64 pass over shingles."""
     return _signatures_from_shingles(_shingles(t["documents"]))
@@ -704,6 +784,29 @@ ORACLES: dict[str, str] = {
         WHERE a.p_name <= b.p_name
           AND levenshtein(a.p_name, b.p_name) <= 3
     """,
+    "near_dup_threshold_sweep": f"""
+        WITH {_SHINGLE_DUCK},
+        sc AS (SELECT p.id_a, p.id_b, common, na.n AS n_a, nb.n AS n_b
+               FROM p JOIN n na ON p.id_a = na.doc_id
+                      JOIN n nb ON p.id_b = nb.doc_id),
+        th AS (SELECT unnest([{", ".join(str(x) for x in SWEEP_THETAS_PCT)}])
+                        AS theta_pct),
+        hits AS (SELECT theta_pct, id_a, id_b
+                 FROM sc JOIN th
+                   ON 100 * common >= theta_pct * (n_a + n_b - common)),
+        pairs_per AS (SELECT theta_pct, count(*) AS n_pairs
+                      FROM hits GROUP BY 1),
+        docs_per AS (SELECT theta_pct, count(DISTINCT d) AS n_docs_in_pairs
+                     FROM (SELECT theta_pct, id_a AS d FROM hits
+                           UNION ALL SELECT theta_pct, id_b FROM hits)
+                     GROUP BY 1)
+        SELECT CAST(th.theta_pct AS INTEGER) AS theta_pct,
+               CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(n_docs_in_pairs, 0) AS BIGINT)
+                 AS n_docs_in_pairs
+        FROM th LEFT JOIN pairs_per ON th.theta_pct = pairs_per.theta_pct
+                LEFT JOIN docs_per ON th.theta_pct = docs_per.theta_pct
+    """,
     "ngram_jaccard_pairs": f"""
         WITH {_SHINGLE_DUCK}
         SELECT id_a, id_b,
@@ -952,6 +1055,7 @@ QUERIES = {
     "dedup_keep_first": dedup_keep_first,
     "name_near_dup_pairs": name_near_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "near_dup_threshold_sweep": near_dup_threshold_sweep,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "minhash_recall_check": minhash_recall_check,
     "incremental_minhash_pairs": incremental_minhash_pairs,

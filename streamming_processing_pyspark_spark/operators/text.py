@@ -78,6 +78,39 @@ def lang_id(t: Tables) -> DataFrame:
     )
 
 
+def langid_confusion_matrix(t: Tables) -> DataFrame:
+    """Declared-language vs language-ID confusion matrix — the quality
+    gate every corpus-metadata audit runs before trusting either the
+    upstream ``lang`` tags or the classifier: one row per (declared,
+    predicted) cell with the doc count and the within-declared share
+    (basis points).
+
+    Scale: classification is the same codegen'd stopword-hit argmax as
+    :func:`lang_id` (map-only); the rollup keys on |langs|² ≤ tiny
+    cells, and the share window partitions by the bounded declared-lang
+    key."""
+    from pyspark.sql import Window
+
+    d = t["documents"].select("lang", *lang_scores("text"))
+    pred = d.select("lang", lang_pick_expr().alias("lang_guess"))
+    cells = pred.groupBy("lang", "lang_guess").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n_docs",
+        F.expr("10000 * n_docs").alias("_num"),
+        F.sum("n_docs").over(w).alias("_den"),
+    ).select(
+        "lang",
+        "lang_guess",
+        "n_docs",
+        F.expr("_num DIV _den").alias("share_bp"),
+    )
+
+
 SENTIMENT_POS = ("fast", "small", "merge")
 SENTIMENT_NEG = ("slow", "big", "batch")
 
@@ -653,6 +686,17 @@ ORACLES: dict[str, str] = {
               {', '.join(_stopword_hits_duck(lang) for lang in LANG_STOPWORDS)}
               FROM documents)
     """,
+    "langid_confusion_matrix": f"""
+        WITH h AS (SELECT lang,
+              {', '.join(_stopword_hits_duck(lang) for lang in LANG_STOPWORDS)}
+              FROM documents),
+        g AS (SELECT lang, {_lang_case_duck()} AS lang_guess FROM h)
+        SELECT lang, lang_guess, count(*) AS n_docs,
+               CAST(10000 * count(*) //
+                    sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+                 AS share_bp
+        FROM g GROUP BY lang, lang_guess
+    """,
     "sentiment_scores": """
         SELECT doc_id,
                CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('fast', 'small', 'merge'))) AS INTEGER) AS pos_hits,
@@ -696,6 +740,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "source_quality_rollup": source_quality_rollup,
     "lang_id": lang_id,
+    "langid_confusion_matrix": langid_confusion_matrix,
     "doc_fingerprints": doc_fingerprints,
     "sentiment_scores": sentiment_scores,
     "array_functions_showcase": array_functions_showcase,

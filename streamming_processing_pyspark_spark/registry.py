@@ -624,7 +624,65 @@ def streaming_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics5.order_backlog_aging maintained BY an orders file
+    stream: the streaming aggregation keys on (priority, order date) —
+    state is |priorities|·|dates|, bounded by the calendar, not the
+    order volume — and EVERY order contributes a cell (open counts are
+    conditional sums), so the as-of cutoff (max order date) and the age
+    bucketing run on the drained cell frame. Shares the batch oracle
+    verbatim — the fulfillment-ops backlog table stays warm as orders
+    ingest."""
+    from .operators.analytics5 import BACKLOG_DAY_BUCKETS
+    from .sources.streams import stream_parquet_table
+    from .streaming.jobs import run_to_memory
+
+    orders = stream_parquet_table(spark, sf_dir, "orders")
+    is_open = F.col("o_orderstatus").isin("O", "P")
+    cells = orders.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.sum(is_open.cast("long")).alias("n_open"),
+        F.sum(
+            F.when(
+                is_open, F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).otherwise(F.lit(0))
+        ).alias("open_cents"),
+    )
+    q, table = run_to_memory(cells, "complete")
+    q.stop()
+    drained = spark.table(table)
+    cutoff = drained.agg(F.max("o_orderdate").alias("cutoff"))
+    bucket = F.lit(0)
+    for ub in reversed(BACKLOG_DAY_BUCKETS):
+        bucket = F.when(F.col("age_days") <= F.lit(ub), F.lit(ub)).otherwise(
+            bucket
+        )
+    return (
+        drained.where(F.col("n_open") > 0)
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("cutoff"), F.col("o_orderdate")).alias(
+                "age_days"
+            ),
+            "n_open",
+            "open_cents",
+        )
+        .select(
+            "o_orderpriority",
+            bucket.alias("age_bucket_days"),
+            "n_open",
+            "open_cents",
+        )
+        .groupBy("o_orderpriority", "age_bucket_days")
+        .agg(
+            F.sum("n_open").alias("n_orders"),
+            F.sum("open_cents").alias("backlog_cents"),
+        )
+    )
+
+
 _STREAMING_QUERIES: dict[str, QueryFn] = {
+    "streaming_order_backlog": streaming_order_backlog,
     "streaming_context_fit": streaming_context_fit,
     "streaming_seasonality_profile": streaming_seasonality_profile,
     "streaming_burst_alerts": streaming_burst_alerts,
@@ -651,6 +709,7 @@ _STREAMING_QUERIES: dict[str, QueryFn] = {
 _STREAMING_ORACLES: dict[str, str] = {
     # stream/batch twins: identical rollups, identical oracles
     "streaming_context_fit": analytics4.ORACLES["context_fit_report"],
+    "streaming_order_backlog": analytics5.ORACLES["order_backlog_aging"],
     "streaming_seasonality_profile": analytics3.ORACLES["seasonality_profile"],
     "streaming_burst_alerts": analytics3.ORACLES["burst_users_audit"],
     "streaming_cms_cells": sketches.CELLS_ORACLE,

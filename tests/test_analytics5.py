@@ -144,3 +144,60 @@ def test_backlog_covers_every_open_order(spark):
     for r in rows:
         assert r["age_bucket_days"] in valid
         assert r["backlog_cents"] > 0
+
+
+def test_threshold_sweep_monotone_and_consistent(spark):
+    """Counts must be non-increasing in θ, and the θ=30 cell must agree
+    with the registered ngram_jaccard_pairs frame (same capped discovery,
+    same threshold, integer vs rounded-float formulation)."""
+    from streamming_processing_pyspark_spark.operators import dedup
+
+    t = load_tables(spark, SF_DIR)
+    rows = sorted(
+        dedup.near_dup_threshold_sweep(t).collect(),
+        key=lambda r: r["theta_pct"],
+    )
+    assert [r["theta_pct"] for r in rows] == sorted(dedup.SWEEP_THETAS_PCT)
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["n_pairs"] >= cur["n_pairs"]
+        assert prev["n_docs_in_pairs"] >= cur["n_docs_in_pairs"]
+    assert rows[0]["n_pairs"] == dedup.ngram_jaccard_pairs(t).count()
+
+
+def test_langid_confusion_shares_and_totals(spark):
+    from streamming_processing_pyspark_spark.operators import text
+
+    t = load_tables(spark, SF_DIR)
+    rows = text.langid_confusion_matrix(t).collect()
+    assert sum(r["n_docs"] for r in rows) == t["documents"].count()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["share_bp"])
+    for lang, shares in per_lang.items():
+        assert sum(shares) <= 10_000
+        assert all(0 <= s <= 10_000 for s in shares)
+
+
+def test_streaming_backlog_matches_batch(spark):
+    """Stream/batch parity: the streaming twin must produce the exact
+    batch cells."""
+    from streamming_processing_pyspark_spark.registry import (
+        streaming_order_backlog,
+    )
+
+    t = load_tables(spark, SF_DIR)
+    batch = {
+        (r["o_orderpriority"], r["age_bucket_days"]): (
+            r["n_orders"],
+            r["backlog_cents"],
+        )
+        for r in analytics5.order_backlog_aging(t).collect()
+    }
+    stream = {
+        (r["o_orderpriority"], r["age_bucket_days"]): (
+            r["n_orders"],
+            r["backlog_cents"],
+        )
+        for r in streaming_order_backlog(spark, SF_DIR).collect()
+    }
+    assert batch == stream

@@ -206,6 +206,15 @@ QUERIES = [
     "inter_event_time_histogram",
     "prefix_dup_groups",
     "doc_length_gini_by_source",
+    "winnow_fingerprint_pairs",
+    "winnow_sampler_stats",
+    "distinct_ngram_diversity",
+    "curriculum_stage_assign",
+    "order_backlog_aging",
+    "dedup_clusters_star",
+    "near_dup_threshold_sweep",
+    "langid_confusion_matrix",
+    "order_backlog_aging",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -214,6 +223,12 @@ SF_DIR = "/root/testdata/sf0.01"
 #: corpus-sized work runs in the jobs that feed the loop, not in the final
 #: (local-table) plan, so the bare shuffle count would mislead
 NOTES = {
+    "dedup_clusters_star": (
+        "- NOTE: result is the converged star-edge set (localCheckpoint-"
+        "backed), so the final plan is label-sized; the corpus-sized work "
+        "is the pair discovery feeding round 1, and every later round's "
+        "two shuffles are sized by the CONTRACTING edge set"
+    ),
     "bpe_learn_merges": (
         "- NOTE: result is the driver-side merge loop's table; the corpus-"
         "sized stage is the word-frequency aggregation + TakeOrdered cap "

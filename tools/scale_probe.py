@@ -46,6 +46,7 @@ from streamming_processing_pyspark_spark.operators import (
     sampling,
     similarity,
     sketches,
+    text,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,6 +89,8 @@ OPS = {
     "distinct_ngram_diversity": analytics5.distinct_ngram_diversity,
     "curriculum_stage_assign": analytics5.curriculum_stage_assign,
     "dedup_clusters_star": pipeline.dedup_clusters_star,
+    "near_dup_threshold_sweep": dedup.near_dup_threshold_sweep,
+    "langid_confusion_matrix": text.langid_confusion_matrix,
 }
 
 #: embedding-table operators probed against a scaled embeddings table.
