@@ -65,64 +65,75 @@ CURRICULUM_STAGES = 4
 BACKLOG_DAY_BUCKETS = (30, 90, 180, 365)
 
 
-def _winnow_hashes() -> F.Column:
-    """Per-document array of k-gram md5 hashes (order preserved) —
-    md5-over-joined-tokens is identical in Spark and DuckDB, and the
-    lowercase-hex strings compare identically in both engines, so the
-    trailing-window minimum needs no portable integer hash."""
-    return F.expr(
-        f"""
-        transform(
-          sequence(1, size(split(trim(text), '\\\\s+')) - {WINNOW_K - 1}),
-          i -> md5(concat_ws(' ',
-                 slice(split(trim(text), '\\\\s+'), i, {WINNOW_K})))
-        )
-        """
-    )
-
-
-#: selection rule, shared by the Spark expr and the DuckDB oracle: a
-#: position is selected iff its hash is ≤ the minimum of the previous
-#: WINNOW_W-1 hashes (first position always selected). This is the
-#: trailing-window local-minimum variant of winnowing — deterministic,
-#: expected density 2/(WINNOW_W+1), and any shared token run of length
-#: ≥ WINNOW_K+WINNOW_W-1 contributes ≥ 1 selected fingerprint with an
-#: identical hash on both documents (the windows interior to the run see
-#: identical hash sequences, so they select at identical offsets).
-def _winnow_selected(hs: str) -> str:
-    """SQL sub-expression: array of SELECTED hashes from array col ``hs``
-    (with duplicates, in position order)."""
-    w1 = WINNOW_W - 1
-    return f"""
-      filter(
-        transform({hs}, (h, i) ->
-          case when i = 0
-                 or h <= array_min(slice({hs},
-                          greatest(1, i - {w1 - 1}), least(i, {w1})))
-               then h end),
-        x -> x is not null)
-    """
-
-
 def _docs_with_fps(t: Tables) -> DataFrame:
-    """(doc_id, source, n_kgrams, sel) with sel = selected hashes array.
-    MAP-ONLY: no shuffle until callers aggregate."""
-    return (
-        t["documents"]
-        .where(
-            F.size(F.split(F.trim("text"), r"\s+")) >= F.lit(WINNOW_K)
-        )
-        .select(
-            "doc_id",
-            "source",
-            _winnow_hashes().alias("hs"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.size("hs").alias("n_kgrams"),
-            F.expr(_winnow_selected("hs")).alias("sel"),
-        )
+    """(doc_id, source, n_kgrams, sel) with sel = the SELECTED k-gram md5
+    hashes (with duplicates, in position order). MAP-ONLY: no shuffle
+    until callers aggregate.
+
+    Selection rule, shared with the DuckDB oracle: a position is
+    selected iff its hash is ≤ the minimum of the previous WINNOW_W-1
+    hashes (first position always selected) — the trailing-window
+    local-minimum variant of winnowing. Deterministic, expected density
+    2/(WINNOW_W+1), and any shared token run of ≥ WINNOW_K+WINNOW_W-1
+    tokens contributes ≥ 1 selected fingerprint with an identical hash
+    on both documents (windows interior to the run see identical hash
+    sequences, so they select at identical offsets). md5 hex strings
+    compare identically in Spark, Python and DuckDB, so no portable
+    integer hash is needed.
+
+    Arrow-batched Python rather than Catalyst higher-order expressions,
+    for the same measured reason as ``dedup._shingles``: the nested
+    ``transform``/``slice``/``array_min`` form evaluates interpreted per
+    element AND projection collapse re-inlines the md5-transform
+    subtree into every consumer (the stats op paid ~100× — 199 s vs 2 s
+    at sf0.1). Semantics identical; one Arrow batch in, one out."""
+
+    def fp_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, srcs, nkg, sels = [], [], [], []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                ws = text.strip().split()
+                if len(ws) < WINNOW_K:
+                    continue
+                m = len(ws) - WINNOW_K + 1
+                hs = [
+                    hashlib.md5(
+                        " ".join(ws[i : i + WINNOW_K]).encode()
+                    ).hexdigest()
+                    for i in range(m)
+                ]
+                sel = [
+                    h
+                    for i, h in enumerate(hs)
+                    if i == 0
+                    or h <= min(hs[max(0, i - (WINNOW_W - 1)) : i])
+                ]
+                ids.append(doc_id)
+                srcs.append(source)
+                nkg.append(m)
+                sels.append(sel)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "source": srcs,
+                    "n_kgrams": nkg,
+                    "sel": sels,
+                }
+            )
+
+    from ..tables import fan_out
+
+    return fan_out(
+        t["documents"].select("doc_id", "source", "text")
+    ).mapInPandas(
+        fp_batches,
+        schema="doc_id bigint, source string, n_kgrams int, sel array<string>",
     )
 
 
