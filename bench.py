@@ -201,6 +201,7 @@ HEADLINE = [
     "near_dup_threshold_sweep",
     "langid_confusion_matrix",
     "order_backlog_aging",
+    "join_key_skew_report",
 ]
 
 

@@ -541,6 +541,69 @@ TARGET_FILE_BYTES = 16384
 _ROW_FIXED_BYTES = 32
 
 
+#: join-key skew audit: the percentile of the per-key row-count
+#: distribution reported alongside max/mean
+SKEW_PCT = 99
+
+
+def join_key_skew_report(tables: dict[str, DataFrame]) -> DataFrame:
+    """Pre-join skew audit of the fact-side key (orders.o_custkey) — the
+    one-row table read BEFORE deciding whether a join needs salting or
+    AQE skew handling: total rows, distinct keys, max/p99/mean rows per
+    key, and the hottest key's multiple of the mean (basis points).
+
+    Plan shape at 100 TB: ONE map-side-combined groupBy(key) builds the
+    per-key counts; the count-of-counts histogram (≤ |distinct count
+    values| rows — tiny) does the exact p99 via cumulative sums, so the
+    skew numbers come out bit-exact with no sort over the corpus and no
+    sampling. Mean is integer micros; skew_bp = 10000·max·keys/rows.
+    """
+    from pyspark.sql import Window
+
+    counts = tables["orders"].groupBy("o_custkey").agg(
+        F.count("*").alias("c")
+    )
+    hist = counts.groupBy("c").agg(F.count("*").alias("n_keys"))
+    w = Window.orderBy("c")
+    cum = hist.select(
+        "c",
+        F.sum("n_keys").over(w).alias("cum"),
+        F.sum("n_keys")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("keys"),
+        F.sum(F.col("c") * F.col("n_keys"))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("rows"),
+    )
+    return cum.agg(
+        F.max("rows").alias("n_rows"),
+        F.max("keys").alias("n_keys"),
+        F.max("c").alias("max_rows_per_key"),
+        F.min(
+            F.when(
+                F.expr(f"100 * cum >= {SKEW_PCT} * keys"), F.col("c")
+            )
+        ).alias(f"p{SKEW_PCT}_rows_per_key"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_rows_per_key",
+        f"p{SKEW_PCT}_rows_per_key",
+        F.expr("1000000 * n_rows DIV n_keys").alias("mean_rows_micro"),
+        F.expr("10000 * max_rows_per_key * n_keys DIV n_rows").alias(
+            "skew_bp"
+        ),
+    )
+
+
 def partition_layout_plan(tables: dict[str, DataFrame]) -> DataFrame:
     """Compaction / write-layout planner for a date-partitioned events
     sink: per day, exact payload accounting (fixed-width columns at 8 B
@@ -585,6 +648,7 @@ def partition_layout_plan(tables: dict[str, DataFrame]) -> DataFrame:
 
 QUERIES = {
     "partition_layout_plan": partition_layout_plan,
+    "join_key_skew_report": join_key_skew_report,
     "events_column_profile": events_column_profile,
     "top_event_by_value_per_user": top_event_by_value_per_user,
     "data_quality_checks": data_quality_checks,
@@ -604,6 +668,24 @@ _DQ_EXPRS = {
 }
 
 ORACLES: dict[str, str] = {
+    "join_key_skew_report": """
+        WITH counts AS (SELECT o_custkey, count(*) AS c
+                        FROM orders GROUP BY o_custkey),
+        hist AS (SELECT c, count(*) AS n_keys FROM counts GROUP BY c),
+        tot AS (SELECT sum(n_keys) AS keys, sum(c * n_keys) AS rows,
+                       max(c) AS max_c
+                FROM hist),
+        cum AS (SELECT c, sum(n_keys) OVER (ORDER BY c) AS cum FROM hist)
+        SELECT CAST(rows AS BIGINT) AS n_rows,
+               CAST(keys AS BIGINT) AS n_keys,
+               CAST(max_c AS BIGINT) AS max_rows_per_key,
+               CAST((SELECT min(c) FROM cum, tot
+                     WHERE 100 * cum >= 99 * keys) AS BIGINT)
+                 AS p99_rows_per_key,
+               CAST(1000000 * rows // keys AS BIGINT) AS mean_rows_micro,
+               CAST(10000 * max_c * keys // rows AS BIGINT) AS skew_bp
+        FROM tot
+    """,
     "partition_layout_plan": f"""
         WITH per_day AS (
           SELECT date_trunc('day', ts) AS day,

@@ -201,3 +201,52 @@ def test_streaming_backlog_matches_batch(spark):
         for r in streaming_order_backlog(spark, SF_DIR).collect()
     }
     assert batch == stream
+
+
+def test_skew_report_identities(spark):
+    """The one-row audit must satisfy its own arithmetic identities and
+    agree with a driver-side recount."""
+    from streamming_processing_pyspark_spark.operators import profiling
+
+    t = load_tables(spark, SF_DIR)
+    r = profiling.join_key_skew_report(t).collect()[0]
+    counts = [
+        row["c"]
+        for row in t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    assert r["n_rows"] == sum(counts)
+    assert r["n_keys"] == len(counts)
+    assert r["max_rows_per_key"] == max(counts)
+    assert r["p99_rows_per_key"] <= r["max_rows_per_key"]
+    assert r["mean_rows_micro"] == 1_000_000 * sum(counts) // len(counts)
+    assert r["skew_bp"] == 10_000 * max(counts) * len(counts) // sum(counts)
+
+
+def test_new_ops_plan_shapes(spark):
+    """Plan pins: backlog reads only the three order columns it needs and
+    aggregates with map-side partials; the skew report's corpus stage is
+    one partial-combined groupBy; curriculum/backlog stay JVM-side."""
+    from streamming_processing_pyspark_spark.operators import profiling
+    from streamming_processing_pyspark_spark.plans.explain import (
+        assert_no_python_eval,
+        assert_partial_aggregation,
+        assert_read_schema_only,
+    )
+
+    t = load_tables(spark, SF_DIR)
+    backlog = analytics5.order_backlog_aging(t)
+    assert_read_schema_only(
+        backlog,
+        "orders",
+        {"o_orderpriority", "o_orderstatus", "o_totalprice", "o_orderdate"},
+    )
+    assert_partial_aggregation(backlog)
+    assert_no_python_eval(backlog)
+    skew = profiling.join_key_skew_report(t)
+    assert_read_schema_only(skew, "orders", {"o_custkey"})
+    assert_partial_aggregation(skew)
+    assert_no_python_eval(skew)
+    assert_no_python_eval(analytics5.curriculum_stage_assign(t))

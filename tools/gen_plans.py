@@ -215,6 +215,7 @@ QUERIES = [
     "near_dup_threshold_sweep",
     "langid_confusion_matrix",
     "order_backlog_aging",
+    "join_key_skew_report",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
