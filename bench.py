@@ -202,6 +202,7 @@ HEADLINE = [
     "langid_confusion_matrix",
     "order_backlog_aging",
     "join_key_skew_report",
+    "er_entity_clusters",
 ]
 
 

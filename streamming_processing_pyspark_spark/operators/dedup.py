@@ -246,6 +246,40 @@ def er_match_scores(t: Tables) -> DataFrame:
     )
 
 
+def er_entity_clusters(t: Tables) -> DataFrame:
+    """Entity ids from the ER decision layer: connected components over
+    the ACTIONABLE pairs (tier 'match' or 'possible' — everything that
+    either links automatically or lands in the review queue), so every
+    linked group of part names gets ONE canonical entity id (the
+    lexicographically smallest member). This is the review-queue
+    grouping: a reviewer sees one candidate entity, not scattered pairs.
+    (The fixtures' comparator scores top out in the 'possible' band —
+    9 < ER_MATCH_MIN — so clustering matches alone would be structurally
+    empty at every SF; the actionable set is the non-vacuous, and
+    operationally correct, graph to group.)
+
+    Runs on the star-contraction loop
+    (:func:`pipeline._star_connected_components`), which is TYPE-GENERIC
+    — string nodes work because contraction only needs least/greatest
+    and an order-insensitive checksum; the pointer-doubling loop's
+    sum-of-labels convergence test is numeric-only. Cost: the match
+    graph is vocabulary-sized (≪ rows), so every CC round is a
+    tiny-frame job. Oracle: recursive CTE over the composed ER SQL."""
+    from .pipeline import _star_connected_components
+
+    pairs = (
+        er_match_scores(t)
+        .where(F.col("tier") != "weak")
+        .select(
+            F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
+        )
+    )
+    return _star_connected_components(pairs).select(
+        F.col("doc_id").alias("p_name"),
+        F.col("component").alias("entity_id"),
+    )
+
+
 # "auto" hot-shingle cap: a CONSTANT document-frequency ceiling. Being
 # boilerplate is an absolute property of a shingle (appearing in >128
 # documents makes it non-discriminative no matter how big the corpus is),
@@ -1049,6 +1083,7 @@ QUERIES = {
     "exact_dedup": exact_dedup,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "er_match_scores": er_match_scores,
+    "er_entity_clusters": er_entity_clusters,
     "source_overlap_matrix": source_overlap_matrix,
     "shingle_novelty_scores": shingle_novelty_scores,
     "dedup_graph_stats": dedup_graph_stats,
@@ -1159,4 +1194,18 @@ ORACLES["er_match_scores"] = f"""
                 WHEN score >= {ER_POSSIBLE_MIN} THEN 'possible'
                 ELSE 'weak' END AS tier
     FROM scored
+"""
+
+ORACLES["er_entity_clusters"] = f"""
+    WITH RECURSIVE er AS ({ORACLES["er_match_scores"]}),
+    jp AS (SELECT name_a, name_b FROM er WHERE tier <> 'weak'),
+    edges AS (SELECT name_a AS s, name_b AS d FROM jp
+              UNION SELECT name_b, name_a FROM jp),
+    reach(node, lab) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS p_name, min(lab) AS entity_id
+    FROM reach GROUP BY node
 """

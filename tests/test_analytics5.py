@@ -250,3 +250,32 @@ def test_new_ops_plan_shapes(spark):
     assert_partial_aggregation(skew)
     assert_no_python_eval(skew)
     assert_no_python_eval(analytics5.curriculum_stage_assign(t))
+
+
+def test_er_entity_clusters_group_actionable_pairs(spark):
+    """Every actionable ER pair's two names share an entity id, the id is
+    the lexicographic minimum of its group, and weak-only names are
+    absent."""
+    from streamming_processing_pyspark_spark.operators import dedup
+
+    t = load_tables(spark, SF_DIR)
+    pairs = [
+        (r["name_a"], r["name_b"])
+        for r in dedup.er_match_scores(t)
+        .where(F.col("tier") != "weak")
+        .collect()
+    ]
+    ent = {
+        r["p_name"]: r["entity_id"]
+        for r in dedup.er_entity_clusters(t).collect()
+    }
+    assert pairs, "fixtures should yield actionable ER pairs"
+    names_in_pairs = {n for p in pairs for n in p}
+    assert set(ent) == names_in_pairs
+    for a, b in pairs:
+        assert ent[a] == ent[b]
+    groups = {}
+    for name, eid in ent.items():
+        groups.setdefault(eid, []).append(name)
+    for eid, members in groups.items():
+        assert eid == min(members)

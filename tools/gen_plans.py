@@ -214,8 +214,8 @@ QUERIES = [
     "dedup_clusters_star",
     "near_dup_threshold_sweep",
     "langid_confusion_matrix",
-    "order_backlog_aging",
     "join_key_skew_report",
+    "er_entity_clusters",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"

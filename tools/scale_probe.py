@@ -326,6 +326,16 @@ def main() -> None:
         "  `minhash_lsh_pairs` on the text side.",
         "- `ngram_jaccard_pairs` is the exact-Jaccard baseline (pair-density",
         "  driven); `minhash_lsh_pairs` (α≈0.2) is the production path.",
+        "- `near_dup_threshold_sweep` reruns that SAME capped inverted index",
+        "  (θ tests are pair-sized arithmetic on top), so its growth tracks",
+        "  `ngram_jaccard_pairs` by construction — priced once per campaign,",
+        "  not per ingest.",
+        "- `dedup_clusters_star` = the same pair discovery + star contraction;",
+        "  its growth is pair-source-bound like `dedup_clusters`, with",
+        "  per-round shuffles sized by the contracting edge set.",
+        "- `winnow_fingerprint_pairs` growth is fingerprint-pair-density",
+        "  driven (replicas add disjoint fingerprints; the DF cap bounds",
+        "  per-key fanout) — the map-only extraction itself is flat.",
         "- `dedup_clusters` growth tracks the pair-graph size (CC rounds are",
         "  log-bounded via pointer doubling); at a fixed duplication RATE its",
         "  input grows linearly with the corpus.",
