@@ -29,9 +29,9 @@ DuckDB-oracle-checked:
   scan, ≤ |priorities|·|buckets| output cells.
 
 Scale notes (100 TB): fingerprint extraction is MAP-ONLY — the trailing
--window minimum is computed inside an array ``transform`` over each
-document row, so no (doc, position) rows ever reach a shuffle; only the
-~2/(w+1)-sampled fingerprints are exploded. Pair formation is bounded by
+-window minimum is computed per document inside one Arrow-batched
+kernel (``_fp_batches``), so no (doc, position) rows ever reach a
+shuffle; only the ~2/(w+1)-sampled fingerprints are exploded. Pair formation is bounded by
 the ``WINNOW_MAX_DF`` document-frequency cap exactly like the shingle
 inverted index (dedup.py). Diversity/curriculum/backlog are
 one-scan + small-rollup shapes.
@@ -87,54 +87,56 @@ def _docs_with_fps(t: Tables) -> DataFrame:
     element AND projection collapse re-inlines the md5-transform
     subtree into every consumer (the stats op paid ~100× — 199 s vs 2 s
     at sf0.1). Semantics identical; one Arrow batch in, one out."""
-
-    def fp_batches(batches):
-        import hashlib
-
-        import pandas as pd
-
-        for pdf in batches:
-            ids, srcs, nkg, sels = [], [], [], []
-            for doc_id, source, text in zip(
-                pdf["doc_id"], pdf["source"], pdf["text"]
-            ):
-                ws = text.strip().split()
-                if len(ws) < WINNOW_K:
-                    continue
-                m = len(ws) - WINNOW_K + 1
-                hs = [
-                    hashlib.md5(
-                        " ".join(ws[i : i + WINNOW_K]).encode()
-                    ).hexdigest()
-                    for i in range(m)
-                ]
-                sel = [
-                    h
-                    for i, h in enumerate(hs)
-                    if i == 0
-                    or h <= min(hs[max(0, i - (WINNOW_W - 1)) : i])
-                ]
-                ids.append(doc_id)
-                srcs.append(source)
-                nkg.append(m)
-                sels.append(sel)
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "source": srcs,
-                    "n_kgrams": nkg,
-                    "sel": sels,
-                }
-            )
-
     from ..tables import fan_out
 
     return fan_out(
         t["documents"].select("doc_id", "source", "text")
     ).mapInPandas(
-        fp_batches,
+        _fp_batches,
         schema="doc_id bigint, source string, n_kgrams int, sel array<string>",
     )
+
+
+def _fp_batches(batches):
+    """Arrow-batch winnowing kernel shared by the batch extractor and the
+    streaming twin (stateless — safe on a streaming frame)."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        ids, srcs, nkg, sels = [], [], [], []
+        for doc_id, source, text in zip(
+            pdf["doc_id"], pdf["source"], pdf["text"]
+        ):
+            ws = text.strip().split()
+            if len(ws) < WINNOW_K:
+                continue
+            m = len(ws) - WINNOW_K + 1
+            hs = [
+                hashlib.md5(
+                    " ".join(ws[i : i + WINNOW_K]).encode()
+                ).hexdigest()
+                for i in range(m)
+            ]
+            sel = [
+                h
+                for i, h in enumerate(hs)
+                if i == 0
+                or h <= min(hs[max(0, i - (WINNOW_W - 1)) : i])
+            ]
+            ids.append(doc_id)
+            srcs.append(source)
+            nkg.append(m)
+            sels.append(sel)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": srcs,
+                "n_kgrams": nkg,
+                "sel": sels,
+            }
+        )
 
 
 def winnow_fingerprint_pairs(t: Tables) -> DataFrame:
@@ -389,17 +391,20 @@ def order_backlog_aging(t: Tables) -> DataFrame:
 _TOKC_DUCK = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
 
 
-def _oracles() -> dict[str, str]:
-    w1 = WINNOW_W - 1
-    kgram = " || ' ' || ".join(f"ws[i + {j}]" for j in range(WINNOW_K))
-    winnow_base = f"""
+_W1 = WINNOW_W - 1
+_KGRAM_DUCK = " || ' ' || ".join(f"ws[i + {j}]" for j in range(WINNOW_K))
+
+#: shared winnowing CTE chain (documents → per-position hashes → selected
+#: positions → distinct (doc, fingerprint)); composed by the operator
+#: oracles here and by registry._STREAMING_ORACLES for the hot-fps twin
+WINNOW_BASE_DUCK = f"""
         w AS (SELECT doc_id, source,
                      string_split_regex(trim(text), '\\s+') AS ws
               FROM documents),
         s AS (SELECT doc_id, source,
                      list_transform(
                        generate_series(1, len(ws) - {WINNOW_K - 1}),
-                       i -> md5({kgram})) AS hs
+                       i -> md5({_KGRAM_DUCK})) AS hs
               FROM w WHERE len(ws) >= {WINNOW_K}),
         g AS (SELECT doc_id, source,
                      unnest(hs) AS h,
@@ -408,13 +413,17 @@ def _oracles() -> dict[str, str]:
               FROM s),
         sel AS (SELECT doc_id, source, h, i, n_kgrams,
                        min(h) OVER (PARTITION BY doc_id ORDER BY i
-                                    ROWS BETWEEN {w1} PRECEDING
+                                    ROWS BETWEEN {_W1} PRECEDING
                                              AND 1 PRECEDING) AS pm
                 FROM g),
         picked AS (SELECT doc_id, source, h, n_kgrams
                    FROM sel WHERE pm IS NULL OR h <= pm),
         fp AS (SELECT DISTINCT doc_id, h FROM picked)
     """
+
+
+def _oracles() -> dict[str, str]:
+    winnow_base = WINNOW_BASE_DUCK
     ngram_branches = "\n            UNION ALL\n".join(
         f"""
             SELECT source, {n} AS n,

@@ -624,6 +624,40 @@ def streaming_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_winnow_hot_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics5's winnowing fingerprint index maintained BY a documents
+    file stream — the LIVE boilerplate detector: the Arrow winnowing
+    kernel (``_fp_batches``) is stateless, so it rides each micro-batch
+    map-side; per-fingerprint document counts are a plain streaming
+    aggregation in complete mode (state keys = distinct sampled
+    fingerprints — ~2/(w+1) of k-gram volume; RocksDB-backed on a
+    cluster via SPARK_GRAFT_STATE_STORE); the boilerplate band filter
+    (2..WINNOW_MAX_DF) runs on the drained frame. Shares the batch
+    winnowing CTE as its oracle."""
+    from .operators.analytics5 import WINNOW_MAX_DF, _fp_batches
+    from .sources.streams import stream_parquet_table
+    from .streaming.jobs import run_to_memory
+
+    docs = stream_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    fps = docs.mapInPandas(
+        _fp_batches,
+        schema="doc_id bigint, source string, n_kgrams int,"
+        " sel array<string>",
+    )
+    cells = (
+        fps.select(F.explode(F.array_distinct("sel")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    q, table = run_to_memory(cells, "complete")
+    q.stop()
+    return spark.table(table).where(
+        (F.col("n_docs") >= 2) & (F.col("n_docs") <= WINNOW_MAX_DF)
+    )
+
+
 def streaming_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """analytics5.order_backlog_aging maintained BY an orders file
     stream: the streaming aggregation keys on (priority, order date) —
@@ -683,6 +717,7 @@ def streaming_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAMING_QUERIES: dict[str, QueryFn] = {
     "streaming_order_backlog": streaming_order_backlog,
+    "streaming_winnow_hot_fps": streaming_winnow_hot_fps,
     "streaming_context_fit": streaming_context_fit,
     "streaming_seasonality_profile": streaming_seasonality_profile,
     "streaming_burst_alerts": streaming_burst_alerts,
@@ -710,6 +745,11 @@ _STREAMING_ORACLES: dict[str, str] = {
     # stream/batch twins: identical rollups, identical oracles
     "streaming_context_fit": analytics4.ORACLES["context_fit_report"],
     "streaming_order_backlog": analytics5.ORACLES["order_backlog_aging"],
+    "streaming_winnow_hot_fps": f"""
+        WITH {analytics5.WINNOW_BASE_DUCK}
+        SELECT h, count(*) AS n_docs FROM fp GROUP BY h
+        HAVING count(*) BETWEEN 2 AND {analytics5.WINNOW_MAX_DF}
+    """,
     "streaming_seasonality_profile": analytics3.ORACLES["seasonality_profile"],
     "streaming_burst_alerts": analytics3.ORACLES["burst_users_audit"],
     "streaming_cms_cells": sketches.CELLS_ORACLE,

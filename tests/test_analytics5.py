@@ -279,3 +279,29 @@ def test_er_entity_clusters_group_actionable_pairs(spark):
         groups.setdefault(eid, []).append(name)
     for eid, members in groups.items():
         assert eid == min(members)
+
+
+def test_streaming_winnow_matches_batch_fingerprints(spark):
+    """The stream-maintained hot-fingerprint index must equal the batch
+    extractor's document frequencies in the boilerplate band."""
+    from streamming_processing_pyspark_spark.registry import (
+        streaming_winnow_hot_fps,
+    )
+
+    t = load_tables(spark, SF_DIR)
+    batch = (
+        analytics5._docs_with_fps(t)
+        .select("doc_id", F.explode(F.array_distinct("sel")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .where(
+            (F.col("n_docs") >= 2)
+            & (F.col("n_docs") <= analytics5.WINNOW_MAX_DF)
+        )
+    )
+    b = {(r["h"], r["n_docs"]) for r in batch.collect()}
+    s = {
+        (r["h"], r["n_docs"])
+        for r in streaming_winnow_hot_fps(spark, SF_DIR).collect()
+    }
+    assert b == s and b
