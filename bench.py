@@ -203,6 +203,7 @@ HEADLINE = [
     "order_backlog_aging",
     "join_key_skew_report",
     "er_entity_clusters",
+    "incremental_winnow_novelty",
 ]
 
 

@@ -218,6 +218,52 @@ def winnow_sampler_stats(t: Tables) -> DataFrame:
     )
 
 
+def incremental_winnow_novelty(t: Tables) -> DataFrame:
+    """The winnowing family's INGEST path (the per-drop counterpart of
+    :func:`winnow_fingerprint_pairs`' campaign scan, mirroring
+    ``dedup.incremental_minhash_pairs``' corpus/batch split): documents
+    arriving in a new batch (``doc_id % INCR_BATCH_MOD == 0``) are probed
+    against the already-ingested corpus' fingerprint index; a batch doc
+    is flagged non-novel when ≥ WINNOW_MIN_SHARED of its fingerprints
+    already exist in the index. Output per batch doc: fingerprint count,
+    index hits, and the novelty flag a crawler reads to stop re-ingesting
+    a source.
+
+    Scale: per-drop cost ∝ batch — the batch side is the only exploded
+    frame; the index side reduces to DISTINCT fingerprints before the
+    join (16-byte-class keys, bucketable), so re-probing never rescans
+    corpus text. Fully SQL-reproducible (md5 fingerprints), unlike the
+    xxhash64 MinHash ingest twin — so this one is hash-checked, not
+    rows-only."""
+    from .dedup import INCR_BATCH_MOD
+
+    d = _docs_with_fps(t)
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
+    index = (
+        d.where(~is_batch)
+        .select(F.explode(F.array_distinct("sel")).alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    batch = d.where(is_batch).select(
+        "doc_id", F.explode(F.array_distinct("sel")).alias("h")
+    )
+    return (
+        batch.join(index, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fps"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_fps",
+            "n_hits",
+            (F.col("n_hits") < F.lit(WINNOW_MIN_SHARED)).alias("novel"),
+        )
+    )
+
+
 def distinct_ngram_diversity(t: Tables) -> DataFrame:
     """Per-source distinct-n-gram diversity ratios for n ∈ 1..3 — the
     mode-collapse / templated-text audit (low distinct-bigram ppm ⇒
@@ -423,6 +469,8 @@ WINNOW_BASE_DUCK = f"""
 
 
 def _oracles() -> dict[str, str]:
+    from .dedup import INCR_BATCH_MOD
+
     winnow_base = WINNOW_BASE_DUCK
     ngram_branches = "\n            UNION ALL\n".join(
         f"""
@@ -465,6 +513,20 @@ def _oracles() -> dict[str, str]:
                      AS density_ppm
             FROM vol JOIN kg ON vol.source = kg.source
                      JOIN dst ON vol.source = dst.source
+        """,
+        "incremental_winnow_novelty": f"""
+            WITH {WINNOW_BASE_DUCK},
+            idx AS (SELECT DISTINCT h FROM fp
+                    WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+            b AS (SELECT doc_id, h FROM fp
+                  WHERE doc_id % {INCR_BATCH_MOD} = 0)
+            SELECT b.doc_id, count(*) AS n_fps,
+                   CAST(sum(CASE WHEN idx.h IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hits,
+                   sum(CASE WHEN idx.h IS NOT NULL THEN 1 ELSE 0 END)
+                     < {WINNOW_MIN_SHARED} AS novel
+            FROM b LEFT JOIN idx ON b.h = idx.h
+            GROUP BY b.doc_id
         """,
         "distinct_ngram_diversity": f"""
             WITH w AS (SELECT source,
@@ -533,6 +595,7 @@ QUERIES = {
     "winnow_fingerprint_pairs": winnow_fingerprint_pairs,
     "winnow_sampler_stats": winnow_sampler_stats,
     "distinct_ngram_diversity": distinct_ngram_diversity,
+    "incremental_winnow_novelty": incremental_winnow_novelty,
     "curriculum_stage_assign": curriculum_stage_assign,
     "order_backlog_aging": order_backlog_aging,
 }

@@ -305,3 +305,28 @@ def test_streaming_winnow_matches_batch_fingerprints(spark):
         for r in streaming_winnow_hot_fps(spark, SF_DIR).collect()
     }
     assert b == s and b
+
+
+def test_incremental_winnow_novelty_agrees_with_pair_scan(spark):
+    """A batch doc flagged non-novel must share ≥ MIN_SHARED fingerprints
+    with the corpus index; every batch doc appears exactly once."""
+    from streamming_processing_pyspark_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+    )
+
+    t = load_tables(spark, SF_DIR)
+    rows = analytics5.incremental_winnow_novelty(t).collect()
+    d = {
+        r["doc_id"]: (set(r["sel"]))
+        for r in analytics5._docs_with_fps(t).collect()
+    }
+    index = set()
+    for doc_id, sel in d.items():
+        if doc_id % INCR_BATCH_MOD != 0:
+            index |= sel
+    batch_ids = {i for i in d if i % INCR_BATCH_MOD == 0}
+    assert {r["doc_id"] for r in rows} == batch_ids
+    for r in rows:
+        hits = len(d[r["doc_id"]] & index)
+        assert r["n_hits"] == hits
+        assert r["novel"] == (hits < analytics5.WINNOW_MIN_SHARED)

@@ -216,6 +216,7 @@ QUERIES = [
     "langid_confusion_matrix",
     "join_key_skew_report",
     "er_entity_clusters",
+    "incremental_winnow_novelty",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
