@@ -86,14 +86,23 @@ def _docs_with_fps(t: Tables) -> DataFrame:
     ``transform``/``slice``/``array_min`` form evaluates interpreted per
     element AND projection collapse re-inlines the md5-transform
     subtree into every consumer (the stats op paid ~100× — 199 s vs 2 s
-    at sf0.1). Semantics identical; one Arrow batch in, one out."""
-    from ..tables import fan_out
+    at sf0.1). Semantics identical; one Arrow batch in, one out.
 
-    return fan_out(
-        t["documents"].select("doc_id", "source", "text")
-    ).mapInPandas(
-        _fp_batches,
-        schema="doc_id bigint, source string, n_kgrams int, sel array<string>",
+    PERSISTED under one shared slot: every winnowing consumer (pairs,
+    stats, ingest novelty) branches this frame at least twice, and
+    ``persist_replacing``'s sameSemantics reuse means sibling winnowing
+    queries in one session extract fingerprints once, not per query."""
+    from ..tables import fan_out, persist_replacing
+
+    return persist_replacing(
+        fan_out(
+            t["documents"].select("doc_id", "source", "text")
+        ).mapInPandas(
+            _fp_batches,
+            schema="doc_id bigint, source string, n_kgrams int,"
+            " sel array<string>",
+        ),
+        "analytics5.winnow_docs",
     )
 
 
