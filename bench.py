@@ -204,6 +204,7 @@ HEADLINE = [
     "join_key_skew_report",
     "er_entity_clusters",
     "incremental_winnow_novelty",
+    "resize_plan",
 ]
 
 

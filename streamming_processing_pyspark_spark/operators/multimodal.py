@@ -147,7 +147,96 @@ def frame_sample(t: Tables) -> DataFrame:
     )
 
 
+#: resize planning: longest-edge target (the usual vision-encoder input)
+RESIZE_MAX_DIM = 224
+#: deterministic fake header dims derived from byte_len — stands in for
+#: the width/height a real decoder would parse from the (absent) codecs;
+#: the PLANNING arithmetic below is the production code path
+_DIM_SPAN = 512
+_DIM_BASE = 64
+
+
+def resize_plan(t: Tables) -> DataFrame:
+    """Aspect-preserving resize PLANNING over the media table — the step
+    between header sniff and decode in a vision-ingest pipeline: for
+    each asset, the output dims at a longest-edge RESIZE_MAX_DIM target,
+    the integer-micro scale factor, and the pixel-bytes saved — the
+    numbers a batch scheduler uses to pack decode work and pre-size
+    buffers WITHOUT decoding anything.
+
+    Source dims are a deterministic fake parsed "from the header"
+    (byte_len-derived — codecs are absent from this container; same
+    policy as :func:`decode_media_stub`); everything downstream of the
+    dims — the clamp-to-1, the min(1, target/long-edge) micro scale, the
+    3-byte-per-pixel accounting — is the real engine-side arithmetic,
+    pure Catalyst (no Python), and hash-checked against the oracle.
+    Upscaling is never planned (scale capped at 1.0)."""
+    meta = with_binary_payload(t["documents"]).select(
+        "doc_id", F.col("media_meta.byte_len").alias("byte_len")
+    )
+    w_src = (
+        (F.lit(_DIM_BASE) + F.col("byte_len") % F.lit(_DIM_SPAN))
+        .cast("long")
+        .alias("w_src")
+    )
+    h_src = (
+        F.lit(_DIM_BASE) + (F.col("byte_len") / F.lit(7)).cast("long")
+        % F.lit(_DIM_SPAN)
+    ).alias("h_src")
+    d = meta.select("doc_id", w_src, h_src).select(
+        "doc_id",
+        "w_src",
+        "h_src",
+        F.least(
+            F.lit(1_000_000),
+            F.expr(f"(1000000 * {RESIZE_MAX_DIM}) DIV greatest(w_src, h_src)"),
+        ).alias("scale_micro"),
+    )
+    return d.select(
+        "doc_id",
+        "w_src",
+        "h_src",
+        "scale_micro",
+        F.expr("greatest(1, (w_src * scale_micro) DIV 1000000)").alias(
+            "w_dst"
+        ),
+        F.expr("greatest(1, (h_src * scale_micro) DIV 1000000)").alias(
+            "h_dst"
+        ),
+        F.expr(
+            "3 * (w_src * h_src"
+            " - greatest(1, (w_src * scale_micro) DIV 1000000)"
+            " * greatest(1, (h_src * scale_micro) DIV 1000000))"
+        ).alias("bytes_saved"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "resize_plan": f"""
+        WITH m AS (SELECT doc_id,
+                          {_DIM_BASE} + length(text) % {_DIM_SPAN} AS w_src,
+                          {_DIM_BASE} + (length(text) // 7) % {_DIM_SPAN}
+                            AS h_src
+                   FROM documents),
+        s AS (SELECT doc_id, w_src, h_src,
+                     least(1000000,
+                           (1000000 * {RESIZE_MAX_DIM})
+                             // greatest(w_src, h_src)) AS scale_micro
+              FROM m)
+        SELECT doc_id,
+               CAST(w_src AS BIGINT) AS w_src,
+               CAST(h_src AS BIGINT) AS h_src,
+               CAST(scale_micro AS BIGINT) AS scale_micro,
+               CAST(greatest(1, (w_src * scale_micro) // 1000000) AS BIGINT)
+                 AS w_dst,
+               CAST(greatest(1, (h_src * scale_micro) // 1000000) AS BIGINT)
+                 AS h_dst,
+               CAST(3 * (w_src * h_src
+                    - greatest(1, (w_src * scale_micro) // 1000000)
+                    * greatest(1, (h_src * scale_micro) // 1000000))
+                 AS BIGINT) AS bytes_saved
+        FROM s
+    """,
     "frame_sample": f"""
         WITH f AS (
           SELECT doc_id, text,
@@ -181,4 +270,5 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "multimodal_features": multimodal_features,
     "frame_sample": frame_sample,
+    "resize_plan": resize_plan,
 }

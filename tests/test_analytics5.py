@@ -330,3 +330,28 @@ def test_incremental_winnow_novelty_agrees_with_pair_scan(spark):
         hits = len(d[r["doc_id"]] & index)
         assert r["n_hits"] == hits
         assert r["novel"] == (hits < analytics5.WINNOW_MIN_SHARED)
+
+
+def test_resize_plan_invariants(spark):
+    """Resize planning: never upscales, preserves aspect within integer
+    truncation, long edge lands at RESIZE_MAX_DIM when downscaled, and
+    bytes_saved is the exact pixel-byte delta."""
+    from streamming_processing_pyspark_spark.operators import multimodal
+
+    t = load_tables(spark, SF_DIR)
+    rows = multimodal.resize_plan(t).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["scale_micro"] <= 1_000_000
+        assert r["w_dst"] <= r["w_src"] and r["h_dst"] <= r["h_src"]
+        if r["scale_micro"] < 1_000_000:
+            long_dst = max(r["w_dst"], r["h_dst"])
+            assert (
+                long_dst <= multimodal.RESIZE_MAX_DIM
+                and long_dst >= multimodal.RESIZE_MAX_DIM - 1
+            )
+        else:
+            assert (r["w_dst"], r["h_dst"]) == (r["w_src"], r["h_src"])
+        assert r["bytes_saved"] == 3 * (
+            r["w_src"] * r["h_src"] - r["w_dst"] * r["h_dst"]
+        )

@@ -217,6 +217,7 @@ QUERIES = [
     "join_key_skew_report",
     "er_entity_clusters",
     "incremental_winnow_novelty",
+    "resize_plan",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
