@@ -6,9 +6,9 @@ reference project — ``/root/reference``, Task2-4/Client.py — has none of
 this; SURVEY.md §7 phase-4 extensions), all Spark-first and
 DuckDB-oracle-checked:
 
-- ``winnow_fingerprint_pairs`` — winnowing-style sampled k-gram
-  fingerprints (Schleimer/Wilkerson/Aiken's MOSS family: keep a k-gram
-  hash only where it is a trailing-window minimum) → document pairs
+- ``winnow_fingerprint_pairs`` — true winnowing k-gram fingerprints
+  (Schleimer/Wilkerson/Aiken, MOSS: the rightmost minimum of every
+  window of W consecutive k-gram hashes is selected) → document pairs
   sharing fingerprints. The SLIDING complement of ``span_dedup``'s
   fixed 8-token spans: overlap that is not span-aligned still collides
   on winnowed fingerprints, at ~2/(w+1) of the k-gram volume instead of
@@ -28,11 +28,17 @@ DuckDB-oracle-checked:
   buckets per priority as of the warehouse's latest order date: one
   scan, ≤ |priorities|·|buckets| output cells.
 
-Scale notes (100 TB): fingerprint extraction is MAP-ONLY — the trailing
--window minimum is computed per document inside one Arrow-batched
-kernel (``_fp_batches``), so no (doc, position) rows ever reach a
-shuffle; only the ~2/(w+1)-sampled fingerprints are exploded. Pair formation is bounded by
-the ``WINNOW_MAX_DF`` document-frequency cap exactly like the shingle
+Scale notes (100 TB): the BATCH extraction is Catalyst-only
+(``_winnow_positions``): k-gram hashing is ``md5(concat_ws(...))``
+inside whole-stage codegen and the per-window argmin is a window
+``min(struct(h, -pos))`` — zero Python in the plan. Its one cost is the
+window shuffle of (doc, pos, hash) k-gram rows partitioned by doc_id;
+the Arrow kernel twin (``_fp_batches``) is MAP-ONLY (no k-gram row ever
+shuffles) but burns Python CPU on md5 — it remains the STREAMING
+extraction (window-over-doc is not expressible on an unbounded frame)
+and the equality ``_check`` for the Catalyst path (same md5 hex values,
+positions pinned identical by test). Pair formation is bounded by the
+``WINNOW_MAX_DF`` document-frequency cap exactly like the shingle
 inverted index (dedup.py). Diversity/curriculum/backlog are
 one-scan + small-rollup shapes.
 """
@@ -44,9 +50,12 @@ from pyspark.sql import functions as F
 
 Tables = dict[str, DataFrame]
 
-#: winnowing: k-gram width (tokens) and window width (k-grams). Guarantee
-#: analogue: any shared run of WINNOW_K + WINNOW_W - 1 = 7 tokens shares
-#: at least one SELECTED fingerprint position on both sides.
+#: winnowing: k-gram width (tokens) and window width (k-grams). True
+#: winnowing guarantee (Schleimer/Wilkerson/Aiken): any shared run of
+#: WINNOW_K + WINNOW_W - 1 = 7 tokens contains a full window of W
+#: k-grams with an identical hash sequence on both documents, whose
+#: rightmost-minimum is therefore SELECTED with the same value on both
+#: sides — a collision is guaranteed, not merely likely.
 WINNOW_K = 4
 WINNOW_W = 4
 #: document-frequency cap: fingerprints present in more docs than this
@@ -65,50 +74,115 @@ CURRICULUM_STAGES = 4
 BACKLOG_DAY_BUCKETS = (30, 90, 180, 365)
 
 
-def _docs_with_fps(t: Tables) -> DataFrame:
-    """(doc_id, source, n_kgrams, sel) with sel = the SELECTED k-gram md5
-    hashes (with duplicates, in position order). MAP-ONLY: no shuffle
-    until callers aggregate.
+def _winnow_positions(t: Tables) -> DataFrame:
+    """(doc_id, source, n_kgrams, pos, h): the TRUE-winnowing selected
+    k-gram positions with their md5 hashes — the default BATCH
+    extraction, Catalyst end to end (zero Python in the plan).
 
-    Selection rule, shared with the DuckDB oracle: a position is
-    selected iff its hash is ≤ the minimum of the previous WINNOW_W-1
-    hashes (first position always selected) — the trailing-window
-    local-minimum variant of winnowing. Deterministic, expected density
-    2/(WINNOW_W+1), and any shared token run of ≥ WINNOW_K+WINNOW_W-1
-    tokens contributes ≥ 1 selected fingerprint with an identical hash
-    on both documents (windows interior to the run see identical hash
-    sequences, so they select at identical offsets). md5 hex strings
-    compare identically in Spark, Python and DuckDB, so no portable
-    integer hash is needed.
+    Selection rule (classic Schleimer/Wilkerson/Aiken winnowing, shared
+    bit-for-bit with the DuckDB oracle and the Arrow kernel): for every
+    window of WINNOW_W consecutive k-gram hashes select the RIGHTMOST
+    position attaining the window minimum; a document with fewer than
+    W k-grams is one window. Selected set = distinct selected
+    positions; expected density 2/(W+1); any shared token run of ≥
+    WINNOW_K+WINNOW_W-1 tokens contains a full window with an identical
+    hash sequence on both documents, so both select the same
+    fingerprint value — the collision GUARANTEE fixed-span dedup lacks.
+    md5 hex strings compare identically in Spark, Python and DuckDB, so
+    the selection (an order statistic over the hashes) reproduces
+    exactly in all three engines.
 
-    Arrow-batched Python rather than Catalyst higher-order expressions,
-    for the same measured reason as ``dedup._shingles``: the nested
-    ``transform``/``slice``/``array_min`` form evaluates interpreted per
-    element AND projection collapse re-inlines the md5-transform
-    subtree into every consumer (the stats op paid ~100× — 199 s vs 2 s
-    at sf0.1). Semantics identical; one Arrow batch in, one out.
+    Plan shape: one projection does split → ``transform(sequence)`` →
+    ``md5(concat_ws)`` → ``posexplode`` (whole-stage codegen); the
+    per-window rightmost argmin is ``min(struct(h, -pos))`` over a
+    ``rowsBetween(-(W-1), 0)`` window (struct min is lexicographic, and
+    the negated position makes ties resolve RIGHTMOST); anchors are the
+    full windows plus the whole-doc window for short docs. Cost vs the
+    Arrow kernel twin: ONE shuffle of (doc, pos, hash) k-gram rows for
+    the window exec, bought back by md5 running JVM-native instead of
+    per-k-gram Python — measured faster end-to-end, and the nested
+    higher-order-function form that would avoid the shuffle evaluates
+    interpreted per element (the measured ~100× cliff that moved
+    ``dedup._shingles`` to Arrow).
 
     PERSISTED under one shared slot: every winnowing consumer (pairs,
     stats, ingest novelty) branches this frame at least twice, and
     ``persist_replacing``'s sameSemantics reuse means sibling winnowing
     queries in one session extract fingerprints once, not per query."""
-    from ..tables import fan_out, persist_replacing
+    from ..tables import persist_replacing
 
-    return persist_replacing(
-        fan_out(
-            t["documents"].select("doc_id", "source", "text")
-        ).mapInPandas(
-            _fp_batches,
-            schema="doc_id bigint, source string, n_kgrams int,"
-            " sel array<string>",
-        ),
-        "analytics5.winnow_docs",
+    ws = F.split(F.trim("text"), r"\s+")
+    kgrams = t["documents"].select(
+        "doc_id",
+        "source",
+        ws.alias("ws"),
+    ).where(F.size("ws") >= F.lit(WINNOW_K)).select(
+        "doc_id",
+        "source",
+        (F.size("ws") - F.lit(WINNOW_K - 1)).alias("n_kgrams"),
+        F.posexplode(
+            F.expr(
+                f"""
+                transform(sequence(1, size(ws) - {WINNOW_K - 1}),
+                          i -> md5(concat_ws(' ', slice(ws, i, {WINNOW_K}))))
+                """
+            )
+        ).alias("pos", "h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    anchored = kgrams.withColumn(
+        "mn",
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(win),
+    )
+    full = (F.col("pos") >= F.lit(WINNOW_W - 1)) | (
+        (F.col("n_kgrams") < F.lit(WINNOW_W))
+        & (F.col("pos") == F.col("n_kgrams") - 1)
+    )
+    picked = (
+        anchored.where(full)
+        .select(
+            "doc_id",
+            "source",
+            "n_kgrams",
+            (-F.col("mn.np")).alias("pos"),
+            F.col("mn.h").alias("h"),
+        )
+        .distinct()
+    )
+    return persist_replacing(picked, "analytics5.winnow_positions")
+
+
+def _docs_with_fps(t: Tables) -> DataFrame:
+    """(doc_id, source, n_kgrams, sel) with sel = the selected k-gram md5
+    hashes in position order — the Arrow-kernel TWIN of
+    :func:`_winnow_positions` (identical true-winnowing selection,
+    pinned position-for-position by test_winnow_catalyst_matches_arrow).
+    MAP-ONLY (no k-gram row ever shuffles), which is why it also serves
+    the STREAMING twin, where a window over doc positions is not
+    expressible; in batch it is the equality check for the Catalyst
+    default, not the production path."""
+    from ..tables import fan_out
+
+    return fan_out(
+        t["documents"].select("doc_id", "source", "text")
+    ).mapInPandas(
+        _fp_batches,
+        schema="doc_id bigint, source string, n_kgrams int,"
+        " sel array<string>, selpos array<int>",
     )
 
 
 def _fp_batches(batches):
-    """Arrow-batch winnowing kernel shared by the batch extractor and the
-    streaming twin (stateless — safe on a streaming frame)."""
+    """Arrow-batch TRUE-winnowing kernel shared by the batch check twin
+    and the streaming extraction (stateless — safe on a streaming
+    frame). For every window of WINNOW_W consecutive k-gram hashes the
+    rightmost minimum position is selected (`<=` in the scan makes later
+    positions win ties); documents shorter than one window are a single
+    window. O(m·W) per doc with W=4 — the md5 calls dominate."""
     import hashlib
 
     import pandas as pd
@@ -128,22 +202,26 @@ def _fp_batches(batches):
                 ).hexdigest()
                 for i in range(m)
             ]
-            sel = [
-                h
-                for i, h in enumerate(hs)
-                if i == 0
-                or h <= min(hs[max(0, i - (WINNOW_W - 1)) : i])
-            ]
+            selpos = set()
+            for a in range(min(WINNOW_W, m) - 1, m):
+                lo = max(0, a - (WINNOW_W - 1))
+                best = lo
+                for j in range(lo + 1, a + 1):
+                    if hs[j] <= hs[best]:
+                        best = j
+                selpos.add(best)
+            ordered = sorted(selpos)
             ids.append(doc_id)
             srcs.append(source)
             nkg.append(m)
-            sels.append(sel)
+            sels.append(([hs[p] for p in ordered], ordered))
         yield pd.DataFrame(
             {
                 "doc_id": ids,
                 "source": srcs,
                 "n_kgrams": nkg,
-                "sel": sels,
+                "sel": [s for s, _ in sels],
+                "selpos": [p for _, p in sels],
             }
         )
 
@@ -154,14 +232,11 @@ def winnow_fingerprint_pairs(t: Tables) -> DataFrame:
     near-dup detector (MOSS winnowing family) complementing
     ``span_dedup``'s fixed spans and ``minhash_lsh_pairs``' signatures.
 
-    Plan shape at 100 TB: extraction map-only (see module docstring);
-    the inverted index groups by fingerprint with the WINNOW_MAX_DF
-    boilerplate cap bounding per-key fanout to ≤ C(20,2) pairs, so the
-    pair shuffle is candidate-sized, never corpus²."""
-    fps = (
-        _docs_with_fps(t)
-        .select("doc_id", F.explode(F.array_distinct("sel")).alias("h"))
-    )
+    Plan shape at 100 TB: extraction Catalyst-only (see module
+    docstring); the inverted index groups by fingerprint with the
+    WINNOW_MAX_DF boilerplate cap bounding per-key fanout to ≤ C(20,2)
+    pairs, so the pair shuffle is candidate-sized, never corpus²."""
+    fps = _winnow_positions(t).select("doc_id", "h").distinct()
     from ..tables import persist_replacing
 
     # feeds the document-frequency gate AND both join sides
@@ -194,22 +269,21 @@ def winnow_sampler_stats(t: Tables) -> DataFrame:
     volumes, selection density (ppm of k-grams), distinct fingerprints.
     Density far from the theoretical ~2/(w+1) flags degenerate or
     adversarial text (constant tokens collapse the hash sequence).
-    One map-only extraction + one |sources|-key rollup; the distinct
-    count shuffles only selected fingerprints."""
-    d = _docs_with_fps(t).select(
-        "doc_id",
-        "source",
-        "n_kgrams",
-        F.size("sel").alias("n_sel"),
-        F.col("sel"),
+    One Catalyst extraction + one |sources|-key rollup; the distinct
+    count shuffles only selected fingerprints. Every doc with ≥ K
+    tokens selects ≥ 1 position (its first full — or whole-doc —
+    window), so the per-doc rollup of the selected frame loses no
+    document."""
+    pos = _winnow_positions(t)
+    per_doc = pos.groupBy("doc_id", "source", "n_kgrams").agg(
+        F.count("*").alias("n_sel")
     )
-    exploded = d.select("source", F.explode("sel").alias("h"))
-    per_source = d.groupBy("source").agg(
+    per_source = per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_kgrams").alias("n_kgrams"),
         F.sum("n_sel").alias("n_selected"),
     )
-    distincts = exploded.groupBy("source").agg(
+    distincts = pos.groupBy("source").agg(
         F.count_distinct("h").alias("n_distinct_fps")
     )
     return (
@@ -246,17 +320,15 @@ def incremental_winnow_novelty(t: Tables) -> DataFrame:
     rows-only."""
     from .dedup import INCR_BATCH_MOD
 
-    d = _docs_with_fps(t)
+    d = _winnow_positions(t).select("doc_id", "h").distinct()
     is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
     index = (
         d.where(~is_batch)
-        .select(F.explode(F.array_distinct("sel")).alias("h"))
+        .select("h")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    batch = d.where(is_batch).select(
-        "doc_id", F.explode(F.array_distinct("sel")).alias("h")
-    )
+    batch = d.where(is_batch).select("doc_id", "h")
     return (
         batch.join(index, "h", "left")
         .groupBy("doc_id")
@@ -449,9 +521,15 @@ _TOKC_DUCK = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
 _W1 = WINNOW_W - 1
 _KGRAM_DUCK = " || ' ' || ".join(f"ws[i + {j}]" for j in range(WINNOW_K))
 
-#: shared winnowing CTE chain (documents → per-position hashes → selected
-#: positions → distinct (doc, fingerprint)); composed by the operator
-#: oracles here and by registry._STREAMING_ORACLES for the hot-fps twin
+#: shared TRUE-winnowing CTE chain (documents → per-position hashes →
+#: full-window anchors with their window minimum → rightmost argmin
+#: position per anchor → distinct selected positions → distinct
+#: (doc, fingerprint)); composed by the operator oracles here and by
+#: registry._STREAMING_ORACLES for the hot-fps twin. Matches
+#: ``_winnow_positions``/``_fp_batches`` selection bit-for-bit: the
+#: rightmost tie-break is max(i) over positions attaining the window
+#: min, and a doc shorter than one window is a single window anchored
+#: at its last position.
 WINNOW_BASE_DUCK = f"""
         w AS (SELECT doc_id, source,
                      string_split_regex(trim(text), '\\s+') AS ws
@@ -466,13 +544,23 @@ WINNOW_BASE_DUCK = f"""
                      unnest(generate_series(1, len(hs))) AS i,
                      len(hs) AS n_kgrams
               FROM s),
-        sel AS (SELECT doc_id, source, h, i, n_kgrams,
-                       min(h) OVER (PARTITION BY doc_id ORDER BY i
-                                    ROWS BETWEEN {_W1} PRECEDING
-                                             AND 1 PRECEDING) AS pm
-                FROM g),
-        picked AS (SELECT doc_id, source, h, n_kgrams
-                   FROM sel WHERE pm IS NULL OR h <= pm),
+        anch AS (SELECT doc_id, i, n_kgrams,
+                        min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                     ROWS BETWEEN {_W1} PRECEDING
+                                              AND CURRENT ROW) AS wm
+                 FROM g),
+        fa AS (SELECT doc_id, i AS ai, wm FROM anch
+               WHERE i >= {WINNOW_W}
+                  OR (n_kgrams < {WINNOW_W} AND i = n_kgrams)),
+        pickpos AS (SELECT fa.doc_id, fa.ai, max(g2.i) AS pi
+                    FROM fa JOIN g g2 ON g2.doc_id = fa.doc_id
+                        AND g2.i BETWEEN fa.ai - {_W1} AND fa.ai
+                        AND g2.h = fa.wm
+                    GROUP BY fa.doc_id, fa.ai),
+        selpos AS (SELECT DISTINCT doc_id, pi FROM pickpos),
+        picked AS (SELECT g.doc_id, g.source, g.h, g.n_kgrams
+                   FROM selpos JOIN g ON g.doc_id = selpos.doc_id
+                                     AND g.i = selpos.pi),
         fp AS (SELECT DISTINCT doc_id, h FROM picked)
     """
 

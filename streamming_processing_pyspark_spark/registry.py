@@ -644,7 +644,7 @@ def streaming_winnow_hot_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = docs.mapInPandas(
         _fp_batches,
         schema="doc_id bigint, source string, n_kgrams int,"
-        " sel array<string>",
+        " sel array<string>, selpos array<int>",
     )
     cells = (
         fps.select(F.explode(F.array_distinct("sel")).alias("h"))

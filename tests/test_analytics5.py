@@ -22,19 +22,63 @@ def _docs(spark, rows):
 
 
 def test_winnow_guarantee_shared_run_collides(spark):
-    """Any shared run of ≥ WINNOW_K + WINNOW_W - 1 tokens must contribute
-    at least one identical SELECTED fingerprint to both documents, even
-    when the run sits at different offsets (the property fixed-span
-    dedup lacks)."""
-    run = "alpha beta gamma delta epsilon zeta eta"  # 7 = K + W - 1
-    a = "x1 x2 x3 " + run + " x4 x5"
-    b = "y1 " + run + " y2 y3 y4 y5 y6 y7"
-    t = _docs(spark, [(1, a), (2, b)])
-    fps = {
-        r["doc_id"]: set(r["sel"])
-        for r in analytics5._docs_with_fps(t).collect()
+    """TRUE winnowing's guarantee: ANY shared run of WINNOW_K +
+    WINNOW_W - 1 tokens (the minimum — one full window of W k-grams
+    lies inside it) contributes at least one identical SELECTED
+    fingerprint to both documents, regardless of offset or surrounding
+    text. Randomized over many offset/context combinations so the
+    property can't pass by hash luck (the pre-round-9 trailing-minimum
+    sampler failed ~35% of these)."""
+    import random
+
+    rng = random.Random(20260816)
+    run_len = analytics5.WINNOW_K + analytics5.WINNOW_W - 1
+    rows, expect_pairs = [], []
+    doc_id = 0
+    for case in range(30):
+        run = " ".join(f"r{case}t{j}" for j in range(run_len))
+        docs = []
+        for side in range(2):
+            pre = " ".join(
+                f"p{case}s{side}w{rng.randrange(10_000)}"
+                for _ in range(rng.randrange(0, 9))
+            )
+            post = " ".join(
+                f"q{case}s{side}w{rng.randrange(10_000)}"
+                for _ in range(rng.randrange(0, 9))
+            )
+            text = " ".join(x for x in (pre, run, post) if x)
+            doc_id += 1
+            rows.append((doc_id, text))
+            docs.append(doc_id)
+        expect_pairs.append(tuple(docs))
+    t = _docs(spark, rows)
+    fps = {}
+    for r in analytics5._winnow_positions(t).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["h"])
+    for a, b in expect_pairs:
+        assert fps[a] & fps[b], (
+            f"shared {run_len}-token run produced no shared fingerprint"
+            f" for docs {a},{b}"
+        )
+
+
+def test_winnow_catalyst_matches_arrow(spark):
+    """The Catalyst window-min extraction (production batch path) and
+    the Arrow kernel (streaming path / check twin) must select identical
+    (doc, position, hash) sets — the same true-winnowing order statistic
+    computed two independent ways."""
+    t = load_tables(spark, SF_DIR)
+    catalyst = {
+        (r["doc_id"], r["pos"], r["h"])
+        for r in analytics5._winnow_positions(t).collect()
     }
-    assert fps[1] & fps[2], "shared 7-token run produced no shared fingerprint"
+    arrow = {
+        (r["doc_id"], p, h)
+        for r in analytics5._docs_with_fps(t).collect()
+        for p, h in zip(r["selpos"], r["sel"])
+    }
+    assert catalyst == arrow
 
 
 def test_winnow_density_near_theoretical(spark):

@@ -702,3 +702,18 @@ def test_pareto_front_no_join(spark):
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", s)
     assert all("priority" not in c for c in scans), scans
     assert_no_python_eval(df)
+
+
+def test_winnow_batch_extraction_is_jvm_only(spark):
+    """Round-9 winnowing default: the BATCH fingerprint extraction is
+    Catalyst end to end — no MapInPandas, no Python eval anywhere in the
+    winnow_fingerprint_pairs plan (md5 + window argmin run JVM-side);
+    the documents scan prunes to the three extraction columns."""
+    from streamming_processing_pyspark_spark.operators import analytics5
+
+    t = load_tables(spark, SF_DIR)
+    df = analytics5.winnow_fingerprint_pairs(t)
+    s = plan_string(df, "simple")
+    assert "MapInPandas" not in s, s
+    assert "ArrowEvalPython" not in s, s
+    assert "BatchEvalPython" not in s, s
