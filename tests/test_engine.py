@@ -43,3 +43,34 @@ def test_cli_list_and_oracle(capsys):
     assert "lineitem" in capsys.readouterr().out
     assert main(["oracle", "minhash_lsh_pairs"]) == 0
     assert "rows-only" in capsys.readouterr().out
+
+
+def test_registry_outputs_are_driver_safe_scalars(spark):
+    """VERDICT r8 §2 (registry lint): the driver's canonicalizer sorts
+    result frames by every column, so a nested column (array/map/struct)
+    in ANY registered query's output crashes the slate row (the r8
+    embedding_whiten_audit failure). Walk the whole registry at sf0.001
+    and assert every output field is an atomic type. A query may only
+    escape via the explicit whitelist below, which requires a documented
+    rows-only contract AND a scalar _check twin — currently empty."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from streamming_processing_pyspark_spark.registry import build_queries
+
+    # name -> reason; empty on purpose: anything added here must carry a
+    # rows-only contract in its docstring and a scalar *_check twin
+    whitelist: dict[str, str] = {}
+
+    offenders = {}
+    for name, fn in sorted(build_queries().items()):
+        if name in whitelist:
+            continue
+        df = fn(spark, SF_DIR)
+        nested = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            offenders[name] = nested
+    assert not offenders, f"nested output columns would crash the driver canonicalizer: {offenders}"
