@@ -196,29 +196,80 @@ def sorted_neighborhood_pairs(t: Tables) -> DataFrame:
         .select("name_a", "name_b", dist.alias("edit_dist"))
     )
 
-#: Fellegi–Sunter-style integer agreement weights and tier thresholds
+def _token_block_candidates(t: Tables) -> DataFrame:
+    """Equality-blocked ER candidates over DISTINCT part names (block =
+    second whitespace token): the complement VERDICT r8 §7 asked to
+    union under the scoring layer — names whose shared token sorts them
+    FAR apart ("corp acme" / "acme corp"-shaped transpositions, or
+    same-suffix names differing in their first characters) never land
+    in one sorted-neighborhood window, but share an equality block.
+    Same vocabulary-sized broadcast self-join as
+    :func:`name_near_dup_pairs`; per-block fanout is bounded by block
+    size (the existing blocked-dedup contract), so the union's
+    candidate count stays vocabulary-linear plus block-bounded."""
+    names = (
+        t["part"]
+        .select("p_name")
+        .distinct()
+        .withColumn("block", F.split("p_name", " ").getItem(1))
+    )
+    a, b = names.alias("a"), F.broadcast(names.alias("b"))
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, F.col("a.block") == F.col("b.block"))
+        .where(F.col("a.p_name") < F.col("b.p_name"))
+        .where(dist <= NAME_EDIT_MAX)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("edit_dist"),
+        )
+    )
+
+
+def er_candidate_pairs(t: Tables) -> DataFrame:
+    """The ER candidate union (VERDICT r8 §7): sorted-neighborhood scan
+    (linear in vocabulary — catches cross-block near-sorts) ∪ second-
+    token equality blocks (catches far-apart sorts sharing a token),
+    deduped on the pair key. Both generators emit name_a < name_b over
+    the same distinct-name frame, so the union is a plain pair-key
+    dedup, and each source remains independently registered/checked."""
+    return (
+        sorted_neighborhood_pairs(t)
+        .unionByName(_token_block_candidates(t))
+        .dropDuplicates(["name_a", "name_b"])
+    )
+
+
+#: Fellegi–Sunter-style integer agreement weights and tier thresholds.
+#: Four field comparators: edit-distance band, 6-char prefix, first
+#: token, last token (the suffix comparator keeps an early-position
+#: single edit — maximal string agreement, zero prefix/first-token
+#: agreement — from being structurally locked out of the match band).
 ER_W_EDIT = {1: 8, 2: 5, 3: 2}
 ER_W_PREFIX = 4  # same first 6 characters
 ER_W_TOKEN = 3  # same first whitespace token
+ER_W_SUFFIX = 3  # same last whitespace token
 ER_MATCH_MIN = 10
 ER_POSSIBLE_MIN = 6
 
 
 def er_match_scores(t: Tables) -> DataFrame:
-    """Entity-resolution scoring layer over the sorted-neighborhood
-    candidates: each candidate pair gets a Fellegi–Sunter-style additive
-    agreement score from three cheap field comparators (edit distance
-    band, 6-char prefix, first token) and a decision tier
+    """Entity-resolution scoring layer over the UNION candidates
+    (:func:`er_candidate_pairs` — sorted-neighborhood ∪ token blocks,
+    VERDICT r8 §7): each candidate pair gets a Fellegi–Sunter-style
+    additive agreement score from four cheap field comparators (edit
+    distance band, 6-char prefix, first token, last token) and a decision tier
     (match / possible / weak) — the classify step that turns candidate
-    GENERATION (:func:`sorted_neighborhood_pairs`) into a linkage
-    decision, with the review queue = the 'possible' tier.
+    GENERATION into a linkage decision, with the review queue = the
+    'possible' tier.
 
     All weights are integers, so score and tier hash-match; the oracle
-    composes the SN oracle verbatim as its candidate CTE, so the scored
-    population is exactly the registered candidate semantics. Cost: a
-    map-only projection over the (vocabulary-linear) candidate list.
+    composes the union-candidate oracle verbatim as its candidate CTE,
+    so the scored population is exactly the registered candidate
+    semantics. Cost: a map-only projection over the candidate list.
     """
-    p = sorted_neighborhood_pairs(t)
+    p = er_candidate_pairs(t)
     w_edit = (
         F.when(F.col("edit_dist") == 1, ER_W_EDIT[1])
         .when(F.col("edit_dist") == 2, ER_W_EDIT[2])
@@ -233,7 +284,12 @@ def er_match_scores(t: Tables) -> DataFrame:
         == F.substring_index("name_b", " ", 1),
         ER_W_TOKEN,
     ).otherwise(0)
-    score = (w_edit + w_prefix + w_token).cast("long")
+    w_suffix = F.when(
+        F.substring_index("name_a", " ", -1)
+        == F.substring_index("name_b", " ", -1),
+        ER_W_SUFFIX,
+    ).otherwise(0)
+    score = (w_edit + w_prefix + w_token + w_suffix).cast("long")
     return p.select(
         "name_a",
         "name_b",
@@ -253,10 +309,8 @@ def er_entity_clusters(t: Tables) -> DataFrame:
     linked group of part names gets ONE canonical entity id (the
     lexicographically smallest member). This is the review-queue
     grouping: a reviewer sees one candidate entity, not scattered pairs.
-    (The fixtures' comparator scores top out in the 'possible' band —
-    9 < ER_MATCH_MIN — so clustering matches alone would be structurally
-    empty at every SF; the actionable set is the non-vacuous, and
-    operationally correct, graph to group.)
+    :func:`er_match_clusters` beside it groups the auto-link 'match'
+    tier alone.
 
     Runs on the star-contraction loop
     (:func:`pipeline._star_connected_components`), which is TYPE-GENERIC
@@ -270,6 +324,31 @@ def er_entity_clusters(t: Tables) -> DataFrame:
     pairs = (
         er_match_scores(t)
         .where(F.col("tier") != "weak")
+        .select(
+            F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
+        )
+    )
+    return _star_connected_components(pairs).select(
+        F.col("doc_id").alias("p_name"),
+        F.col("component").alias("entity_id"),
+    )
+
+
+def er_match_clusters(t: Tables) -> DataFrame:
+    """Entity ids from the MATCH tier alone (VERDICT r8 §7) — the
+    auto-link grouping a pipeline applies WITHOUT review, beside
+    :func:`er_entity_clusters`' actionable-tier grouping (match +
+    review queue). With the union candidate source, high-agreement
+    pairs (edit 1 + shared prefix + shared first token) reach the match
+    band even when they sort far apart; tiers below ER_MATCH_MIN never
+    enter this graph, so a reviewer backlog can't leak into automated
+    merges. Same type-generic star-contraction CC, same
+    vocabulary-sized cost."""
+    from .pipeline import _star_connected_components
+
+    pairs = (
+        er_match_scores(t)
+        .where(F.col("tier") == "match")
         .select(
             F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
         )
@@ -385,19 +464,76 @@ def ngram_jaccard_pairs(
 SWEEP_THETAS_PCT = (30, 50, 70, 90)
 
 
+def _sweep_rollup(scored: DataFrame) -> DataFrame:
+    """Per-θ rollup shared by the banded sweep and its exact check:
+    gate each scored pair (carrying a rounded ``jaccard``) at every θ
+    with the IDENTICAL rounded-float comparison the registered
+    :func:`ngram_jaccard_pairs` uses (``round(j, 4) ≥ θ/100`` — θ/100
+    divides to the same IEEE double in Spark and DuckDB, so the θ=30
+    cell equals the registered pair set BY CONSTRUCTION; ADVICE r8: the
+    earlier integer gate diverged from the rounded gate on Jaccard
+    values in [θ/100 − 5e-5, θ/100)). Thresholds with zero survivors
+    still emit a row (left join from the θ spine), because "0.9 kills
+    everything" is exactly the datum the curve exists to show."""
+    spark = scored.sparkSession
+    thetas = spark.createDataFrame(
+        [(p,) for p in SWEEP_THETAS_PCT], "theta_pct int"
+    )
+    hits = scored.crossJoin(F.broadcast(thetas)).where(
+        F.col("jaccard") >= F.col("theta_pct") / F.lit(100.0)
+    )
+    pairs_per = hits.groupBy("theta_pct").agg(F.count("*").alias("n_pairs"))
+    docs_per = (
+        hits.select(
+            "theta_pct", F.explode(F.array("id_a", "id_b")).alias("d")
+        )
+        .groupBy("theta_pct")
+        .agg(F.count_distinct("d").alias("n_docs_in_pairs"))
+    )
+    return (
+        thetas.join(pairs_per, "theta_pct", "left")
+        .join(docs_per, "theta_pct", "left")
+        .select(
+            "theta_pct",
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce("n_docs_in_pairs", F.lit(0).cast("long")).alias(
+                "n_docs_in_pairs"
+            ),
+        )
+    )
+
+
 def near_dup_threshold_sweep(t: Tables) -> DataFrame:
     """Dedup-aggressiveness curve: for each candidate Jaccard threshold,
-    how many exact near-dup pairs and how many documents sit at-or-above
-    it — the table read before committing a campaign's θ (too low wipes
+    how many near-dup pairs and how many documents sit at-or-above it —
+    the table read before committing a campaign's θ (too low wipes
     topical families; too high leaves templated copies).
 
-    Pair discovery is the SAME capped inverted index as
-    :func:`ngram_jaccard_pairs` (run once, persisted); each (pair, θ)
-    test is the INTEGER comparison ``100·common ≥ θ·(union)`` — no float
-    rounding anywhere, so the DuckDB oracle reproduces every cell
-    bit-for-bit. Thresholds with zero survivors still emit a row (left
-    join from the θ spine), because "0.9 kills everything" is exactly
-    the datum the curve exists to show."""
+    VERDICT r8 §4: pair discovery is now the BANDED MinHash candidate
+    source (:func:`minhash_lsh_pairs` — bucketed, never all-pairs, the
+    100 TB path; its exact-Jaccard verification means every scored pair
+    carries a true rounded Jaccard, so per-θ gating is exact
+    RESCORING of approximate candidates). Output ⊆ the exact uncapped
+    sweep — the same subset contract as the rest of the LSH family,
+    recall pinned by :func:`minhash_recall_check`. xxhash64 banding
+    isn't SQL-reproducible → rows-only driver check;
+    :func:`near_dup_threshold_sweep_check` is the hash-checked exact
+    twin. All sweep θs are ≥ the registered JACCARD_THRESHOLD, so the
+    verified LSH output loses nothing to its own gate."""
+    from ..tables import persist_replacing
+
+    pairs = persist_replacing(
+        minhash_lsh_pairs(t), "dedup.sweep_banded_pairs"
+    )
+    return _sweep_rollup(pairs)
+
+
+def near_dup_threshold_sweep_check(t: Tables) -> DataFrame:
+    """EXACT hash-checked twin of :func:`near_dup_threshold_sweep`: the
+    same per-θ rollup over the capped inverted index of
+    :func:`ngram_jaccard_pairs` (campaign-priced — it reruns the exact
+    index by construction, which is why the banded sweep is the
+    registered production wiring)."""
     from ..tables import persist_replacing
 
     # rebuild the capped pair-commons (ngram_jaccard_pairs applies the
@@ -429,36 +565,18 @@ def near_dup_threshold_sweep(t: Tables) -> DataFrame:
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
     pc = persist_replacing(
-        common.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b"),
+        common.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _jaccard_from_common(
+                F.col("common"), F.col("n_a"), F.col("n_b")
+            ).alias("jaccard"),
+        ),
         "dedup.sweep_pairs",
     )
-    spark = pc.sparkSession
-    thetas = spark.createDataFrame(
-        [(p,) for p in SWEEP_THETAS_PCT], "theta_pct int"
-    )
-    hits = pc.crossJoin(F.broadcast(thetas)).where(
-        F.lit(100) * F.col("common")
-        >= F.col("theta_pct") * (F.col("n_a") + F.col("n_b") - F.col("common"))
-    )
-    pairs_per = hits.groupBy("theta_pct").agg(F.count("*").alias("n_pairs"))
-    docs_per = (
-        hits.select(
-            "theta_pct", F.explode(F.array("id_a", "id_b")).alias("d")
-        )
-        .groupBy("theta_pct")
-        .agg(F.count_distinct("d").alias("n_docs_in_pairs"))
-    )
-    return (
-        thetas.join(pairs_per, "theta_pct", "left")
-        .join(docs_per, "theta_pct", "left")
-        .select(
-            "theta_pct",
-            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
-            F.coalesce("n_docs_in_pairs", F.lit(0).cast("long")).alias(
-                "n_docs_in_pairs"
-            ),
-        )
-    )
+    return _sweep_rollup(pc)
 
 
 def minhash_signatures(t: Tables) -> DataFrame:
@@ -818,16 +936,18 @@ ORACLES: dict[str, str] = {
         WHERE a.p_name <= b.p_name
           AND levenshtein(a.p_name, b.p_name) <= 3
     """,
-    "near_dup_threshold_sweep": f"""
+    "near_dup_threshold_sweep_check": f"""
         WITH {_SHINGLE_DUCK},
-        sc AS (SELECT p.id_a, p.id_b, common, na.n AS n_a, nb.n AS n_b
+        sc AS (SELECT p.id_a, p.id_b,
+                      round(common * 1.0 / (na.n + nb.n - common), 4)
+                        AS jaccard
                FROM p JOIN n na ON p.id_a = na.doc_id
                       JOIN n nb ON p.id_b = nb.doc_id),
         th AS (SELECT unnest([{", ".join(str(x) for x in SWEEP_THETAS_PCT)}])
                         AS theta_pct),
         hits AS (SELECT theta_pct, id_a, id_b
                  FROM sc JOIN th
-                   ON 100 * common >= theta_pct * (n_a + n_b - common)),
+                   ON jaccard >= theta_pct / 100.0),
         pairs_per AS (SELECT theta_pct, count(*) AS n_pairs
                       FROM hits GROUP BY 1),
         docs_per AS (SELECT theta_pct, count(DISTINCT d) AS n_docs_in_pairs
@@ -1082,8 +1202,10 @@ def shingle_novelty_scores(t: Tables) -> DataFrame:
 QUERIES = {
     "exact_dedup": exact_dedup,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
+    "er_candidate_pairs": er_candidate_pairs,
     "er_match_scores": er_match_scores,
     "er_entity_clusters": er_entity_clusters,
+    "er_match_clusters": er_match_clusters,
     "source_overlap_matrix": source_overlap_matrix,
     "shingle_novelty_scores": shingle_novelty_scores,
     "dedup_graph_stats": dedup_graph_stats,
@@ -1091,6 +1213,7 @@ QUERIES = {
     "name_near_dup_pairs": name_near_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "near_dup_threshold_sweep": near_dup_threshold_sweep,
+    "near_dup_threshold_sweep_check": near_dup_threshold_sweep_check,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "minhash_recall_check": minhash_recall_check,
     "incremental_minhash_pairs": incremental_minhash_pairs,
@@ -1175,8 +1298,23 @@ ORACLES["sorted_neighborhood_pairs"] = f"""
       AND levenshtein(name_a, name_b) <= {NAME_EDIT_MAX}
 """
 
-ORACLES["er_match_scores"] = f"""
+ORACLES["er_candidate_pairs"] = f"""
     WITH sn AS ({ORACLES["sorted_neighborhood_pairs"]}),
+    blocks AS (SELECT p_name, split_part(p_name, ' ', 2) AS block
+               FROM (SELECT DISTINCT p_name FROM part)),
+    tb AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+      FROM blocks a JOIN blocks b ON a.block = b.block
+      WHERE a.p_name < b.p_name
+        AND levenshtein(a.p_name, b.p_name) <= {NAME_EDIT_MAX}
+    )
+    SELECT DISTINCT name_a, name_b, edit_dist
+    FROM (SELECT * FROM sn UNION ALL SELECT * FROM tb)
+"""
+
+ORACLES["er_match_scores"] = f"""
+    WITH cand AS ({ORACLES["er_candidate_pairs"]}),
     scored AS (
       SELECT name_a, name_b, edit_dist,
              CAST((CASE edit_dist WHEN 1 THEN {ER_W_EDIT[1]}
@@ -1186,8 +1324,11 @@ ORACLES["er_match_scores"] = f"""
                           THEN {ER_W_PREFIX} ELSE 0 END)
                   + (CASE WHEN split_part(name_a, ' ', 1)
                                = split_part(name_b, ' ', 1)
-                          THEN {ER_W_TOKEN} ELSE 0 END) AS BIGINT) AS score
-      FROM sn
+                          THEN {ER_W_TOKEN} ELSE 0 END)
+                  + (CASE WHEN split_part(name_a, ' ', -1)
+                               = split_part(name_b, ' ', -1)
+                          THEN {ER_W_SUFFIX} ELSE 0 END) AS BIGINT) AS score
+      FROM cand
     )
     SELECT name_a, name_b, edit_dist, score,
            CASE WHEN score >= {ER_MATCH_MIN} THEN 'match'
@@ -1199,6 +1340,20 @@ ORACLES["er_match_scores"] = f"""
 ORACLES["er_entity_clusters"] = f"""
     WITH RECURSIVE er AS ({ORACLES["er_match_scores"]}),
     jp AS (SELECT name_a, name_b FROM er WHERE tier <> 'weak'),
+    edges AS (SELECT name_a AS s, name_b AS d FROM jp
+              UNION SELECT name_b, name_a FROM jp),
+    reach(node, lab) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS p_name, min(lab) AS entity_id
+    FROM reach GROUP BY node
+"""
+
+ORACLES["er_match_clusters"] = f"""
+    WITH RECURSIVE er AS ({ORACLES["er_match_scores"]}),
+    jp AS (SELECT name_a, name_b FROM er WHERE tier = 'match'),
     edges AS (SELECT name_a AS s, name_b AS d FROM jp
               UNION SELECT name_b, name_a FROM jp),
     reach(node, lab) AS (

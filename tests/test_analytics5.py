@@ -191,21 +191,40 @@ def test_backlog_covers_every_open_order(spark):
 
 
 def test_threshold_sweep_monotone_and_consistent(spark):
-    """Counts must be non-increasing in θ, and the θ=30 cell must agree
-    with the registered ngram_jaccard_pairs frame (same capped discovery,
-    same threshold, integer vs rounded-float formulation)."""
+    """Both sweeps: counts non-increasing in θ. The EXACT check's θ=30
+    cell must equal the registered ngram_jaccard_pairs count (identical
+    capped discovery AND identical rounded-float gate — ADVICE r8). The
+    BANDED production sweep's θ=30 cell must equal the verified LSH
+    pair count, and every banded cell must be a subset of the exact
+    UNCAPPED sweep at the same θ (the LSH family's subset contract)."""
     from streamming_processing_pyspark_spark.operators import dedup
 
     t = load_tables(spark, SF_DIR)
-    rows = sorted(
-        dedup.near_dup_threshold_sweep(t).collect(),
-        key=lambda r: r["theta_pct"],
-    )
-    assert [r["theta_pct"] for r in rows] == sorted(dedup.SWEEP_THETAS_PCT)
-    for prev, cur in zip(rows, rows[1:]):
-        assert prev["n_pairs"] >= cur["n_pairs"]
-        assert prev["n_docs_in_pairs"] >= cur["n_docs_in_pairs"]
-    assert rows[0]["n_pairs"] == dedup.ngram_jaccard_pairs(t).count()
+
+    def cells(df):
+        rows = sorted(df.collect(), key=lambda r: r["theta_pct"])
+        assert [r["theta_pct"] for r in rows] == sorted(
+            dedup.SWEEP_THETAS_PCT
+        )
+        for prev, cur in zip(rows, rows[1:]):
+            assert prev["n_pairs"] >= cur["n_pairs"]
+            assert prev["n_docs_in_pairs"] >= cur["n_docs_in_pairs"]
+        return rows
+
+    exact_rows = cells(dedup.near_dup_threshold_sweep_check(t))
+    assert exact_rows[0]["n_pairs"] == dedup.ngram_jaccard_pairs(t).count()
+
+    banded_rows = cells(dedup.near_dup_threshold_sweep(t))
+    lsh = dedup.minhash_lsh_pairs(t).collect()
+    assert banded_rows[0]["n_pairs"] == len(lsh)
+    # subset vs the exact UNCAPPED pair set per θ
+    uncapped = dedup.ngram_jaccard_pairs(t, max_shingle_df=None).collect()
+    for row in banded_rows:
+        th = row["theta_pct"] / 100.0
+        n_banded = sum(1 for r in lsh if r["jaccard"] >= th)
+        n_exact = sum(1 for r in uncapped if r["jaccard"] >= th)
+        assert row["n_pairs"] == n_banded
+        assert n_banded <= n_exact
 
 
 def test_langid_confusion_shares_and_totals(spark):
@@ -399,3 +418,87 @@ def test_resize_plan_invariants(spark):
         assert r["bytes_saved"] == 3 * (
             r["w_src"] * r["h_src"] - r["w_dst"] * r["h_dst"]
         )
+
+
+def test_png_payload_header_is_spec_valid_and_parse_roundtrips(spark):
+    """The synthesized payload must be a byte-valid PNG prefix: correct
+    8-byte signature, IHDR length/type, big-endian dims matching the
+    documented synthesis rule, AND a correct CRC-32 over type+data —
+    validated with Python's struct/zlib, independent of Spark. The
+    Catalyst byte-parse (png_header_dims) must recover exactly the dims
+    the header carries."""
+    import struct
+    import zlib
+
+    from streamming_processing_pyspark_spark.operators import multimodal
+
+    t = load_tables(spark, SF_DIR)
+    docs = t["documents"].select("doc_id", "text").limit(50)
+    rows = multimodal.with_png_payload(docs).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert rows
+    for r in rows:
+        p = bytes(r["payload"])
+        assert p[:8] == bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+        (length,) = struct.unpack(">I", p[8:12])
+        assert length == 13
+        assert p[12:16] == b"IHDR"
+        w, h = struct.unpack(">II", p[16:24])
+        n = len(texts[r["doc_id"]].encode())
+        assert w == 64 + n % 512
+        assert h == 64 + (n // 7) % 512
+        (crc,) = struct.unpack(">I", p[29:33])
+        assert crc == zlib.crc32(p[12:29]) & 0xFFFFFFFF
+        assert p[33:] == texts[r["doc_id"]].encode()
+    parsed = {
+        (r["doc_id"], r["w_src"], r["h_src"])
+        for r in multimodal.resize_plan({"documents": docs}).select(
+            "doc_id", "w_src", "h_src"
+        ).collect()
+    }
+    expect = set()
+    for r in rows:
+        p = bytes(r["payload"])
+        w, h = struct.unpack(">II", p[16:24])
+        expect.add((r["doc_id"], w, h))
+    assert parsed == expect
+
+
+def test_er_union_candidates_and_match_tier(spark):
+    """Round-9 ER upgrades: (a) the union candidate source is a strict
+    superset of sorted-neighborhood alone (token blocking recovers
+    far-apart sorts) and contains no duplicate pair keys; (b) the match
+    tier is non-empty on the fixtures (the suffix comparator unlocks
+    genuine dist-1 pairs) and er_match_clusters groups exactly the
+    match-tier pairs — a subset of the actionable clustering's nodes."""
+    from streamming_processing_pyspark_spark.operators import dedup
+
+    t = load_tables(spark, SF_DIR)
+    sn = {
+        (r["name_a"], r["name_b"])
+        for r in dedup.sorted_neighborhood_pairs(t).collect()
+    }
+    cand = [
+        (r["name_a"], r["name_b"])
+        for r in dedup.er_candidate_pairs(t).collect()
+    ]
+    assert len(cand) == len(set(cand))
+    assert sn < set(cand)
+    match_pairs = [
+        (r["name_a"], r["name_b"])
+        for r in dedup.er_match_scores(t)
+        .where(F.col("tier") == "match")
+        .collect()
+    ]
+    assert match_pairs, "suffix comparator should unlock match-tier pairs"
+    ent = {
+        r["p_name"]: r["entity_id"]
+        for r in dedup.er_match_clusters(t).collect()
+    }
+    assert set(ent) == {n for p in match_pairs for n in p}
+    for a, b in match_pairs:
+        assert ent[a] == ent[b]
+    actionable = {
+        r["p_name"] for r in dedup.er_entity_clusters(t).collect()
+    }
+    assert set(ent) <= actionable
