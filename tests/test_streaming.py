@@ -720,13 +720,22 @@ def test_trending_stateful_tws_matches_applyinpandas(spark, tmp_path):
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
+        # the gate must stay actionable...
         with pytest.raises(StatefulApiUnavailable, match="protobuf"):
             trending_stateful_tws(
                 spark.readStream.format("rate").load(),
                 key_col="value",
                 ts_col="timestamp",
             )
-        return
+        # ...and the unrunnable equality check is an EXPLICIT xfail, not
+        # a silent pass (VERDICT r8 §6): this container has no network
+        # (pip download protobuf → NewConnectionError) and no vendored
+        # wheel, so transformWithStateInPandas' state-server protocol
+        # cannot load here. See DEPLOY.md "transformWithStateInPandas".
+        pytest.xfail(
+            "protobuf unavailable (offline container): TWS equality "
+            "check runs only where the state-server protocol can load"
+        )
 
     d = str(tmp_path / "ev")
     os.makedirs(d)

@@ -218,6 +218,11 @@ QUERIES = [
     "er_entity_clusters",
     "incremental_winnow_novelty",
     "resize_plan",
+    # round-9 batch
+    "near_dup_threshold_sweep_check",
+    "er_candidate_pairs",
+    "er_match_clusters",
+    "whiten_check",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -262,6 +267,13 @@ NOTES = {
         "- NOTE: the unpartitioned skyline window is deliberate at test "
         "scale; at 100 TB the same algebra runs over a range-partitioned "
         "cents sort with a per-boundary suffix-max carry (docstring)"
+    ),
+    "whiten_check": (
+        "- NOTE: result is a 1-row local claim table; the corpus-sized "
+        "work is the TWO map-only moment passes (model + verification), "
+        "each pre-reduced ON THE EXECUTORS to <= MOMENT_REDUCE_GROUPS "
+        "keyed partials before the O(R*d^2) driver collect (r9: driver "
+        "bytes are f(d, R), independent of input partition count)"
     ),
 }
 

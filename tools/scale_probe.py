@@ -90,6 +90,7 @@ OPS = {
     "curriculum_stage_assign": analytics5.curriculum_stage_assign,
     "dedup_clusters_star": pipeline.dedup_clusters_star,
     "near_dup_threshold_sweep": dedup.near_dup_threshold_sweep,
+    "near_dup_threshold_sweep_check": dedup.near_dup_threshold_sweep_check,
     "langid_confusion_matrix": text.langid_confusion_matrix,
     "incremental_winnow_novelty": analytics5.incremental_winnow_novelty,
 }
@@ -327,20 +328,22 @@ def main() -> None:
         "  `minhash_lsh_pairs` on the text side.",
         "- `ngram_jaccard_pairs` is the exact-Jaccard baseline (pair-density",
         "  driven); `minhash_lsh_pairs` (α≈0.2) is the production path.",
-        "- `near_dup_threshold_sweep` reruns that SAME capped inverted index",
-        "  (θ tests are pair-sized arithmetic on top), so its growth tracks",
-        "  `ngram_jaccard_pairs` by construction — priced once per campaign,",
-        "  not per ingest.",
+        "- `near_dup_threshold_sweep` (round 9) rides the BANDED MinHash",
+        "  candidates with exact rescoring per θ, so its growth tracks",
+        "  `minhash_lsh_pairs` — the 100 TB path. The exact capped-index",
+        "  twin `near_dup_threshold_sweep_check` keeps the hash-checked",
+        "  campaign-priced curve (growth = `ngram_jaccard_pairs` by",
+        "  construction).",
         "- `dedup_clusters_star` = the same pair discovery + star contraction;",
         "  its growth is pair-source-bound like `dedup_clusters`, with",
         "  per-round shuffles sized by the contracting edge set.",
         "- `winnow_fingerprint_pairs` growth is fingerprint-pair-density",
         "  driven (replicas add disjoint fingerprints; the DF cap bounds",
-        "  per-key fanout) — the map-only extraction itself is flat.",
-        "- Extended idle-host probe (k=1→16, 80k docs, clearCache per run):",
-        "  `winnow_fingerprint_pairs` α≈0.53, `near_dup_threshold_sweep`",
-        "  α≈0.57, `dedup_clusters_star` α≈0.44 — all hold sub-linear an",
-        "  octave past this table.",
+        "  per-key fanout). Round 9 moved the batch extraction to the",
+        "  Catalyst window-min form (true winnowing, JVM md5): the one",
+        "  corpus-sized cost is the (doc, pos, hash) window shuffle, linear",
+        "  by construction; the map-only Arrow kernel remains the streaming",
+        "  extraction.",
         "- `incremental_winnow_novelty` measured α≈0.20 (k=1→8, one-off):",
         "  the batch side is fixed-size by construction; growth comes only",
         "  from the corpus fingerprint index the join probes.",
