@@ -210,6 +210,7 @@ HEADLINE = [
     "er_candidate_pairs",
     "er_match_clusters",
     "whiten_check",
+    "simhash_near_dup_pairs",
 ]
 
 

@@ -223,6 +223,7 @@ QUERIES = [
     "er_candidate_pairs",
     "er_match_clusters",
     "whiten_check",
+    "simhash_near_dup_pairs",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"

@@ -91,6 +91,7 @@ OPS = {
     "dedup_clusters_star": pipeline.dedup_clusters_star,
     "near_dup_threshold_sweep": dedup.near_dup_threshold_sweep,
     "near_dup_threshold_sweep_check": dedup.near_dup_threshold_sweep_check,
+    "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,
     "langid_confusion_matrix": text.langid_confusion_matrix,
     "incremental_winnow_novelty": analytics5.incremental_winnow_novelty,
 }
