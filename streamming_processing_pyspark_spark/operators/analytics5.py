@@ -28,15 +28,18 @@ DuckDB-oracle-checked:
   buckets per priority as of the warehouse's latest order date: one
   scan, ≤ |priorities|·|buckets| output cells.
 
-Scale notes (100 TB): the BATCH extraction is Catalyst-only
-(``_winnow_positions``): k-gram hashing is ``md5(concat_ws(...))``
-inside whole-stage codegen and the per-window argmin is a window
-``min(struct(h, -pos))`` — zero Python in the plan. Its one cost is the
-window shuffle of (doc, pos, hash) k-gram rows partitioned by doc_id;
-the Arrow kernel twin (``_fp_batches``) is MAP-ONLY (no k-gram row ever
-shuffles) but burns Python CPU on md5 — it remains the STREAMING
-extraction (window-over-doc is not expressible on an unbounded frame)
-and the equality ``_check`` for the Catalyst path (same md5 hex values,
+Scale notes (100 TB): the BATCH extraction is Catalyst-only AND
+MAP-ONLY (``_winnow_doc_arrays``): k-gram hashing is
+``md5(concat_ws(...))`` materialized once per document behind a
+generator barrier, and the per-window rightmost argmin runs as array
+expressions inside the scan task — zero Python in the plan, zero
+shuffle of k-gram rows (measured faster at 8× sf0.1 than the
+window-function form, which pays a corpus-wide (doc, pos, hash)
+shuffle). The Arrow kernel twin (``_fp_batches``) computes the same
+selection in Python — it remains the STREAMING extraction
+(array-expression winnowing would work there too, but the shared
+kernel keeps stream/batch selection provably identical) and the
+equality ``_check`` for the Catalyst path (same md5 hex values,
 positions pinned identical by test). Pair formation is bounded by the
 ``WINNOW_MAX_DF`` document-frequency cap exactly like the shingle
 inverted index (dedup.py). Diversity/curriculum/backlog are
@@ -74,10 +77,12 @@ CURRICULUM_STAGES = 4
 BACKLOG_DAY_BUCKETS = (30, 90, 180, 365)
 
 
-def _winnow_positions(t: Tables) -> DataFrame:
-    """(doc_id, source, n_kgrams, pos, h): the TRUE-winnowing selected
-    k-gram positions with their md5 hashes — the default BATCH
-    extraction, Catalyst end to end (zero Python in the plan).
+def _winnow_doc_arrays(t: Tables) -> DataFrame:
+    """(doc_id, source, n_kgrams, picked array<struct<h,p>>): per
+    document, the TRUE-winnowing selected k-gram fingerprints with
+    their 1-based positions — the default BATCH extraction, Catalyst
+    end to end (zero Python in the plan) and MAP-ONLY (no k-gram row
+    ever shuffles; selection happens inside array expressions).
 
     Selection rule (classic Schleimer/Wilkerson/Aiken winnowing, shared
     bit-for-bit with the DuckDB oracle and the Arrow kernel): for every
@@ -92,18 +97,21 @@ def _winnow_positions(t: Tables) -> DataFrame:
     the selection (an order statistic over the hashes) reproduces
     exactly in all three engines.
 
-    Plan shape: one projection does split → ``transform(sequence)`` →
-    ``md5(concat_ws)`` → ``posexplode`` (whole-stage codegen); the
-    per-window rightmost argmin is ``min(struct(h, -pos))`` over a
-    ``rowsBetween(-(W-1), 0)`` window (struct min is lexicographic, and
-    the negated position makes ties resolve RIGHTMOST); anchors are the
-    full windows plus the whole-doc window for short docs. Cost vs the
-    Arrow kernel twin: ONE shuffle of (doc, pos, hash) k-gram rows for
-    the window exec, bought back by md5 running JVM-native instead of
-    per-k-gram Python — measured faster end-to-end, and the nested
-    higher-order-function form that would avoid the shuffle evaluates
-    interpreted per element (the measured ~100× cliff that moved
-    ``dedup._shingles`` to Arrow).
+    Plan shape — the load-bearing trick is the GENERATOR BARRIER:
+    ``explode(array(hs_expr))`` materializes the per-document md5 array
+    ONCE as a column attribute, which projection collapse cannot push
+    through — every ``element_at(hs, j)`` downstream is an O(1) lookup
+    on the materialized array, not a re-evaluation of the md5-transform
+    subtree (the re-inlining that made the naive nested-HOF form ~100×
+    slow and drove ``dedup._shingles`` to Arrow). The per-window
+    rightmost argmin is then an ``aggregate`` scan over each anchor's
+    W-element window (``<=`` makes later positions win ties), followed
+    by ``array_distinct``. Measured at 8× sf0.1: this map-only form
+    beats the window-function variant (which pays a corpus-wide
+    (doc, pos, hash) shuffle for the window exec) and lands within
+    ~1.5× of the C-speed Python md5 kernel while keeping the plan free
+    of Python workers and Arrow bridge traffic — the right trade at
+    100 TB ingest.
 
     PERSISTED under one shared slot: every winnowing consumer (pairs,
     stats, ingest novelty) branches this frame at least twice, and
@@ -112,48 +120,59 @@ def _winnow_positions(t: Tables) -> DataFrame:
     from ..tables import persist_replacing
 
     ws = F.split(F.trim("text"), r"\s+")
-    kgrams = t["documents"].select(
+    base = (
+        t["documents"]
+        .select("doc_id", "source", ws.alias("ws"))
+        .where(F.size("ws") >= F.lit(WINNOW_K))
+    )
+    hs_expr = F.expr(
+        f"""
+        transform(sequence(1, size(ws) - {WINNOW_K - 1}),
+                  i -> md5(concat_ws(' ', slice(ws, i, {WINNOW_K}))))
+        """
+    )
+    hsd = base.select(
+        "doc_id", "source", F.explode(F.array(hs_expr)).alias("hs")
+    )
+    # init 'zzz' compares greater than any md5 hex ([0-9a-f]*), so the
+    # first window element always replaces it
+    picked = F.expr(
+        f"""
+        array_distinct(transform(
+          sequence(least({WINNOW_W}, size(hs)), size(hs)),
+          a -> aggregate(
+                 sequence(greatest(1, a - {WINNOW_W - 1}), a),
+                 named_struct('h', 'zzz', 'p', -1),
+                 (acc, j) -> IF(element_at(hs, j) <= acc.h,
+                                named_struct('h', element_at(hs, j), 'p', j),
+                                acc))))
+        """
+    )
+    arrays = hsd.select(
         "doc_id",
         "source",
-        ws.alias("ws"),
-    ).where(F.size("ws") >= F.lit(WINNOW_K)).select(
+        F.size("hs").alias("n_kgrams"),
+        picked.alias("picked"),
+    )
+    return persist_replacing(arrays, "analytics5.winnow_doc_arrays")
+
+
+def _winnow_positions(t: Tables) -> DataFrame:
+    """(doc_id, source, n_kgrams, pos, h): the selected positions as
+    rows — a map-only explode of :func:`_winnow_doc_arrays` (pos is
+    0-based to match the Arrow kernel's python indices)."""
+    return _winnow_doc_arrays(t).select(
         "doc_id",
         "source",
-        (F.size("ws") - F.lit(WINNOW_K - 1)).alias("n_kgrams"),
-        F.posexplode(
-            F.expr(
-                f"""
-                transform(sequence(1, size(ws) - {WINNOW_K - 1}),
-                          i -> md5(concat_ws(' ', slice(ws, i, {WINNOW_K}))))
-                """
-            )
-        ).alias("pos", "h"),
+        "n_kgrams",
+        F.explode("picked").alias("pk"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_kgrams",
+        (F.col("pk.p") - 1).alias("pos"),
+        F.col("pk.h").alias("h"),
     )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(WINNOW_W - 1), 0)
-    )
-    anchored = kgrams.withColumn(
-        "mn",
-        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(win),
-    )
-    full = (F.col("pos") >= F.lit(WINNOW_W - 1)) | (
-        (F.col("n_kgrams") < F.lit(WINNOW_W))
-        & (F.col("pos") == F.col("n_kgrams") - 1)
-    )
-    picked = (
-        anchored.where(full)
-        .select(
-            "doc_id",
-            "source",
-            "n_kgrams",
-            (-F.col("mn.np")).alias("pos"),
-            F.col("mn.h").alias("h"),
-        )
-        .distinct()
-    )
-    return persist_replacing(picked, "analytics5.winnow_positions")
 
 
 def _docs_with_fps(t: Tables) -> DataFrame:
@@ -232,11 +251,18 @@ def winnow_fingerprint_pairs(t: Tables) -> DataFrame:
     near-dup detector (MOSS winnowing family) complementing
     ``span_dedup``'s fixed spans and ``minhash_lsh_pairs``' signatures.
 
-    Plan shape at 100 TB: extraction Catalyst-only (see module
-    docstring); the inverted index groups by fingerprint with the
-    WINNOW_MAX_DF boilerplate cap bounding per-key fanout to ≤ C(20,2)
-    pairs, so the pair shuffle is candidate-sized, never corpus²."""
-    fps = _winnow_positions(t).select("doc_id", "h").distinct()
+    Plan shape at 100 TB: extraction Catalyst-only AND map-only (see
+    module docstring), per-doc fingerprint dedup is array_distinct
+    inside the scan task (no shuffle); the inverted index groups by
+    fingerprint with the WINNOW_MAX_DF boilerplate cap bounding per-key
+    fanout to ≤ C(20,2) pairs, so the pair shuffle is candidate-sized,
+    never corpus²."""
+    fps = _winnow_doc_arrays(t).select(
+        "doc_id",
+        F.explode(
+            F.expr("array_distinct(transform(picked, x -> x.h))")
+        ).alias("h"),
+    )
     from ..tables import persist_replacing
 
     # feeds the document-frequency gate AND both join sides
@@ -269,22 +295,21 @@ def winnow_sampler_stats(t: Tables) -> DataFrame:
     volumes, selection density (ppm of k-grams), distinct fingerprints.
     Density far from the theoretical ~2/(w+1) flags degenerate or
     adversarial text (constant tokens collapse the hash sequence).
-    One Catalyst extraction + one |sources|-key rollup; the distinct
-    count shuffles only selected fingerprints. Every doc with ≥ K
-    tokens selects ≥ 1 position (its first full — or whole-doc —
-    window), so the per-doc rollup of the selected frame loses no
-    document."""
-    pos = _winnow_positions(t)
-    per_doc = pos.groupBy("doc_id", "source", "n_kgrams").agg(
-        F.count("*").alias("n_sel")
-    )
-    per_source = per_doc.groupBy("source").agg(
+    One Catalyst map-only extraction + one |sources|-key rollup (per-doc
+    selected counts come straight off the picked array, no per-doc
+    shuffle); the distinct count shuffles only selected fingerprints."""
+    arrays = _winnow_doc_arrays(t)
+    per_source = arrays.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_kgrams").alias("n_kgrams"),
-        F.sum("n_sel").alias("n_selected"),
+        F.sum(F.size("picked")).alias("n_selected"),
     )
-    distincts = pos.groupBy("source").agg(
-        F.count_distinct("h").alias("n_distinct_fps")
+    distincts = (
+        arrays.select(
+            "source", F.explode(F.expr("transform(picked, x -> x.h)")).alias("h")
+        )
+        .groupBy("source")
+        .agg(F.count_distinct("h").alias("n_distinct_fps"))
     )
     return (
         per_source.join(distincts, "source")
@@ -320,7 +345,12 @@ def incremental_winnow_novelty(t: Tables) -> DataFrame:
     rows-only."""
     from .dedup import INCR_BATCH_MOD
 
-    d = _winnow_positions(t).select("doc_id", "h").distinct()
+    d = _winnow_doc_arrays(t).select(
+        "doc_id",
+        F.explode(
+            F.expr("array_distinct(transform(picked, x -> x.h))")
+        ).alias("h"),
+    )
     is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
     index = (
         d.where(~is_batch)

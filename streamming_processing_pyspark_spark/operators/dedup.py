@@ -19,6 +19,12 @@ The training-data-pipeline dedup ladder:
 - :func:`simhash_fingerprints` — 64-bit SimHash per document (bit-majority
   over token hashes), the constant-width fingerprint for hamming-distance
   near-dup at scale.
+- :func:`simhash_near_dup_pairs` — pigeonhole-banded hamming pairs over
+  those fingerprints (Manku/Jain/Das Sarma WWW'07): B = k+1 disjoint bands
+  guarantee any pair within hamming ≤ k collides on ≥1 band, so recall is
+  1.0 by construction; candidates bucket-join on band keys and verify with
+  exact ``bit_count(xor)``. :func:`simhash_band_check` asserts banded ==
+  brute-force as driver-checked data.
 
 Oracle policy: exact ops have DuckDB oracles; MinHash/SimHash depend on
 xxhash64 (not reproducible in DuckDB) → rows-only driver check, with
@@ -855,6 +861,109 @@ def simhash_fingerprints(t: Tables) -> DataFrame:
     )
 
 
+#: SimHash near-dup banding: B = SIMHASH_HAM_MAX + 1 bands of 64/B bits.
+#: Pigeonhole GUARANTEE (Manku, Jain & Das Sarma, WWW'07 — public):
+#: two fingerprints within hamming distance ≤ SIMHASH_HAM_MAX differ in
+#: at most SIMHASH_HAM_MAX bit positions, which can dirty at most
+#: SIMHASH_HAM_MAX of the SIMHASH_BANDS disjoint bands — so they agree
+#: EXACTLY on at least one band. Unlike MinHash banding this recall is
+#: 1.0 by construction, not probabilistic.
+SIMHASH_HAM_MAX = 3
+SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = 64 // SIMHASH_BANDS
+
+
+def simhash_near_dup_pairs(t: Tables) -> DataFrame:
+    """SimHash near-duplicate pairs via pigeonhole banding — the step
+    that turns :func:`simhash_fingerprints`' constant-width fingerprints
+    into pairs at scale: explode each fingerprint into SIMHASH_BANDS
+    disjoint 16-bit band keys, bucket-join on the band key (candidates
+    = same-band collisions only, never all-pairs), verify with the
+    exact ``bit_count(xor)`` hamming distance. Within the fingerprint
+    space the output is EXACTLY the hamming ≤ SIMHASH_HAM_MAX pair set
+    (pigeonhole completeness + exact verification), asserted as data by
+    :func:`simhash_band_check` and pinned by test.
+
+    100 TB posture: the banded frame is 4 rows/doc of (16-byte key,
+    fingerprint); candidate volume is per-bucket quadratic like the
+    MinHash index (a degenerate band value — e.g. all-zero fingerprints
+    from empty docs — is the skew to watch; the verify filter runs
+    inside the join task). crc32-based fingerprints aren't reproducible
+    in DuckDB → rows-only driver check; the band check carries the
+    completeness contract as data."""
+    from ..tables import persist_replacing
+
+    fps = persist_replacing(
+        simhash_fingerprints(t), "dedup.simhash_fps"
+    )
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.shiftrightunsigned(
+                    F.col("simhash"), b * _SIMHASH_BAND_BITS
+                ).bitwiseAND(F.lit((1 << _SIMHASH_BAND_BITS) - 1)),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = fps.select(
+        "doc_id", "simhash", F.explode(bands).alias("bk")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("f_a"), "bk"
+    )
+    b2 = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("f_b"), "bk"
+    )
+    ham = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b")))
+    return (
+        a.join(b2, "bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= F.lit(SIMHASH_HAM_MAX))
+    )
+
+
+def simhash_band_check(t: Tables) -> DataFrame:
+    """Driver-checked completeness/precision contract for
+    :func:`simhash_near_dup_pairs` (itself rows-only): one row with the
+    SQL-recomputable document count and two flags — the banded pair set
+    EQUALS the brute-force hamming ≤ SIMHASH_HAM_MAX set (pigeonhole
+    says no pair can be missed; the full-outer comparison proves it as
+    data) and contains nothing outside it. The brute-force side is the
+    deliberate exact baseline (all-pairs bit_count over the fingerprint
+    frame — check-priced, never the production path)."""
+    from ..tables import persist_replacing
+
+    fps = persist_replacing(
+        simhash_fingerprints(t), "dedup.simhash_fps"
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("f_a"))
+    b2 = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("f_b"))
+    ham = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b")))
+    exact = (
+        a.join(b2, F.col("id_a") < F.col("id_b"))
+        .where(ham <= F.lit(SIMHASH_HAM_MAX))
+        .select("id_a", "id_b", F.lit(1).alias("in_exact"))
+    )
+    banded = simhash_near_dup_pairs(t).select(
+        "id_a", "id_b", F.lit(1).alias("in_banded")
+    )
+    j = exact.join(banded, ["id_a", "id_b"], "full_outer")
+    flags = j.agg(
+        F.count(F.when(F.col("in_banded").isNull(), 1)).alias("n_missed"),
+        F.count(F.when(F.col("in_exact").isNull(), 1)).alias("n_outside"),
+    )
+    n_docs = fps.agg(F.count("*").alias("n_docs"))
+    return n_docs.crossJoin(flags).select(
+        "n_docs",
+        (F.col("n_missed") == 0).alias("complete_ok"),
+        (F.col("n_outside") == 0).alias("subset_ok"),
+    )
+
+
 # The pair CTE ``p`` applies the same auto hot-shingle cap as the Spark
 # default (max_shingle_df="auto"): identical integer-arithmetic cap, df >
 # cap shingles excluded from the intersection count, set sizes ``n`` stay
@@ -1045,6 +1154,15 @@ ORACLES: dict[str, str] = {
         )
         SELECT count(*) AS n_pairs, TRUE AS locality_ok FROM jc
     """,
+    # simhash_near_dup_pairs: rows-only (crc32 fingerprints); the band
+    # check's doc count is SQL-recomputable and the oracle expects both
+    # pigeonhole flags TRUE — the completeness contract as data
+    "simhash_band_check": """
+        SELECT count(*) AS n_docs,
+               TRUE AS complete_ok,
+               TRUE AS subset_ok
+        FROM documents
+    """,
 }
 
 def dedup_graph_stats(t: Tables) -> DataFrame:
@@ -1220,6 +1338,8 @@ QUERIES = {
     "incremental_ingest_check": incremental_ingest_check,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_locality_check": simhash_locality_check,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
+    "simhash_band_check": simhash_band_check,
 }
 
 ORACLES["source_overlap_matrix"] = f"""

@@ -242,6 +242,37 @@ def test_simhash_locality(spark):
     assert hamming(fps[0], fps[1]) <= 16
 
 
+def test_simhash_banded_pairs_equal_brute_force(spark):
+    """Pigeonhole banding must reproduce the brute-force hamming ≤ k
+    pair set EXACTLY (completeness is guaranteed, not probabilistic) —
+    checked on the real fixture corpus and on a constructed pair sitting
+    exactly AT the threshold."""
+    t = load_tables(spark, SF_DIR)
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_fingerprints(t).collect()
+    }
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(fps)
+    brute = {
+        (a, b, hamming(fps[a], fps[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if hamming(fps[a], fps[b]) <= dedup.SIMHASH_HAM_MAX
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_dup_pairs(t).collect()
+    }
+    assert banded == brute
+    row = dedup.simhash_band_check(t).first()
+    assert row["complete_ok"] and row["subset_ok"]
+    assert row["n_docs"] == t["documents"].count()
+
+
 def test_dedup_clusters_transitive(spark):
     """a~b and b~c must land in ONE component labeled min(doc_id), even if
     a~c alone is below threshold; isolated docs stay out of the output."""

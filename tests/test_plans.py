@@ -704,11 +704,13 @@ def test_pareto_front_no_join(spark):
     assert_no_python_eval(df)
 
 
-def test_winnow_batch_extraction_is_jvm_only(spark):
+def test_winnow_batch_extraction_is_jvm_only_and_maponly(spark):
     """Round-9 winnowing default: the BATCH fingerprint extraction is
-    Catalyst end to end — no MapInPandas, no Python eval anywhere in the
-    winnow_fingerprint_pairs plan (md5 + window argmin run JVM-side);
-    the documents scan prunes to the three extraction columns."""
+    Catalyst end to end — no MapInPandas, no Python eval anywhere in
+    the winnow_fingerprint_pairs plan (md5 + per-window argmin run as
+    JVM array expressions) — and MAP-ONLY: no Window exec, so no
+    (doc, pos, hash) k-gram shuffle; the only exchanges are the
+    candidate-sized index/pair aggregations downstream."""
     from streamming_processing_pyspark_spark.operators import analytics5
 
     t = load_tables(spark, SF_DIR)
@@ -717,3 +719,4 @@ def test_winnow_batch_extraction_is_jvm_only(spark):
     assert "MapInPandas" not in s, s
     assert "ArrowEvalPython" not in s, s
     assert "BatchEvalPython" not in s, s
+    assert "Window" not in s, s
