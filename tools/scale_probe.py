@@ -340,11 +340,12 @@ def main() -> None:
         "  per-round shuffles sized by the contracting edge set.",
         "- `winnow_fingerprint_pairs` growth is fingerprint-pair-density",
         "  driven (replicas add disjoint fingerprints; the DF cap bounds",
-        "  per-key fanout). Round 9 moved the batch extraction to the",
-        "  Catalyst window-min form (true winnowing, JVM md5): the one",
-        "  corpus-sized cost is the (doc, pos, hash) window shuffle, linear",
-        "  by construction; the map-only Arrow kernel remains the streaming",
-        "  extraction.",
+        "  per-key fanout). Round 9 moved the batch extraction to a",
+        "  Catalyst MAP-ONLY form (true winnowing; md5 array materialized",
+        "  once per doc behind a generator barrier, per-window argmin as",
+        "  array expressions — no k-gram row ever shuffles, no Python in",
+        "  the plan); the Arrow kernel remains the streaming extraction",
+        "  and the position-pinned equality check.",
         "- `incremental_winnow_novelty` measured α≈0.20 (k=1→8, one-off):",
         "  the batch side is fixed-size by construction; growth comes only",
         "  from the corpus fingerprint index the join probes.",
