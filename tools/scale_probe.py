@@ -253,32 +253,48 @@ def main() -> None:
     import math as _math
 
     ext_k = int(os.environ.get("SPARK_GRAFT_PROBE_EXT_K", "16"))
-    ext_name = "semantic_dedup_pairs"
+    # (name, table to scale, claim note) — one octave past the matrix for
+    # the ops whose scale posture was a verdict item; the full matrix at
+    # k=16 would spend most of its time in the declared exact-baseline
+    # quadratic ops
+    EXT_OPS = [
+        ("semantic_dedup_pairs", "embeddings",
+         "two-level quantizer; target ≤ 0.3"),
+        ("winnow_fingerprint_pairs", "documents",
+         "map-only barrier extraction, r9"),
+        ("near_dup_threshold_sweep", "documents",
+         "banded candidates, r9; target ≤ 0.5"),
+    ]
+    ext_lines = []
     if ext_k > KS[-1]:
-        t_ext = dict(base)
-        t_ext["embeddings"] = scaled_embeddings(base["embeddings"], ext_k)
-        runs = []
-        for _ in range(2):
-            spark.catalog.clearCache()
-            gc.collect()
-            t0 = time.perf_counter()
-            EMB_OPS[ext_name](t_ext).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            runs.append(time.perf_counter() - t0)
-        ext_time = round(min(runs), 2)
-        ext_alpha = _math.log(ext_time / results[ext_name][KS[0]]) / _math.log(
-            ext_k / KS[0]
-        )
-        extended_note = (
-            f"- Extended probe: `{ext_name}` at k={ext_k} → {ext_time:.2f}s, "
-            f"α(k=1→{ext_k}) ≈ {ext_alpha:.2f} (two-level quantizer; "
-            "target ≤ 0.3)."
-        )
-        print(f"extended k={ext_k} {ext_name}: {ext_time}s α={ext_alpha:.2f}",
-              flush=True)
-    else:
-        extended_note = ""
+        ext_tables = dict(base)
+        ext_tables["embeddings"] = scaled_embeddings(base["embeddings"], ext_k)
+        ext_tables["documents"] = scaled_documents(base["documents"], ext_k)
+        for ext_name, _kind, claim in EXT_OPS:
+            fn = EMB_OPS.get(ext_name) or OPS[ext_name]
+            runs = []
+            for _ in range(2):
+                pipeline.clear_cc_memo()
+                spark.catalog.clearCache()
+                gc.collect()
+                t0 = time.perf_counter()
+                fn(ext_tables).write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - t0)
+            ext_time = round(min(runs), 2)
+            ext_alpha = _math.log(
+                ext_time / results[ext_name][KS[0]]
+            ) / _math.log(ext_k / KS[0])
+            ext_lines.append(
+                f"- Extended probe: `{ext_name}` at k={ext_k} → "
+                f"{ext_time:.2f}s, α(k=1→{ext_k}) ≈ {ext_alpha:.2f} "
+                f"({claim})."
+            )
+            print(
+                f"extended k={ext_k} {ext_name}: {ext_time}s "
+                f"α={ext_alpha:.2f}",
+                flush=True,
+            )
+    extended_note = "\n".join(ext_lines)
 
     k0 = KS[0]
     lines = [
