@@ -211,6 +211,8 @@ HEADLINE = [
     "er_match_clusters",
     "whiten_check",
     "simhash_near_dup_pairs",
+    "containment_pairs",
+    "matryoshka_fidelity_report",
 ]
 
 

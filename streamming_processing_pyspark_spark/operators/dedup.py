@@ -861,6 +861,74 @@ def simhash_fingerprints(t: Tables) -> DataFrame:
     )
 
 
+#: containment threshold on max-containment |A∩B| / min(|A|, |B|)
+CONTAINMENT_MIN = 0.8
+
+
+def containment_pairs(t: Tables) -> DataFrame:
+    """Shingle-CONTAINMENT near-dup pairs (Broder's containment measure,
+    public) — the quote/subset detector symmetric Jaccard misses: a
+    short document embedded verbatim inside a long one has
+    max-containment |A∩B| / min(|A|,|B|) ≈ 1 while its Jaccard stays
+    low (the union is dominated by the long document), so a
+    Jaccard-thresholded dedup keeps the pair and the training set
+    double-counts the quoted text. Output carries BOTH measures so the
+    caller can select the containment-high / Jaccard-low band (true
+    subsets) vs the both-high band (near-equals, already handled by the
+    Jaccard ladder).
+
+    Same capped inverted index, same one posting-list shuffle and
+    broadcast size-attachment joins as :func:`ngram_jaccard_pairs` —
+    the 100 TB shape is identical; only the final gate differs."""
+    from ..tables import persist_replacing
+
+    sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    e = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("shh")
+    )
+    posting = e.groupBy("shh").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    pairs = (
+        posting.where(
+            (F.size("ds") >= 2) & (F.size("ds") <= AUTO_DF_CAP)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+    common = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("common"))
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    cont = F.round(
+        F.col("common") / F.least(F.col("n_a"), F.col("n_b")), 4
+    )
+    return (
+        common.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("common").cast("long").alias("common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            cont.alias("containment"),
+            _jaccard_from_common(
+                F.col("common"), F.col("n_a"), F.col("n_b")
+            ).alias("jaccard"),
+        )
+        .where(F.col("containment") >= F.lit(CONTAINMENT_MIN))
+    )
+
+
 #: SimHash near-dup banding: B = SIMHASH_HAM_MAX + 1 bands of 64/B bits.
 #: Pigeonhole GUARANTEE (Manku, Jain & Das Sarma, WWW'07 — public):
 #: two fingerprints within hamming distance ≤ SIMHASH_HAM_MAX differ in
@@ -1163,6 +1231,19 @@ ORACLES: dict[str, str] = {
                TRUE AS subset_ok
         FROM documents
     """,
+    "containment_pairs": f"""
+        WITH {_SHINGLE_DUCK}
+        SELECT p.id_a, p.id_b,
+               CAST(common AS BIGINT) AS common,
+               CAST(na.n AS BIGINT) AS n_a,
+               CAST(nb.n AS BIGINT) AS n_b,
+               round(common * 1.0 / least(na.n, nb.n), 4) AS containment,
+               round(common * 1.0 / (na.n + nb.n - common), 4) AS jaccard
+        FROM p JOIN n na ON p.id_a = na.doc_id
+               JOIN n nb ON p.id_b = nb.doc_id
+        WHERE round(common * 1.0 / least(na.n, nb.n), 4)
+              >= {CONTAINMENT_MIN}
+    """,
 }
 
 def dedup_graph_stats(t: Tables) -> DataFrame:
@@ -1340,6 +1421,7 @@ QUERIES = {
     "simhash_locality_check": simhash_locality_check,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "simhash_band_check": simhash_band_check,
+    "containment_pairs": containment_pairs,
 }
 
 ORACLES["source_overlap_matrix"] = f"""

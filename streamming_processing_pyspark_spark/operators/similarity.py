@@ -2557,6 +2557,129 @@ def _quality_filtered_ann_oracle() -> str:
 
 ORACLES["quality_filtered_ann"] = _quality_filtered_ann_oracle()
 
+#: Matryoshka prefix dimensions audited against the full 64-dim cosine
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def _slice_cos_micro(v: str, q: str, d) -> F.Column:
+    """Integer-micro cosine between the first-d prefixes of two
+    array<double> columns, computed with engine-identical IEEE ops
+    (sequential aggregate dot/norms, ``floor(x + 0.5)`` rounding — the
+    same cross-engine trick as ``pipeline2.embedding_quantize``)."""
+    pre_v = f"slice({v}, 1, {d})" if d else v
+    pre_q = f"slice({q}, 1, {d})" if d else q
+    dot = (
+        f"aggregate(zip_with({pre_v}, {pre_q}, (x, y) -> x * y),"
+        " 0D, (a, x) -> a + x)"
+    )
+    nv = f"sqrt(aggregate({pre_v}, 0D, (a, x) -> a + x * x))"
+    nq = f"sqrt(aggregate({pre_q}, 0D, (a, x) -> a + x * x))"
+    return F.expr(
+        f"cast(floor(1000000 * ({dot}) / (({nv}) * ({nq})) + 0.5) as bigint)"
+    )
+
+
+def matryoshka_fidelity_report(t: Tables) -> DataFrame:
+    """Matryoshka truncation-fidelity audit (Kusupati et al. 2022 MRL,
+    public): can this corpus serve ANN from a PREFIX of each embedding?
+    For each prefix dimension d' ∈ MATRYOSHKA_DIMS, around the standard
+    probe vector: the top-k overlap between the full-dim exact top-k
+    and the top-k recomputed from d'-prefix cosines, and the summed
+    absolute cosine error (integer micros) over the full-dim top-k set.
+    This is the measurement behind a coarse-route/re-rank serving tier
+    (route on the prefix — cheap, cache-resident — re-rank the
+    shortlist at full dim; the same shape as :func:`ivfpq_topk`).
+
+    Scale: one corpus scan computes ALL prefix cosines map-side (the
+    persisted scored frame is |corpus| rows × |dims|+1 integers), each
+    top-k is a TakeOrdered (no global sort), and the report is
+    |dims| rows. Integer micros end-to-end (floor(x+0.5) — identical
+    IEEE semantics in Spark and DuckDB), so the oracle hash-matches."""
+    from ..tables import persist_replacing
+
+    emb = fan_out(
+        t["embeddings"].select("vec_id", as_double("embedding").alias("v"))
+    )
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    cols = [_slice_cos_micro("v", "qv", None).alias("cos_full")]
+    for d in MATRYOSHKA_DIMS:
+        cols.append(_slice_cos_micro("v", "qv", d).alias(f"cos_{d}"))
+    scored = persist_replacing(
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", *cols),
+        "similarity.matryoshka_scored",
+    )
+    full_top = scored.orderBy(
+        F.col("cos_full").desc(), F.col("vec_id")
+    ).limit(TOPK)
+    rows = []
+    for d in MATRYOSHKA_DIMS:
+        top_d = (
+            scored.orderBy(F.col(f"cos_{d}").desc(), F.col("vec_id"))
+            .limit(TOPK)
+            .select("vec_id")
+        )
+        overlap = full_top.join(top_d, "vec_id").agg(
+            F.count("*").alias("topk_overlap")
+        )
+        delta = full_top.agg(
+            F.sum(F.abs(F.col("cos_full") - F.col(f"cos_{d}"))).alias(
+                "sum_abs_cos_delta_micro"
+            )
+        )
+        rows.append(
+            overlap.crossJoin(delta).select(
+                F.lit(d).alias("prefix_dim"),
+                "topk_overlap",
+                "sum_abs_cos_delta_micro",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _matryoshka_oracle() -> str:
+    def cos_micro(d) -> str:
+        pv = f"list_slice(CAST(a.embedding AS DOUBLE[]), 1, {d})" if d else "CAST(a.embedding AS DOUBLE[])"
+        pq = f"list_slice(CAST(q.embedding AS DOUBLE[]), 1, {d})" if d else "CAST(q.embedding AS DOUBLE[])"
+        return (
+            f"CAST(floor(1000000 * list_dot_product({pv}, {pq})"
+            f" / (sqrt(list_dot_product({pv}, {pv}))"
+            f" * sqrt(list_dot_product({pq}, {pq}))) + 0.5) AS BIGINT)"
+        )
+
+    scored = f"""
+        scored AS (
+          SELECT a.vec_id, {cos_micro(None)} AS cos_full,
+                 {", ".join(f"{cos_micro(d)} AS cos_{d}" for d in MATRYOSHKA_DIMS)}
+          FROM embeddings a,
+               (SELECT embedding FROM embeddings
+                WHERE vec_id = {QUERY_VEC_ID}) q
+          WHERE a.vec_id != {QUERY_VEC_ID}),
+        full_top AS (SELECT * FROM scored
+                     ORDER BY cos_full DESC, vec_id LIMIT {TOPK})
+    """
+    branches = []
+    for d in MATRYOSHKA_DIMS:
+        branches.append(f"""
+          SELECT {d} AS prefix_dim,
+                 (SELECT count(*) FROM full_top f
+                  JOIN (SELECT vec_id FROM scored
+                        ORDER BY cos_{d} DESC, vec_id LIMIT {TOPK}) s
+                    ON f.vec_id = s.vec_id) AS topk_overlap,
+                 (SELECT CAST(sum(abs(cos_full - cos_{d})) AS BIGINT)
+                  FROM full_top) AS sum_abs_cos_delta_micro
+        """)
+    return f"WITH {scored} " + " UNION ALL ".join(branches)
+
+
+ORACLES["matryoshka_fidelity_report"] = _matryoshka_oracle()
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "cosine_range_search": cosine_range_search,
@@ -2577,6 +2700,7 @@ QUERIES = {
     "ivfpq_recall_check": ivfpq_recall_check,
     # ZCA whitening: rows-only transform + identity-covariance contract
     "embedding_whiten_audit": embedding_whiten_audit,
+    "matryoshka_fidelity_report": matryoshka_fidelity_report,
     "whiten_check": whiten_check,
     "label_centroid_sim": label_centroid_sim,
     "knn_join_topk": knn_join_topk,

@@ -2224,3 +2224,71 @@ def test_moment_collection_bounded_by_reduce_groups(spark):
     # same corpus → same counts and (to fp tolerance) same sums
     ns = {m[0] for m in moments.values()}
     assert len(ns) == 1
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short document quoted verbatim inside a long one must surface
+    as a containment pair (containment = 1.0) even when its Jaccard
+    falls below the registered near-dup threshold; on the fixture
+    corpus the measures obey containment >= jaccard row-wise and the
+    arithmetic identities hold."""
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.replace("w", "v"))],
+        "doc_id long, text string",
+    )
+    rows = dedup.containment_pairs({"documents": docs}).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < dedup.JACCARD_THRESHOLD
+    t = load_tables(spark, SF_DIR)
+    for r in dedup.containment_pairs(t).collect():
+        assert r["containment"] >= dedup.CONTAINMENT_MIN
+        assert r["containment"] >= r["jaccard"]
+        assert r["containment"] == round(
+            r["common"] / min(r["n_a"], r["n_b"]), 4
+        )
+
+
+def test_matryoshka_fidelity_bounded_and_error_shrinks(spark):
+    """The cosine ERROR must shrink as the prefix grows (longer prefix
+    → closer to the full-dim dot product); overlap is bounded by TOPK
+    but NOT asserted monotone — these synthetic embeddings aren't
+    MRL-trained, and reporting their poor prefix overlap is exactly
+    what the audit is for. A constructed Matryoshka-perfect corpus
+    (all information in the first 8 dims) must score perfect overlap
+    and zero error at every prefix."""
+    t = load_tables(spark, SF_DIR)
+    rows = sorted(
+        similarity.matryoshka_fidelity_report(t).collect(),
+        key=lambda r: r["prefix_dim"],
+    )
+    assert [r["prefix_dim"] for r in rows] == sorted(
+        similarity.MATRYOSHKA_DIMS
+    )
+    for r in rows:
+        assert 0 <= r["topk_overlap"] <= similarity.TOPK
+        assert r["sum_abs_cos_delta_micro"] >= 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["sum_abs_cos_delta_micro"] >= cur["sum_abs_cos_delta_micro"]
+    # Matryoshka-perfect corpus: only the first 8 dims carry signal
+    import random
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)] + [0.0] * 56)
+        for i in range(40)
+    ]
+    perfect = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs],
+        "vec_id long, embedding array<float>, label int",
+    )
+    prows = similarity.matryoshka_fidelity_report(
+        {"embeddings": perfect}
+    ).collect()
+    for r in prows:
+        assert r["topk_overlap"] == similarity.TOPK
+        assert r["sum_abs_cos_delta_micro"] == 0

@@ -224,6 +224,8 @@ QUERIES = [
     "er_match_clusters",
     "whiten_check",
     "simhash_near_dup_pairs",
+    "containment_pairs",
+    "matryoshka_fidelity_report",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"

@@ -92,6 +92,7 @@ OPS = {
     "near_dup_threshold_sweep": dedup.near_dup_threshold_sweep,
     "near_dup_threshold_sweep_check": dedup.near_dup_threshold_sweep_check,
     "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,
+    "containment_pairs": dedup.containment_pairs,
     "langid_confusion_matrix": text.langid_confusion_matrix,
     "incremental_winnow_novelty": analytics5.incremental_winnow_novelty,
 }
