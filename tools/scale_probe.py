@@ -346,6 +346,10 @@ def main() -> None:
         "  `minhash_lsh_pairs` on the text side.",
         "- `ngram_jaccard_pairs` is the exact-Jaccard baseline (pair-density",
         "  driven); `minhash_lsh_pairs` (α≈0.2) is the production path.",
+        "- `containment_pairs` rides the same exact capped index (only the",
+        "  gate differs), so it is priced like `ngram_jaccard_pairs` — an",
+        "  audit/campaign op; a banded production variant would reuse the",
+        "  MinHash candidates exactly as the threshold sweep does.",
         "- `near_dup_threshold_sweep` (round 9) rides the BANDED MinHash",
         "  candidates with exact rescoring per θ, so its growth tracks",
         "  `minhash_lsh_pairs` — the 100 TB path. The exact capped-index",
