@@ -131,12 +131,20 @@ def name_near_dup_pairs(t: Tables) -> DataFrame:
     equivalent to (but ~|rows/vocab|² cheaper than) comparing raw rows.
     At 100 TB the same plan holds: the distinct-name frame stays small
     relative to input and still broadcasts.
+
+    Single-token names carry no second-token block and are excluded
+    SYMMETRICALLY on both engines (ADVICE r9: Spark's
+    ``split().getItem(1)`` yields NULL — never equi-joins — while
+    DuckDB's ``split_part`` yields ``''`` — all single-token names
+    would share one block; the explicit filter pins the semantics
+    instead of leaving them data-dependent).
     """
     names = (
         t["part"]
         .groupBy("p_name")
         .agg(F.count("*").alias("n"))
-        .withColumn("block", F.split("p_name", " ").getItem(1))
+        .withColumn("block", F.get(F.split("p_name", " "), 1))
+        .where(F.col("block").isNotNull() & (F.col("block") != ""))
     )
     a, b = names.alias("a"), F.broadcast(names.alias("b"))
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
@@ -165,6 +173,16 @@ NAME_EDIT_MAX = 3
 SN_WINDOW = 4
 
 
+#: range key width for the partitioned sorted-neighborhood scan: names
+#: sharing a 4-char prefix form one range. A fixed-length prefix is
+#: ALWAYS a contiguous slice of the lexicographic sort (unlike a token
+#: block), which is what makes per-range windows + a boundary strip
+#: exactly equal to the global scan. Production at 100 TB would draw
+#: range boundaries from sampled quantiles instead of a fixed prefix
+#: (even ranges under any distribution); the plan shape is identical.
+SN_RANGE_PREFIX = 4
+
+
 def sorted_neighborhood_pairs(t: Tables) -> DataFrame:
     """Sorted-neighborhood entity-resolution pairs over ``part`` names —
     the classic complement to :func:`name_near_dup_pairs`' equality
@@ -175,30 +193,76 @@ def sorted_neighborhood_pairs(t: Tables) -> DataFrame:
     size by construction — (W-1)·|vocab| comparisons, no block-skew
     blow-up.
 
-    Plan: collapse to the distinct-name frame first (vocabulary-sized,
-    ≪ rows — same move as the blocked variant), then ``lead(k)`` over one
-    global name sort supplies the neighbors. The unpartitioned window is
-    a deliberate, bounded single-partition stage on the VOCAB frame only;
-    at 100 TB scale-out the same plan runs as a range-partitioned sort
-    with a (W-1)-row boundary overlap per range — a layout change, not an
-    algorithm change.
+    RANGE-PARTITIONED plan (VERDICT r9 §7 — the former global
+    ``Window.orderBy`` collapsed the whole vocab into one partition;
+    this makes the docstring's own scale recipe real):
+
+    1. ranges = fixed-prefix buckets of the distinct-name frame
+       (contiguous in the global sort BY CONSTRUCTION — see
+       :data:`SN_RANGE_PREFIX`); the ``lead(k)`` window partitions by
+       range, so in-range neighbor distance equals global distance and
+       every range sorts in parallel;
+    2. boundary strip = the first/last (W−1) names of each range (the
+       "(W−1)-row boundary overlap"): any cross-range pair at global
+       distance ≤ W−1 has both endpoints AND every name between them in
+       the strip, so one window over the STRIP (≤ 2(W−1)·|ranges| rows —
+       bounded by range count, not vocab) emits exactly the cross-range
+       pairs; in-range strip pairs are filtered out (already produced by
+       step 1). A strip pair whose global distance exceeds W−1 cannot
+       survive: ≥ W−1 strip names (a full range tail/head between them)
+       separate the endpoints.
+
+    Pair-set equality with the single-window form is pinned by test;
+    the plan test asserts no vocab-sized single-partition Window
+    remains.
     """
     from pyspark.sql import Window
 
-    names = t["part"].select("p_name").distinct()
-    w = Window.orderBy("p_name")
-    neighbors = names.select(
+    names = (
+        t["part"]
+        .select("p_name")
+        .distinct()
+        .withColumn("rng", F.substring("p_name", 1, SN_RANGE_PREFIX))
+    )
+    wb = Window.partitionBy("rng").orderBy("p_name")
+    within = names.select(
         F.col("p_name").alias("name_a"),
         F.array(
-            *[F.lead("p_name", k).over(w) for k in range(1, SN_WINDOW)]
+            *[F.lead("p_name", k).over(wb) for k in range(1, SN_WINDOW)]
         ).alias("cands"),
+    ).select("name_a", F.explode("cands").alias("name_b"))
+    rn = F.row_number().over(wb)
+    rd = F.row_number().over(
+        Window.partitionBy("rng").orderBy(F.col("p_name").desc())
+    )
+    strip = (
+        names.withColumn("rn", rn)
+        .withColumn("rd", rd)
+        .where(
+            (F.col("rn") <= SN_WINDOW - 1) | (F.col("rd") <= SN_WINDOW - 1)
+        )
+        .select("p_name", "rng")
+    )
+    ws = Window.orderBy("p_name")  # strip-sized, bounded by |ranges|
+    cross = (
+        strip.select(
+            F.col("p_name").alias("name_a"),
+            F.col("rng").alias("rng_a"),
+            F.array(
+                *[
+                    F.lead(F.struct("p_name", "rng"), k).over(ws)
+                    for k in range(1, SN_WINDOW)
+                ]
+            ).alias("cands"),
+        )
+        .select("name_a", "rng_a", F.explode("cands").alias("c"))
+        .where(F.col("c.rng") != F.col("rng_a"))
+        .select("name_a", F.col("c.p_name").alias("name_b"))
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
-        neighbors.select(
-            "name_a", F.explode("cands").alias("name_b")
-        )
-        .where(dist <= NAME_EDIT_MAX)
+        within.unionByName(cross)
+        .where(F.col("name_b").isNotNull() & (dist <= NAME_EDIT_MAX))
         .select("name_a", "name_b", dist.alias("edit_dist"))
     )
 
@@ -212,12 +276,16 @@ def _token_block_candidates(t: Tables) -> DataFrame:
     Same vocabulary-sized broadcast self-join as
     :func:`name_near_dup_pairs`; per-block fanout is bounded by block
     size (the existing blocked-dedup contract), so the union's
-    candidate count stays vocabulary-linear plus block-bounded."""
+    candidate count stays vocabulary-linear plus block-bounded.
+    Single-token names (no second token → no block) are excluded
+    symmetrically on both engines (ADVICE r9 — see
+    :func:`name_near_dup_pairs`)."""
     names = (
         t["part"]
         .select("p_name")
         .distinct()
-        .withColumn("block", F.split("p_name", " ").getItem(1))
+        .withColumn("block", F.get(F.split("p_name", " "), 1))
+        .where(F.col("block").isNotNull() & (F.col("block") != ""))
     )
     a, b = names.alias("a"), F.broadcast(names.alias("b"))
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
@@ -399,7 +467,9 @@ def ngram_jaccard_pairs(
     3. each surviving posting list explodes into its C(df, 2) ordered doc
        pairs (pure Catalyst ``transform``/``slice``); counting per pair
        gives the intersection size (map-side partial agg shrinks the
-       shuffle), and two broadcast joins attach the exact set sizes.
+       shuffle), and two UNHINTED joins attach the exact set sizes —
+       the size frame is one row per document (corpus-sized at 100 TB),
+       so broadcast is left to AQE's runtime decision, never forced.
 
     This replaced the exploded self-join on shingle hash: same semantics,
     but one wide shuffle (the 260k-row posting build) instead of three
@@ -450,11 +520,16 @@ def ngram_jaccard_pairs(
         .select("p.id_a", "p.id_b")
     )
     common = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("common"))
+    # size-attachment joins carry ONE ROW PER DOCUMENT — corpus-sized at
+    # 100 TB, so no broadcast hint (VERDICT r9 §1: a forced broadcast of
+    # this frame cannot build at scale); AQE picks broadcast when the
+    # runtime size is actually small, and the pair side is already
+    # shuffled so the fallback exchange is cheap
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
     return (
-        common.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        common.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -519,12 +594,19 @@ def near_dup_threshold_sweep(t: Tables) -> DataFrame:
     source (:func:`minhash_lsh_pairs` — bucketed, never all-pairs, the
     100 TB path; its exact-Jaccard verification means every scored pair
     carries a true rounded Jaccard, so per-θ gating is exact
-    RESCORING of approximate candidates). Output ⊆ the exact uncapped
+    RESCORING of approximate candidates). Output ⊆ the exact UNCAPPED
     sweep — the same subset contract as the rest of the LSH family,
-    recall pinned by :func:`minhash_recall_check`. xxhash64 banding
-    isn't SQL-reproducible → rows-only driver check;
+    recall pinned by :func:`minhash_recall_check`, subset-per-θ pinned
+    in tests against the uncapped index. xxhash64 banding isn't
+    SQL-reproducible → rows-only driver check;
     :func:`near_dup_threshold_sweep_check` is the hash-checked exact
-    twin. All sweep θs are ≥ the registered JACCARD_THRESHOLD, so the
+    twin — NOTE (ADVICE r9) the twin measures CAPPED Jaccard (the
+    AUTO_DF_CAP'd index under-counts ``common`` when the cap bites), so
+    its per-θ cells are not an upper bound on this sweep's: a pair the
+    cap pushes below θ still appears here with its true uncapped score.
+    The two sweeps agree wherever the cap is idle (all fixture/test
+    scales); the uncapped subset contract lives in tests, not the twin.
+    All sweep θs are ≥ the registered JACCARD_THRESHOLD, so the
     verified LSH output loses nothing to its own gate."""
     from ..tables import persist_replacing
 
@@ -539,7 +621,15 @@ def near_dup_threshold_sweep_check(t: Tables) -> DataFrame:
     same per-θ rollup over the capped inverted index of
     :func:`ngram_jaccard_pairs` (campaign-priced — it reruns the exact
     index by construction, which is why the banded sweep is the
-    registered production wiring)."""
+    registered production wiring).
+
+    Contract precision (ADVICE r9): this twin measures CAPPED Jaccard —
+    df > AUTO_DF_CAP shingles are excluded from ``common`` while set
+    sizes stay exact — so when the cap bites, a cell here can be
+    SMALLER than the banded sweep's (which rescores candidates with
+    uncapped exact Jaccard). The banded sweep's subset contract is
+    against the UNCAPPED exact sweep and is asserted in tests; this
+    twin exists to hash-pin the capped-index semantics themselves."""
     from ..tables import persist_replacing
 
     # rebuild the capped pair-commons (ngram_jaccard_pairs applies the
@@ -571,8 +661,9 @@ def near_dup_threshold_sweep_check(t: Tables) -> DataFrame:
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
     pc = persist_replacing(
-        common.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        # per-doc size frames: plain joins, no broadcast hint (r9 §1)
+        common.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -616,12 +707,74 @@ def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
     return hashed.select("doc_id", *cols)
 
 
+#: hot-bucket ceiling for EVERY band join (MinHash bands, SimHash bands,
+#: banded containment): a band bucket holding more than this many docs is
+#: dropped instead of exploded. Same reasoning as AUTO_DF_CAP — a band
+#: signature shared by >512 documents is boilerplate-degenerate (an
+#: all-equal-band cluster that big is one template family, already caught
+#: by exact dedup / smaller buckets), and without the cap one degenerate
+#: key makes a single task do C(bucket, 2) work: per-bucket QUADRATIC
+#: inside one task at 100 TB (VERDICT r9 §4). The cap bounds it at
+#: C(512, 2) ≈ 131k pairs per bucket. Constant, not corpus-proportional,
+#: for the same reason as AUTO_DF_CAP.
+BAND_BUCKET_CAP = 512
+
+
+def _band_bucket_pairs(banded: DataFrame) -> DataFrame:
+    """Capped candidate pairs from a (doc_id, bk) banded frame — the one
+    band-join shape shared by :func:`minhash_lsh_pairs`,
+    :func:`containment_pairs_banded` and (struct-keyed)
+    :func:`simhash_near_dup_pairs`.
+
+    Posting-list form instead of a self-join on ``bk``: ONE groupBy
+    collects each band bucket's sorted doc list, buckets outside
+    [2, BAND_BUCKET_CAP] are dropped IN the aggregate (the drop is
+    pinned by the skew test in tests/test_operators.py: a corpus with a
+    degenerate template bucket stays bounded instead of quadratic), and
+    each
+    surviving bucket explodes into its C(n, 2) ordered pairs — the same
+    bounded-blow-up pattern as the AUTO_DF_CAP'd shingle index. Versus
+    the previous ``a.join(b, "bk")`` this is one shuffle instead of two
+    sides of an exchange, and a degenerate bucket can no longer pin a
+    task to quadratic work.
+    """
+    posting = banded.groupBy("bk").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    return (
+        posting.where(
+            (F.size("ds") >= 2) & (F.size("ds") <= BAND_BUCKET_CAP)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_lsh_pairs(t: Tables) -> DataFrame:
     """MinHash-LSH candidate pairs verified with exact Jaccard.
 
     Banding: k/bands rows per band; docs sharing a band signature become
     candidates. Verification re-computes exact Jaccard so every emitted pair
     is a true ≥-threshold pair (output ⊆ ngram_jaccard_pairs).
+
+    Candidates come from the CAPPED bucket explode
+    (:func:`_band_bucket_pairs`): a degenerate band bucket (boilerplate
+    template shared by thousands of docs) is dropped at
+    ``BAND_BUCKET_CAP`` instead of exploding quadratically inside one
+    task (VERDICT r9 §4). The identical cap applies wherever this
+    candidate source is consumed (threshold sweep, recall check), so
+    capped semantics are the registered spec; the recall contract
+    (:func:`minhash_recall_check`, ≥ MINHASH_RECALL_PCT%) is asserted
+    as driver-checked data UNDER the cap.
 
     The shingle frame (the measured dominant cost) is computed ONCE and
     ``persist()``-ed, shared by the signature pass and the verification
@@ -634,19 +787,11 @@ def minhash_lsh_pairs(t: Tables) -> DataFrame:
     from ..tables import persist_replacing
 
     sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
-    # checkpoint before the self-join: the two join sides would otherwise
-    # each recompute the signature pipeline (the per-side rename happens
-    # before the exchange, so ReuseExchange can't deduplicate them)
+    # checkpoint before the bucket aggregate: consumers that fan the
+    # candidate frame into several branches would otherwise recompute
+    # the signature pipeline per branch
     banded = _banded(_signatures_from_shingles(sh)).localCheckpoint()
-    a = banded.select(F.col("doc_id").alias("id_a"), "bk")
-    b = banded.select(F.col("doc_id").alias("id_b"), "bk")
-    cands = (
-        a.join(b, "bk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return _verify_jaccard(cands, sh, "id_a", "id_b")
+    return _verify_jaccard(_band_bucket_pairs(banded), sh, "id_a", "id_b")
 
 
 def _banded(sig: DataFrame) -> DataFrame:
@@ -704,8 +849,10 @@ def incremental_minhash_pairs(t: Tables) -> DataFrame:
 
     Corpus = ``doc_id % INCR_BATCH_MOD != 0``, batch = the rest (the same
     split as :func:`..pipeline.incremental_exact_dedup`). Both sides'
-    band keys come from ONE signature pass; the join is batch-bands ×
-    corpus-bands, so candidate volume is proportional to the batch, not
+    band keys come from ONE signature pass; candidates are batch-docs ×
+    corpus-docs WITHIN each band bucket (capped at ``BAND_BUCKET_CAP``,
+    same hot-bucket bound as :func:`_band_bucket_pairs`), so candidate
+    volume is proportional to the batch, not
     the corpus. At 100 TB the corpus side is a PRECOMPUTED band-key table
     (written at ingest time, bucketed by band key) — each new drop only
     computes its own signatures and probes the index shuffle-free on the
@@ -720,12 +867,28 @@ def incremental_minhash_pairs(t: Tables) -> DataFrame:
 
     sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
     banded = _banded(_signatures_from_shingles(sh)).localCheckpoint()
-    is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
-    new_b = banded.where(is_batch).select(F.col("doc_id").alias("new_id"), "bk")
-    old_b = banded.where(~is_batch).select(F.col("doc_id").alias("old_id"), "bk")
+    # same capped posting-list form as _band_bucket_pairs, with the
+    # batch × corpus split done INSIDE each bucket's array (filter by the
+    # ingest modulus) so a degenerate band bucket is dropped before it
+    # can cross-product
+    posting = banded.groupBy("bk").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
     cands = (
-        new_b.join(old_b, "bk")
-        .select("new_id", "old_id")
+        posting.where(
+            (F.size("ds") >= 2) & (F.size("ds") <= BAND_BUCKET_CAP)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform("
+                    f"filter(ds, x -> x % {INCR_BATCH_MOD} = 0), nx -> "
+                    f"transform(filter(ds, x -> x % {INCR_BATCH_MOD} != 0), "
+                    f"ox -> struct(nx AS new_id, ox AS old_id))))"
+                )
+            ).alias("p")
+        )
+        .select("p.new_id", "p.old_id")
         .dropDuplicates(["new_id", "old_id"])
     )
     return _verify_jaccard(cands, sh, "new_id", "old_id")
@@ -865,7 +1028,9 @@ def simhash_fingerprints(t: Tables) -> DataFrame:
 CONTAINMENT_MIN = 0.8
 
 
-def containment_pairs(t: Tables) -> DataFrame:
+def containment_pairs(
+    t: Tables, max_shingle_df: int | str | None = "auto"
+) -> DataFrame:
     """Shingle-CONTAINMENT near-dup pairs (Broder's containment measure,
     public) — the quote/subset detector symmetric Jaccard misses: a
     short document embedded verbatim inside a long one has
@@ -877,11 +1042,23 @@ def containment_pairs(t: Tables) -> DataFrame:
     subsets) vs the both-high band (near-equals, already handled by the
     Jaccard ladder).
 
-    Same capped inverted index, same one posting-list shuffle and
-    broadcast size-attachment joins as :func:`ngram_jaccard_pairs` —
-    the 100 TB shape is identical; only the final gate differs."""
+    STATUS (VERDICT r9 §2): this is the EXACT, campaign-priced baseline
+    — same capped inverted index and one posting-list shuffle as
+    :func:`ngram_jaccard_pairs`, with the same α≈0.85 growth. The
+    registered 100 TB production path is
+    :func:`containment_pairs_banded` (MinHash band candidates rescored
+    with exact containment, candidate-proportional cost); this op is
+    its hash-green exact companion and the recall denominator of
+    :func:`containment_recall_check` (via ``max_shingle_df=None``).
+    NOTE the cap asymmetry the check avoids: the default capped index
+    UNDER-counts ``common`` when the df-cap bites, so the capped exact
+    set can MISS pairs the banded op (which rescores with uncapped
+    ``array_intersect``) finds — the check therefore compares against
+    the UNCAPPED exact set, where banded ⊆ exact by construction."""
     from ..tables import persist_replacing
 
+    if max_shingle_df == "auto":
+        max_shingle_df = AUTO_DF_CAP
     sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     e = sh.select("doc_id", F.explode("shingles").alias("s")).select(
@@ -890,10 +1067,11 @@ def containment_pairs(t: Tables) -> DataFrame:
     posting = e.groupBy("shh").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ds")
     )
+    df_ok = F.size("ds") >= 2
+    if max_shingle_df is not None:
+        df_ok = df_ok & (F.size("ds") <= max_shingle_df)
     pairs = (
-        posting.where(
-            (F.size("ds") >= 2) & (F.size("ds") <= AUTO_DF_CAP)
-        )
+        posting.where(df_ok)
         .select(
             F.explode(
                 F.expr(
@@ -912,8 +1090,9 @@ def containment_pairs(t: Tables) -> DataFrame:
         F.col("common") / F.least(F.col("n_a"), F.col("n_b")), 4
     )
     return (
-        common.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        # per-doc size frames: plain joins, no broadcast hint (r9 §1)
+        common.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -926,6 +1105,104 @@ def containment_pairs(t: Tables) -> DataFrame:
             ).alias("jaccard"),
         )
         .where(F.col("containment") >= F.lit(CONTAINMENT_MIN))
+    )
+
+
+#: recall bound the driver-checked banded-containment claim asserts
+#: (percent, vs the UNCAPPED exact containment set). Banded recall for a
+#: containment pair follows the MinHash s-curve on its JACCARD: a
+#: containment-c pair with sizes m ≤ M has j = c·m / (m + M − c·m), so
+#: near-equal-size subsets collide like ordinary near-dups while extreme
+#: size-ratio quotes (M ≫ m → j → c·m/M) are the recall tail — the
+#: documented approximation axis of the banded route. Measured at
+#: sf0.001/0.01 the band candidates cover the exact set comfortably above
+#: this floor; a corpus of pathological 100×-size quotes would need more
+#: bands or a prefix-sampled candidate source.
+CONTAINMENT_RECALL_PCT = 60
+
+
+def containment_pairs_banded(t: Tables) -> DataFrame:
+    """PRODUCTION containment pairs (VERDICT r9 §1a): the MinHash band
+    candidates of :func:`minhash_lsh_pairs` rescored with EXACT
+    containment |A∩B| / min(|A|,|B|) from the cached shingle arrays —
+    the same banded-candidates + exact-rescore pattern as the r9
+    threshold-sweep fix, applied to the one dedup op that still rode
+    the exact capped index at α≈0.85.
+
+    Cost is candidate-proportional: band buckets are capped
+    (:func:`_band_bucket_pairs`), verification touches only candidate
+    pairs, and the shingle/signature frames are the shared cached slots
+    of the whole dedup ladder. Precision is exact (every emitted pair
+    carries true uncapped containment ≥ CONTAINMENT_MIN → output ⊆ the
+    uncapped exact set); recall is the approximate axis, quantified as
+    driver-checked data by :func:`containment_recall_check` (bound and
+    its size-ratio caveat at :data:`CONTAINMENT_RECALL_PCT`). xxhash64
+    banding isn't SQL-reproducible → rows-only driver check, with the
+    recall check as its hash-green companion.
+
+    Output schema matches :func:`containment_pairs` (id_a, id_b,
+    common, n_a, n_b, containment, jaccard) so campaign wiring can swap
+    the exact baseline out for this one unchanged."""
+    from ..tables import persist_replacing
+
+    sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
+    banded = _banded(_signatures_from_shingles(sh)).localCheckpoint()
+    cands = _band_bucket_pairs(banded)
+    sa = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_a, n_b = F.size("sh_a"), F.size("sh_b")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            common.cast("long").alias("common"),
+            n_a.cast("long").alias("n_a"),
+            n_b.cast("long").alias("n_b"),
+            F.round(common / F.least(n_a, n_b), 4).alias("containment"),
+            _jaccard_from_common(common, n_a, n_b).alias("jaccard"),
+        )
+        .where(F.col("containment") >= F.lit(CONTAINMENT_MIN))
+    )
+
+
+def containment_recall_check(t: Tables) -> DataFrame:
+    """DuckDB-checkable contract for :func:`containment_pairs_banded`
+    (itself rows-only): one row with the UNCAPPED exact containment
+    pair count (SQL-recomputable), a subset flag (exact rescoring
+    guarantees precision — nothing outside the uncapped exact set) and
+    a recall flag (≥ CONTAINMENT_RECALL_PCT% of the exact set found by
+    the banded route). The uncapped exact side deliberately bypasses
+    AUTO_DF_CAP so the subset claim cannot be broken by cap-reduced
+    ``common`` (see :func:`containment_pairs`'s cap-asymmetry note)."""
+    exact = containment_pairs(t, max_shingle_df=None).select(
+        "id_a", "id_b", F.lit(1).alias("in_exact")
+    )
+    banded = containment_pairs_banded(t).select(
+        "id_a", "id_b", F.lit(1).alias("in_banded")
+    )
+    j = exact.join(banded, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count("in_exact").alias("n_exact"),
+        F.count(
+            F.when(F.col("in_exact").isNotNull(), F.col("in_banded"))
+        ).alias("n_hit"),
+        F.count(
+            F.when(F.col("in_exact").isNull(), F.col("in_banded"))
+        ).alias("n_outside"),
+    ).select(
+        "n_exact",
+        (F.col("n_outside") == 0).alias("subset_ok"),
+        (
+            F.lit(100) * F.col("n_hit")
+            >= F.lit(CONTAINMENT_RECALL_PCT) * F.col("n_exact")
+        ).alias("recall_ok"),
     )
 
 
@@ -952,13 +1229,21 @@ def simhash_near_dup_pairs(t: Tables) -> DataFrame:
     (pigeonhole completeness + exact verification), asserted as data by
     :func:`simhash_band_check` and pinned by test.
 
-    100 TB posture: the banded frame is 4 rows/doc of (16-byte key,
-    fingerprint); candidate volume is per-bucket quadratic like the
-    MinHash index (a degenerate band value — e.g. all-zero fingerprints
-    from empty docs — is the skew to watch; the verify filter runs
-    inside the join task). crc32-based fingerprints aren't reproducible
-    in DuckDB → rows-only driver check; the band check carries the
-    completeness contract as data."""
+    100 TB posture (VERDICT r9 §4 hardening): the banded frame is
+    4 rows/doc of (16-byte key, fingerprint), and the two degenerate-key
+    defenses both run BEFORE any pair is generated — (a) the all-zero
+    fingerprint (empty/whitespace docs: no tokens → every bit-majority 0)
+    is dropped up front, symmetric with :func:`simhash_band_check`'s
+    brute-force side, since "both texts are empty" is exact-dedup
+    territory, not a hamming signal; (b) band buckets are built as
+    CAPPED posting lists (``BAND_BUCKET_CAP``, same bound as
+    :func:`_band_bucket_pairs`) so a boilerplate band shared by
+    thousands of docs is dropped instead of exploding quadratically
+    inside one task. The cap never bites on benign corpora (a >512-doc
+    identical band is a template family); when it does, the band check
+    goes loudly false rather than silently slow. crc32-based
+    fingerprints aren't reproducible in DuckDB → rows-only driver
+    check; the band check carries the completeness contract as data."""
     from ..tables import persist_replacing
 
     fps = persist_replacing(
@@ -975,22 +1260,35 @@ def simhash_near_dup_pairs(t: Tables) -> DataFrame:
             for b in range(SIMHASH_BANDS)
         ]
     )
-    banded = fps.select(
+    banded = fps.where(F.col("simhash") != 0).select(
         "doc_id", "simhash", F.explode(bands).alias("bk")
     )
-    a = banded.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("f_a"), "bk"
+    posting = banded.groupBy("bk").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "simhash"))
+        ).alias("ds")
     )
-    b2 = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("f_b"), "bk"
+    pairs = (
+        posting.where(
+            (F.size("ds") >= 2) & (F.size("ds") <= BAND_BUCKET_CAP)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x.doc_id AS id_a, y.doc_id AS id_b, "
+                    "x.simhash AS f_a, y.simhash AS f_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.f_a", "p.f_b")
     )
     ham = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b")))
     return (
-        a.join(b2, "bk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        pairs.select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= F.lit(SIMHASH_HAM_MAX))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -1002,14 +1300,23 @@ def simhash_band_check(t: Tables) -> DataFrame:
     says no pair can be missed; the full-outer comparison proves it as
     data) and contains nothing outside it. The brute-force side is the
     deliberate exact baseline (all-pairs bit_count over the fingerprint
-    frame — check-priced, never the production path)."""
+    frame — check-priced, never the production path). Capped semantics
+    are the spec on BOTH sides: the all-zero degenerate fingerprint is
+    excluded here exactly as the production op excludes it, and the
+    hot-bucket cap (which the brute force cannot mirror) is chosen so a
+    cap-induced miss flips ``complete_ok`` false LOUDLY rather than
+    passing a silently-reduced pair set."""
     from ..tables import persist_replacing
 
     fps = persist_replacing(
         simhash_fingerprints(t), "dedup.simhash_fps"
     )
-    a = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("f_a"))
-    b2 = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("f_b"))
+    # brute-force side mirrors the production op's degenerate-fingerprint
+    # exclusion; n_docs below stays the FULL document count (the
+    # SQL-recomputable field — crc32 keeps "nonzero simhash" out of SQL)
+    nz = fps.where(F.col("simhash") != 0)
+    a = nz.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("f_a"))
+    b2 = nz.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("f_b"))
     ham = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b")))
     exact = (
         a.join(b2, F.col("id_a") < F.col("id_b"))
@@ -1111,6 +1418,7 @@ ORACLES: dict[str, str] = {
                     ELSE a.n * b.n END AS n_pairs
         FROM names a JOIN names b ON a.block = b.block
         WHERE a.p_name <= b.p_name
+          AND a.block <> ''
           AND levenshtein(a.p_name, b.p_name) <= 3
     """,
     "near_dup_threshold_sweep_check": f"""
@@ -1230,6 +1538,24 @@ ORACLES: dict[str, str] = {
                TRUE AS complete_ok,
                TRUE AS subset_ok
         FROM documents
+    """,
+    # containment_pairs_banded: xxhash64 band candidates → rows-only;
+    # containment_recall_check is its hash-green contract (UNCAPPED
+    # exact count + subset + recall flags — see the cap-asymmetry note
+    # in containment_pairs)
+    "containment_recall_check": f"""
+        WITH {_SHINGLE_DUCK},
+        cx AS (
+          SELECT pu.id_a, pu.id_b
+          FROM pu JOIN n na ON pu.id_a = na.doc_id
+                  JOIN n nb ON pu.id_b = nb.doc_id
+          WHERE round(common * 1.0 / least(na.n, nb.n), 4)
+                >= {CONTAINMENT_MIN}
+        )
+        SELECT count(*) AS n_exact,
+               TRUE AS subset_ok,
+               TRUE AS recall_ok
+        FROM cx
     """,
     "containment_pairs": f"""
         WITH {_SHINGLE_DUCK}
@@ -1422,6 +1748,8 @@ QUERIES = {
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "simhash_band_check": simhash_band_check,
     "containment_pairs": containment_pairs,
+    "containment_pairs_banded": containment_pairs_banded,
+    "containment_recall_check": containment_recall_check,
 }
 
 ORACLES["source_overlap_matrix"] = f"""
@@ -1509,6 +1837,7 @@ ORACLES["er_candidate_pairs"] = f"""
              CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
       FROM blocks a JOIN blocks b ON a.block = b.block
       WHERE a.p_name < b.p_name
+        AND a.block <> ''
         AND levenshtein(a.p_name, b.p_name) <= {NAME_EDIT_MAX}
     )
     SELECT DISTINCT name_a, name_b, edit_dist
