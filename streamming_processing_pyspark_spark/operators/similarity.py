@@ -390,6 +390,12 @@ def hard_negative_mining(t: Tables) -> DataFrame:
     window resolves them with the deterministic (score DESC, nbr_id)
     order, exactly as knn_join_topk does.
 
+    STATUS (VERDICT r9 §2): this is the EXACT, campaign-priced baseline
+    (α≈0.85 all-pairs matmul). The 100 TB production path is
+    :func:`hard_negative_mining_ann` (IVF-routed candidates, linear);
+    this op stays registered as its hash-green exact companion and the
+    recall denominator of :func:`hardneg_recall_check`.
+
     Output: ``vec_id``, ``label``, ``nbr_id``, ``nbr_label``,
     ``cos_sim`` (6 dp), ``rk`` (1..K).
     """
@@ -461,6 +467,47 @@ def hard_negative_mining(t: Tables) -> DataFrame:
             "cos_sim",
             F.col("rk").cast("int").alias("rk"),
         )
+    )
+
+
+def hard_negative_mining_ann(t: Tables) -> DataFrame:
+    """PRODUCTION hard-negative mining (VERDICT r9 §2): per-anchor top
+    ``HARDNEG_K`` different-label near-misses from the IVF-routed
+    candidate source (:func:`_ann_topk_candidates` with the same-label
+    mask applied INSIDE each quantizer cell) — same output schema as
+    the exact :func:`hard_negative_mining`, linear candidate cost
+    instead of the all-pairs matmul. Rows-only;
+    :func:`hardneg_recall_check` is the hash-green companion. Note the
+    mined negatives are by construction near the anchor in embedding
+    space, which is exactly the region IVF routing covers best — the
+    recall tail is anchors whose hardest negative sits across an
+    unprobed cell boundary."""
+    return _ann_topk_candidates(t, HARDNEG_K, with_label=True)
+
+
+def hardneg_recall_check(t: Tables) -> DataFrame:
+    """DuckDB-checkable contract for :func:`hard_negative_mining_ann`
+    (rows-only): one row with the exact hard-negative row count
+    (SQL-recomputable) and a recall flag — ≥ HARDNEG_RECALL_PCT% of
+    exact (vec_id, nbr_id) memberships found by the IVF route."""
+    exact = hard_negative_mining(t).select(
+        "vec_id", "nbr_id", F.lit(1).alias("in_exact")
+    )
+    ann = hard_negative_mining_ann(t).select(
+        "vec_id", "nbr_id", F.lit(1).alias("in_ann")
+    )
+    j = exact.join(ann, ["vec_id", "nbr_id"], "full_outer")
+    return j.agg(
+        F.count("in_exact").alias("n_exact"),
+        F.count(
+            F.when(F.col("in_exact").isNotNull(), F.col("in_ann"))
+        ).alias("n_hit"),
+    ).select(
+        "n_exact",
+        (
+            F.lit(100) * F.col("n_hit")
+            >= F.lit(HARDNEG_RECALL_PCT) * F.col("n_exact")
+        ).alias("recall_ok"),
     )
 
 
@@ -809,13 +856,201 @@ def _mmr_oracle_sql(k: int) -> str:
     return "".join(parts)
 
 
+#: recall bounds the driver-checked ANN-kNN claims assert (percent):
+#: multi-probe IVF routing misses a true neighbor only when query and
+#: neighbor share no probed branch/cell; measured agreement at
+#: sf0.001/0.01 sits comfortably above these floors.
+ANN_KNN_RECALL_PCT = 60
+KNN_EDGE_RECALL_PCT = 60
+HARDNEG_RECALL_PCT = 60
+
+
+def _ann_topk_candidates(t: Tables, k: int, with_label: bool) -> DataFrame:
+    """IVF-routed kNN: per-vector top-``k`` neighbors found WITHIN
+    quantizer cells only (VERDICT r9 §2) — the candidate source that
+    replaces the exact all-pairs blocked matmul in the production graph
+    ops. Same two-level spherical quantizer as
+    :func:`semantic_dedup_pairs` (coarse distributed route with
+    multi-probe, per-branch local fine k-means, built/used/dropped
+    inside the branch task), but each fine cell emits per-row TOP-K
+    candidates (ties at the k-th score included, exactly like
+    :func:`knn_join_topk`'s block-local cut) instead of ≥-threshold
+    pairs. The per-anchor global top-k over the deduped candidate union
+    is one bounded window.
+
+    Cost: assignment FLOPs ~n·d·√(n/TARGET), per-cell top-k ~n·TARGET·P²
+    (linear in n), candidates ≤ n·P·(k + ties) — never all-pairs.
+    Scores are exact rounded cosines (precision exact); recall is the
+    approximate axis — a neighbor is missed only if anchor and neighbor
+    share no probed cell — quantified as driver-checked data by
+    :func:`ann_knn_recall_check` / :func:`knn_edge_agreement_check` /
+    :func:`hardneg_recall_check`. ``with_label`` masks SAME-label
+    candidates inside the cell (the hard-negative shape) instead of
+    just self."""
+    import numpy as np
+
+    emb = fan_out(
+        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    )
+    k_total = max(SEMDEDUP_K, int(emb.count()) // SEMDEDUP_TARGET_CLUSTER)
+    k_coarse = max(SEMDEDUP_COARSE_MIN, math.isqrt(k_total - 1) + 1)
+    _, assign, emb = _spherical_kmeans(emb, k_coarse, SEMDEDUP_ITERS)
+    assigned = assign(emb, probes=SEMDEDUP_PROBES)
+    if with_label:
+        assigned = assigned.join(
+            t["embeddings"].select("vec_id", "label"), "vec_id"
+        )
+        schema = (
+            "vec_id bigint, label int, nbr_id bigint, nbr_label int,"
+            " cos_sim double"
+        )
+        cols = ["vec_id", "label", "nbr_id", "nbr_label", "cos_sim"]
+    else:
+        schema = "vec_id bigint, nbr_id bigint, cos_sim double"
+        cols = ["vec_id", "nbr_id", "cos_sim"]
+
+    def topk_in_branch(pdf):
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        mat = np.array(pdf["vec"].tolist(), dtype="float64")
+        ids = pdf["vec_id"].to_numpy()
+        labs = pdf["label"].to_numpy() if with_label else None
+        norms = np.linalg.norm(mat, axis=1)
+        n_b = len(ids)
+        # fine-level sizing and probe logic identical to
+        # semantic_dedup_pairs.pairs_in_branch (see its comments)
+        k_fine = max(1, n_b * SEMDEDUP_PROBES // SEMDEDUP_TARGET_CLUSTER)
+        if k_fine <= SEMDEDUP_PROBES:
+            cells = [np.arange(n_b)]
+        else:
+            unit = mat / norms[:, None]
+            c = unit[:k_fine].copy()
+            for _ in range(SEMDEDUP_FINE_ITERS):
+                a = (unit @ c.T).argmax(axis=1)
+                for j in np.unique(a):
+                    v = mat[a == j].sum(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        c[j] = v / nv
+            p = min(SEMDEDUP_PROBES, k_fine)
+            top = np.argpartition(-(unit @ c.T), p - 1, axis=1)[:, :p]
+            cells = [
+                np.where((top == j).any(axis=1))[0] for j in range(k_fine)
+            ]
+        frames = []
+        for idx in cells:
+            if len(idx) < 2:
+                continue
+            sub = mat[idx]
+            # same operation order + 6 dp rounding as knn_join_topk's
+            # blocked matmul, so overlapping candidates carry the same
+            # score up to the documented ~1e-7 BLAS-order class
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round(
+                    (sub @ sub.T) / np.outer(norms[idx], norms[idx]), 6
+                )
+            sims[~np.isfinite(sims)] = -np.inf
+            np.fill_diagonal(sims, -np.inf)
+            if with_label:
+                cl = labs[idx]
+                sims[cl[:, None] == cl[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            kth = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+            rows, cc = np.nonzero(
+                (sims >= kth[:, None]) & np.isfinite(sims)
+            )
+            data = {
+                "vec_id": ids[idx[rows]],
+                "nbr_id": ids[idx[cc]],
+                "cos_sim": sims[rows, cc],
+            }
+            if with_label:
+                data["label"] = labs[idx[rows]]
+                data["nbr_label"] = labs[idx[cc]]
+            frames.append(pd.DataFrame(data))
+        if not frames:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.concat(frames, ignore_index=True)[cols]
+
+    cands = assigned.groupBy("cluster").applyInPandas(
+        topk_in_branch, schema=schema
+    )
+    # multi-probe emits the same candidate from several cells; the
+    # grouped max is the deterministic dedup (scores agree up to the
+    # BLAS class; max pins the survivor)
+    group_cols = [c for c in cols if c != "cos_sim"]
+    deduped = cands.groupBy(*group_cols).agg(
+        F.max("cos_sim").alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id")
+    )
+    return (
+        deduped.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(*cols, F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def ann_knn_topk(t: Tables) -> DataFrame:
+    """PRODUCTION kNN self-join: each vector's top-``KNN_K`` neighbors
+    from the IVF-routed candidate source (:func:`_ann_topk_candidates`)
+    — same output schema as :func:`knn_join_topk`, which stays
+    registered as its campaign-priced exact baseline (α≈0.57 all-pairs
+    matmul, VERDICT r9 §2). Rows-only (float k-means isn't
+    SQL-replayable); :func:`ann_knn_recall_check` is the hash-green
+    companion."""
+    return _ann_topk_candidates(t, KNN_K, with_label=False)
+
+
+def ann_knn_recall_check(t: Tables) -> DataFrame:
+    """DuckDB-checkable contract for :func:`ann_knn_topk` (rows-only):
+    one row with the exact kNN row count (SQL-recomputable) and a
+    recall flag — ≥ ANN_KNN_RECALL_PCT% of exact (vec_id, nbr_id) kNN
+    memberships are found by the IVF route."""
+    exact = knn_join_topk(t).select(
+        "vec_id", "nbr_id", F.lit(1).alias("in_exact")
+    )
+    ann = ann_knn_topk(t).select(
+        "vec_id", "nbr_id", F.lit(1).alias("in_ann")
+    )
+    j = exact.join(ann, ["vec_id", "nbr_id"], "full_outer")
+    return j.agg(
+        F.count("in_exact").alias("n_exact"),
+        F.count(
+            F.when(F.col("in_exact").isNotNull(), F.col("in_ann"))
+        ).alias("n_hit"),
+    ).select(
+        "n_exact",
+        (
+            F.lit(100) * F.col("n_hit")
+            >= F.lit(ANN_KNN_RECALL_PCT) * F.col("n_exact")
+        ).alias("recall_ok"),
+    )
+
+
 def _mutual_knn_edges(t: Tables) -> DataFrame:
     """Undirected mutual-kNN graph (a < b; edge iff each is in the
-    other's exact top-``KNN_K``) — the bounded-degree similarity graph
-    downstream graph analytics run on. Built FROM :func:`knn_join_topk`
-    (the hash-matched exact kNN), so edge membership inherits its
-    determinism; mutuality is one intersect of the two directions
-    (shuffle of ≤ n·K id pairs)."""
+    other's top-``KNN_K``) — the bounded-degree similarity graph
+    downstream graph analytics run on. PRODUCTION build (VERDICT r9
+    §2): from :func:`ann_knn_topk`'s IVF-routed candidates, so the
+    corpus-sized stage is the linear cell-local top-k, not an all-pairs
+    matmul; mutuality is one intersect of the two directions (shuffle
+    of ≤ n·K id pairs). Edge agreement vs the exact build is
+    driver-checked data (:func:`knn_edge_agreement_check`)."""
+    knn = ann_knn_topk(t).select("vec_id", "nbr_id")
+    fwd = knn.where(F.col("vec_id") < F.col("nbr_id")).select(
+        F.col("vec_id").alias("a"), F.col("nbr_id").alias("b")
+    )
+    rev = knn.where(F.col("vec_id") > F.col("nbr_id")).select(
+        F.col("nbr_id").alias("a"), F.col("vec_id").alias("b")
+    )
+    return fwd.intersect(rev)
+
+
+def _mutual_knn_edges_exact(t: Tables) -> DataFrame:
+    """Exact-kNN mutual edge build — the check-priced baseline
+    (:func:`knn_join_topk` all-pairs matmul) the agreement check
+    compares the production ANN build against."""
     knn = knn_join_topk(t).select("vec_id", "nbr_id")
     fwd = knn.where(F.col("vec_id") < F.col("nbr_id")).select(
         F.col("vec_id").alias("a"), F.col("nbr_id").alias("b")
@@ -826,7 +1061,34 @@ def _mutual_knn_edges(t: Tables) -> DataFrame:
     return fwd.intersect(rev)
 
 
-def knn_graph_triangles(t: Tables) -> DataFrame:
+def knn_edge_agreement_check(t: Tables) -> DataFrame:
+    """DuckDB-checkable contract for the production ANN edge build: one
+    row with the EXACT mutual-kNN edge count (SQL-recomputable via the
+    same edge CTE the old triangle oracle used) and a recall flag — ≥
+    KNN_EDGE_RECALL_PCT% of exact mutual edges are present in the ANN
+    edge set. Everything downstream of the edge list (triangles, label
+    propagation) is degree-bounded linear either way; this check
+    quantifies the one approximation the repoint introduced."""
+    exact = _mutual_knn_edges_exact(t).select(
+        "a", "b", F.lit(1).alias("in_exact")
+    )
+    ann = _mutual_knn_edges(t).select("a", "b", F.lit(1).alias("in_ann"))
+    j = exact.join(ann, ["a", "b"], "full_outer")
+    return j.agg(
+        F.count("in_exact").alias("n_exact_edges"),
+        F.count(
+            F.when(F.col("in_exact").isNotNull(), F.col("in_ann"))
+        ).alias("n_hit"),
+    ).select(
+        "n_exact_edges",
+        (
+            F.lit(100) * F.col("n_hit")
+            >= F.lit(KNN_EDGE_RECALL_PCT) * F.col("n_exact_edges")
+        ).alias("recall_ok"),
+    )
+
+
+def knn_graph_triangles(t: Tables, edge_fn=None) -> DataFrame:
     """Triangle census of the mutual-kNN graph — the local-density /
     hubness diagnostic for an embedding space (high transitivity =
     tight clusters; near-zero = random-like neighborhoods).
@@ -835,14 +1097,19 @@ def knn_graph_triangles(t: Tables) -> DataFrame:
     two-hop join explores ≤ n·K² wedges — triangle counting on this
     graph is linear in vertices, no degree-ordering needed (that trick
     exists for skewed general graphs; the a<b<c orientation here already
-    makes each triangle count once). The corpus-sized work is the kNN
-    build itself; everything after runs on ≤ n·K/2 edges.
+    makes each triangle count once). The edge build is the IVF-routed
+    ANN route (VERDICT r9 §2 — the exact all-pairs build made the whole
+    diagnostic α≈0.69 despite the linear downstream), so the
+    corpus-sized stage is now the linear cell-local top-k; everything
+    after runs on ≤ n·K/2 edges. ANN edges aren't SQL-replayable →
+    rows-only driver check, with :func:`knn_edge_agreement_check` as
+    the hash-green companion quantifying edge recall.
 
     Output (one row): ``n_vertices`` (with ≥1 mutual edge),
     ``n_edges``, ``n_wedges`` (Σ C(deg,2)), ``n_triangles``,
     ``transitivity_micro`` = floor(1e6·3T/W) (NULL when no wedges).
     """
-    e = persist_replacing(_mutual_knn_edges(t), "knn_edges")
+    e = persist_replacing((edge_fn or _mutual_knn_edges)(t), "knn_edges")
     deg = (
         e.select(F.explode(F.array("a", "b")).alias("v"))
         .groupBy("v")
@@ -889,7 +1156,7 @@ LPA_SEED_MOD = 5
 LPA_ROUNDS = 2
 
 
-def label_propagation_knn(t: Tables) -> DataFrame:
+def label_propagation_knn(t: Tables, edge_fn=None) -> DataFrame:
     """Semi-supervised label propagation over the mutual-kNN graph: 1 in
     ``LPA_SEED_MOD`` vectors keeps its true label (the "labeled pool");
     each synchronized round, every still-unlabeled vector adopts the
@@ -903,17 +1170,21 @@ def label_propagation_knn(t: Tables) -> DataFrame:
     edge list (≤ n·K rows), ``LPA_ROUNDS`` such passes total, and makes
     the fixpoint deterministic (classic async LPA is famously
     order-dependent; this one is pinned by the (count DESC, label ASC)
-    argmax and hash-matches the unrolled-SQL oracle).
+    argmax). The edge list is the PRODUCTION ANN build (VERDICT r9 §2 —
+    see :func:`knn_graph_triangles`), so the op no longer inherits the
+    exact kNN's quadratic candidate stage; rows-only driver check, edge
+    recall hash-checked by :func:`knn_edge_agreement_check`.
 
     Output per vector: ``vec_id``, ``label_out`` (NULL if never
     reached), ``labeled_round`` (0 = seed, r = adopted in round r,
     NULL = unlabeled).
     """
+    edges = edge_fn or _mutual_knn_edges
     und = persist_replacing(
-        _mutual_knn_edges(t)
+        edges(t)
         .select(F.col("a").alias("v"), F.col("b").alias("nb"))
         .union(
-            _mutual_knn_edges(t).select(
+            edges(t).select(
                 F.col("b").alias("v"), F.col("a").alias("nb")
             )
         ),
@@ -2451,8 +2722,17 @@ ORACLES: dict[str, str] = {
     """,
     "lsh_query_topk": _lsh_query_oracle_sql(LSH_QUERY_BITS),
     "mmr_diverse_topk": _mmr_oracle_sql(MMR_K),
-    "knn_graph_triangles": _triangles_oracle_sql(),
-    "label_propagation_knn": _lpa_oracle_sql(LPA_ROUNDS),
+    # knn_graph_triangles / label_propagation_knn: now ride the
+    # PRODUCTION ANN edge build (r9 §2) — float k-means isn't
+    # SQL-replayable → rows-only; knn_edge_agreement_check below is the
+    # hash-green companion (exact edge count + recall flag). Their old
+    # exact-edge oracles live on in tests/test_oracle_parity.py, which
+    # pins the exact builds (_mutual_knn_edges_exact + the unchanged
+    # downstream algebra) against _triangles_oracle_sql/_lpa_oracle_sql.
+    "knn_edge_agreement_check": f"""
+        WITH {_knn_edge_cte()}
+        SELECT count(*) AS n_exact_edges, TRUE AS recall_ok FROM e
+    """,
     "embedding_centroid_drift": f"""
         WITH e AS (
           SELECT label, vec_id % 2 = 0 AS half_a,
@@ -2556,6 +2836,18 @@ def _quality_filtered_ann_oracle() -> str:
 
 
 ORACLES["quality_filtered_ann"] = _quality_filtered_ann_oracle()
+
+# ann_knn_topk / hard_negative_mining_ann: rows-only (IVF route); their
+# hash-green companions recompute the exact denominators in SQL and
+# expect the recall flags TRUE.
+ORACLES["ann_knn_recall_check"] = f"""
+    SELECT count(*) AS n_exact, TRUE AS recall_ok
+    FROM ({ORACLES["knn_join_topk"]})
+"""
+ORACLES["hardneg_recall_check"] = f"""
+    SELECT count(*) AS n_exact, TRUE AS recall_ok
+    FROM ({ORACLES["hard_negative_mining"]})
+"""
 
 #: Matryoshka prefix dimensions audited against the full 64-dim cosine
 MATRYOSHKA_DIMS = (8, 16, 32)
@@ -2705,10 +2997,17 @@ QUERIES = {
     "label_centroid_sim": label_centroid_sim,
     "knn_join_topk": knn_join_topk,
     "hard_negative_mining": hard_negative_mining,
+    # IVF-routed production twins of the two exact baselines above,
+    # each rows-only with a hash-green recall contract
+    "ann_knn_topk": ann_knn_topk,
+    "ann_knn_recall_check": ann_knn_recall_check,
+    "hard_negative_mining_ann": hard_negative_mining_ann,
+    "hardneg_recall_check": hardneg_recall_check,
     "lsh_query_topk": lsh_query_topk,
     "mmr_diverse_topk": mmr_diverse_topk,
     "knn_graph_triangles": knn_graph_triangles,
     "label_propagation_knn": label_propagation_knn,
+    "knn_edge_agreement_check": knn_edge_agreement_check,
     "embedding_centroid_drift": embedding_centroid_drift,
     # SemDeDup: rows-only pairs + hard driver contract
     "semantic_dedup_pairs": semantic_dedup_pairs,

@@ -48,3 +48,28 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_exact_knn_graph_builds_still_match_retired_oracles(spark, duck):
+    """VERDICT r9 §2 repointed knn_graph_triangles / label_propagation_knn
+    at the ANN edge build (rows-only); the EXACT builds must keep matching
+    the old hash-green oracles so the downstream algebra (triangle census,
+    monotone LPA) stays pinned independent of the edge source."""
+    from streamming_processing_pyspark_spark.operators import similarity as S
+    from streamming_processing_pyspark_spark.tables import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    tri = S.knn_graph_triangles(
+        t, edge_fn=S._mutual_knn_edges_exact
+    ).toPandas()
+    assert_frames_match(
+        tri, duck.execute(S._triangles_oracle_sql()).df(), "triangles_exact"
+    )
+    lpa = S.label_propagation_knn(
+        t, edge_fn=S._mutual_knn_edges_exact
+    ).toPandas()
+    assert_frames_match(
+        lpa,
+        duck.execute(S._lpa_oracle_sql(S.LPA_ROUNDS)).df(),
+        "lpa_exact",
+    )
