@@ -1121,13 +1121,54 @@ def _checked_row_counts() -> tuple[dict[str, int], dict[str, int]]:
     return counts, last_round
 
 
-def check_order(names: list[str]) -> list[str]:
+def _source_receipts() -> dict[str, str]:
+    """SOURCE_RECEIPTS.json: query name → source hash (see
+    :func:`query_source_hashes`) AS OF the query's most recent completed
+    driver check. Maintained by ``tools/update_source_receipts.py`` (run
+    at round start, when the working tree still equals the code the
+    driver just verified). Missing file or entry → no changed-source
+    signal."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(root, "SOURCE_RECEIPTS.json")) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def _changed_since_receipt(src_hashes: dict[str, str]) -> set[str]:
+    """Queries whose implementation changed since their last driver
+    check (VERDICT r9 §4: the fewest-green rotation alone let a
+    semantics rewrite ride an old green row for a round — r9's
+    resize_plan). A query is "changed" when its current source hash
+    (registered function source + its oracle SQL — the oracle term also
+    catches helper-mediated semantic changes that surface in the SQL)
+    differs from the committed receipt."""
+    receipts = _source_receipts()
+    if not receipts:
+        return set()
+    return {
+        name
+        for name, h in src_hashes.items()
+        if receipts.get(name) not in (None, h)
+    }
+
+
+def check_order(
+    names: list[str], src_hashes: dict[str, str] | None = None
+) -> list[str]:
     """The explicit driver-check ordering policy (see ADVICE round 3).
 
     The external driver verifies queries in registry iteration order and
     stops after a fixed budget (~50 entries), so ordering IS coverage.
-    Policy (default ``rotate``): least-checked queries first — a query's
-    rank is its completed-check count from the committed
+    Policy (default ``rotate``): CHANGED-SOURCE queries first (module
+    hash differs from SOURCE_RECEIPTS.json — their last green row
+    verified different code, VERDICT r9 §4), then least-checked — a
+    query's rank is its completed-check count from the committed
     CORRECTNESS_r*.json files; ties (once every query has ≥1 green row
     the counts go flat) break by OLDEST last-green round first, so the
     driver's fixed budget becomes a regression canary sweeping the
@@ -1148,10 +1189,41 @@ def check_order(names: list[str]) -> list[str]:
     if os.environ.get("SPARK_GRAFT_CHECK_ORDER", "rotate") == "static":
         return base
     checked, last_round = _checked_row_counts()
+    changed = _changed_since_receipt(src_hashes or {})
     return sorted(
         base,
-        key=lambda n: (checked.get(n, 0), last_round.get(n, 0), base.index(n)),
+        key=lambda n: (
+            0 if n in changed else 1,
+            checked.get(n, 0),
+            last_round.get(n, 0),
+            base.index(n),
+        ),
     )
+
+
+def query_source_hashes() -> dict[str, str]:
+    """Query name → sha256 over (registered function source, oracle SQL)
+    — the hash unit of SOURCE_RECEIPTS.json. Function source pins direct
+    edits; the oracle SQL term pins semantic changes routed through
+    helpers/constants (those re-materialize in the composed SQL).
+    Docstring-only edits do flag — harmless over-verification."""
+    import hashlib
+    import inspect
+
+    oracles = build_oracles()
+    out: dict[str, str] = {}
+    fns: dict[str, object] = dict(windowed.QUERIES)
+    for mod in _TABLE_MODULES:
+        fns.update(mod.QUERIES)
+    fns.update(_STREAMING_QUERIES)
+    for name, fn in fns.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = ""
+        blob = src + "\n-- oracle --\n" + oracles.get(name, "")
+        out[name] = hashlib.sha256(blob.encode()).hexdigest()
+    return out
 
 
 def build_queries() -> dict[str, QueryFn]:
@@ -1171,7 +1243,7 @@ def build_queries() -> dict[str, QueryFn]:
     # stable base order: curated priority first, then module order
     base: list[str] = list(_CHECK_PRIORITY)
     base += [n for n in unordered if n not in set(_CHECK_PRIORITY)]
-    return {n: unordered[n] for n in check_order(base)}
+    return {n: unordered[n] for n in check_order(base, query_source_hashes())}
 
 
 def build_oracles() -> dict[str, str]:

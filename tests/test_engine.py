@@ -74,3 +74,31 @@ def test_registry_outputs_are_driver_safe_scalars(spark):
         if nested:
             offenders[name] = nested
     assert not offenders, f"nested output columns would crash the driver canonicalizer: {offenders}"
+
+
+def test_check_order_front_loads_changed_sources(monkeypatch):
+    """VERDICT r9 §4: a query whose implementation changed since its
+    last driver check (source hash ≠ committed receipt) must sort ahead
+    of every unchanged query, regardless of how many green rows it has;
+    queries with no receipt (new ops) keep their fewest-green rank."""
+    from streamming_processing_pyspark_spark import registry as R
+
+    hashes = R.query_source_hashes()
+    names = sorted(hashes)
+    # the most-checked query in the registry, with a deliberately stale
+    # receipt; everything else gets its true current hash
+    counts, _ = R._checked_row_counts()
+    most_checked = max(names, key=lambda n: counts.get(n, 0))
+    fake = {n: hashes[n] for n in names}
+    fake[most_checked] = "stale-sentinel"
+    monkeypatch.setattr(R, "_source_receipts", lambda: fake)
+    order = R.check_order(list(names), hashes)
+    assert order[0] == most_checked
+
+    # sanity: the live SOURCE_RECEIPTS.json only flags known-changed ops
+    monkeypatch.undo()
+    changed = R._changed_since_receipt(hashes)
+    assert "resize_plan" in changed or counts.get("resize_plan", 0) >= 3
+    # new round-10 ops have no receipt -> never spuriously "changed"
+    for n in ("containment_pairs_banded", "ann_knn_topk"):
+        assert n not in changed
