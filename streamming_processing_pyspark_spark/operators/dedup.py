@@ -22,9 +22,18 @@ The training-data-pipeline dedup ladder:
 - :func:`simhash_near_dup_pairs` — pigeonhole-banded hamming pairs over
   those fingerprints (Manku/Jain/Das Sarma WWW'07): B = k+1 disjoint bands
   guarantee any pair within hamming ≤ k collides on ≥1 band, so recall is
-  1.0 by construction; candidates bucket-join on band keys and verify with
-  exact ``bit_count(xor)``. :func:`simhash_band_check` asserts banded ==
-  brute-force as driver-checked data.
+  1.0 by construction; candidates come from capped band posting lists and
+  verify with exact ``bit_count(xor)``. :func:`simhash_band_check` asserts
+  banded == brute-force as driver-checked data.
+- :func:`containment_pairs_banded` — Broder max-containment over the SAME
+  MinHash band candidates, rescored with exact uncapped containment (the
+  quote/subset detector at candidate-proportional cost);
+  :func:`containment_pairs` is its campaign-priced exact baseline and
+  :func:`containment_recall_check` the hash-green contract.
+
+Every band join in this module goes through capped posting lists
+(``BAND_BUCKET_CAP``): a degenerate band bucket is dropped, never
+exploded quadratically inside one task.
 
 Oracle policy: exact ops have DuckDB oracles; MinHash/SimHash depend on
 xxhash64 (not reproducible in DuckDB) → rows-only driver check, with

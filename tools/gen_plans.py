@@ -226,6 +226,14 @@ QUERIES = [
     "simhash_near_dup_pairs",
     "containment_pairs",
     "matryoshka_fidelity_report",
+    # round-10 batch: banded containment production path, IVF-routed
+    # kNN/hard-negative twins, ANN edge agreement, partitioned SN scan
+    "containment_pairs_banded",
+    "containment_recall_check",
+    "ann_knn_topk",
+    "hard_negative_mining_ann",
+    "knn_edge_agreement_check",
+    "sorted_neighborhood_pairs",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"

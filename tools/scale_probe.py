@@ -93,6 +93,7 @@ OPS = {
     "near_dup_threshold_sweep_check": dedup.near_dup_threshold_sweep_check,
     "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,
     "containment_pairs": dedup.containment_pairs,
+    "containment_pairs_banded": dedup.containment_pairs_banded,
     "langid_confusion_matrix": text.langid_confusion_matrix,
     "incremental_winnow_novelty": analytics5.incremental_winnow_novelty,
 }
@@ -112,6 +113,8 @@ EMB_OPS = {
     "label_balanced_sample": sampling.label_balanced_sample,
     "kcenter_coreset": coreset.kcenter_coreset,
     "hard_negative_mining": similarity.hard_negative_mining,
+    "ann_knn_topk": similarity.ann_knn_topk,
+    "hard_negative_mining_ann": similarity.hard_negative_mining_ann,
     "lsh_query_topk": similarity.lsh_query_topk,
     "mmr_diverse_topk": similarity.mmr_diverse_topk,
     "knn_graph_triangles": similarity.knn_graph_triangles,
@@ -265,6 +268,12 @@ def main() -> None:
          "map-only barrier extraction, r9"),
         ("near_dup_threshold_sweep", "documents",
          "banded candidates, r9; target ≤ 0.5"),
+        ("containment_pairs_banded", "documents",
+         "banded candidates + exact containment rescore, r10; target ≤ 0.5"),
+        ("knn_graph_triangles", "embeddings",
+         "IVF-routed ANN edge build, r10; target ≤ 0.4"),
+        ("label_propagation_knn", "embeddings",
+         "IVF-routed ANN edge build, r10; target ≤ 0.4"),
     ]
     ext_lines = []
     if ext_k > KS[-1]:
@@ -339,17 +348,25 @@ def main() -> None:
         "- `knn_join_topk` / `hard_negative_mining` are the EXACT all-pairs",
         "  baselines: the blocked matmul computes n²/2 dot products by",
         "  definition, so time ∝ data² once compute-bound (visible from",
-        "  k=4→8). They exist as the recall oracles; the serving/scale",
-        "  paths are `ivf_topk` / `pq_topk` / `lsh_query_topk` (query ANN)",
-        "  and LSH-bucketed candidate mining — same contract keys, α ≤ 0.7",
-        "  in this table. Same treatment as `ngram_jaccard_pairs` vs",
-        "  `minhash_lsh_pairs` on the text side.",
+        "  k=4→8). Round 10 added their IVF-routed production twins",
+        "  `ann_knn_topk` / `hard_negative_mining_ann` (per-cell top-k,",
+        "  linear candidates, recall contracts `ann_knn_recall_check` /",
+        "  `hardneg_recall_check`); the query-ANN serving paths remain",
+        "  `ivf_topk` / `pq_topk` / `lsh_query_topk`. Same treatment as",
+        "  `ngram_jaccard_pairs` vs `minhash_lsh_pairs` on the text side.",
+        "- `knn_graph_triangles` / `label_propagation_knn` (round 10) ride",
+        "  the ANN edge build (`_mutual_knn_edges` over `ann_knn_topk`), so",
+        "  their growth now tracks the linear candidate stage instead of",
+        "  the exact kNN matmul; edge recall is driver-checked by",
+        "  `knn_edge_agreement_check`.",
         "- `ngram_jaccard_pairs` is the exact-Jaccard baseline (pair-density",
         "  driven); `minhash_lsh_pairs` (α≈0.2) is the production path.",
-        "- `containment_pairs` rides the same exact capped index (only the",
-        "  gate differs), so it is priced like `ngram_jaccard_pairs` — an",
-        "  audit/campaign op; a banded production variant would reuse the",
-        "  MinHash candidates exactly as the threshold sweep does.",
+        "- `containment_pairs` rides the exact capped index (only the gate",
+        "  differs), so it is priced like `ngram_jaccard_pairs` — since",
+        "  round 10 it is the declared audit/campaign baseline;",
+        "  `containment_pairs_banded` (MinHash band candidates rescored",
+        "  with exact uncapped containment, `containment_recall_check`",
+        "  contract) is the production path.",
         "- `near_dup_threshold_sweep` (round 9) rides the BANDED MinHash",
         "  candidates with exact rescoring per θ, so its growth tracks",
         "  `minhash_lsh_pairs` — the 100 TB path. The exact capped-index",
