@@ -355,6 +355,23 @@ REPLAY_FLOOR_ROUNDS = 3
 CROSS_ROUND_FACTOR = 1.5
 REPLAY_FLOOR_SLACK = 1.15
 
+#: DECLARED, documented cost shifts (see COVERAGE.md round receipts): the
+#: cross-round guard reports these under `expected_shifts` WITH the
+#: reason instead of as regressions — the r9 er_entity_clusters pattern
+#: (union candidate source, ~10× candidate graph) made mechanical. An
+#: entry is inert after one round: the new time becomes the next floor.
+EXPECTED_SHIFTS = {
+    "knn_graph_triangles": (
+        "r10: edge build repointed at the IVF-routed ANN route — the"
+        " quantizer lifecycle (offline-trained at 100 TB) dominates at"
+        " sf0.1's 2k vectors; growth, not toy-scale time, is the win"
+    ),
+    "label_propagation_knn": (
+        "r10: same ANN edge repoint (edge list built once,"
+        " localCheckpoint shared by both directions)"
+    ),
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
@@ -496,6 +513,7 @@ def main() -> None:
     # for every suspect so the guard's decisions are auditable from the
     # committed BENCH_DETAIL without rerunning the suite
     contention_remeasures: dict[str, list[float]] = {}
+    expected_shifts: dict[str, str] = {}
     suspects = [
         n
         for n in HEADLINE
@@ -507,7 +525,10 @@ def main() -> None:
         record(name)
         contention_remeasures[name] = [before, timings[name]]
         if timings[name] > CROSS_ROUND_FACTOR * prior_min[name]:
-            regression_suspects.append(name)
+            if name in EXPECTED_SHIFTS:
+                expected_shifts[name] = EXPECTED_SHIFTS[name]
+            else:
+                regression_suspects.append(name)
         else:
             contention_suspects.append(name)
 
@@ -535,6 +556,7 @@ def main() -> None:
         "cross_round_factor": CROSS_ROUND_FACTOR,
         "contention_suspects": contention_suspects,
         "regression_suspects": regression_suspects,
+        "expected_shifts": expected_shifts,
         "contention_remeasures": contention_remeasures,
         # replay figures carried in the detail file so the NEXT round's
         # cross-round guard has its floor (read via git show HEAD:)
@@ -578,6 +600,7 @@ def main() -> None:
         # prior min after re-measure (read as real until proven otherwise)
         "contention_suspects": contention_suspects[:6],
         "regression_suspects": regression_suspects[:6],
+        "expected_shifts": sorted(expected_shifts)[:6],
         "replay_below_floor": replay_below_floor,
         "iters_per_query": N_ITERS,
         "sf": sf,

@@ -1179,14 +1179,14 @@ def label_propagation_knn(t: Tables, edge_fn=None) -> DataFrame:
     reached), ``labeled_round`` (0 = seed, r = adopted in round r,
     NULL = unlabeled).
     """
-    edges = edge_fn or _mutual_knn_edges
+    # ONE edge build feeding both directions (the ANN route's quantizer
+    # pass is the dominant cost — building it per direction doubled the
+    # query); localCheckpoint materializes the edge list so the union's
+    # two branches read rows, not two copies of the pipeline
+    e = (edge_fn or _mutual_knn_edges)(t).localCheckpoint()
     und = persist_replacing(
-        edges(t)
-        .select(F.col("a").alias("v"), F.col("b").alias("nb"))
-        .union(
-            edges(t).select(
-                F.col("b").alias("v"), F.col("a").alias("nb")
-            )
+        e.select(F.col("a").alias("v"), F.col("b").alias("nb")).union(
+            e.select(F.col("b").alias("v"), F.col("a").alias("nb"))
         ),
         "lpa_edges",
     )

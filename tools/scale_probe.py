@@ -224,18 +224,31 @@ def main() -> None:
         t["embeddings"] = emb_k
         rows[k] = docs.count()
         for name, fn in {**OPS, **EMB_OPS}.items():
-            pipeline.clear_cc_memo()  # warm-up/warm-run labels would leak in
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(t).write.mode("overwrite").format("noop").save()
-            warm = time.perf_counter() - t0
-            # second run: measured figure (first absorbs cache/JIT);
-            # drop the CC label memo so the rerun measures the loop
-            pipeline.clear_cc_memo()
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(t).write.mode("overwrite").format("noop").save()
-            results[name][k] = round(min(warm, time.perf_counter() - t0), 2)
+            # per-op fault isolation (r10: a driver-heap broadcast OOM at
+            # k=8 killed the whole 75-minute probe run at the single
+            # failing op) — record the failure, keep probing
+            try:
+                pipeline.clear_cc_memo()  # warm-up labels would leak in
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(t).write.mode("overwrite").format("noop").save()
+                warm = time.perf_counter() - t0
+                # second run: measured figure (first absorbs cache/JIT);
+                # drop the CC label memo so the rerun measures the loop
+                pipeline.clear_cc_memo()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(t).write.mode("overwrite").format("noop").save()
+                results[name][k] = round(
+                    min(warm, time.perf_counter() - t0), 2
+                )
+            except Exception as e:  # noqa: BLE001 — report-and-continue
+                results[name][k] = None
+                print(
+                    f"k={k} {name}: FAILED "
+                    f"{type(e).__name__}: {str(e)[:200]}",
+                    flush=True,
+                )
             # same hygiene as bench.py: clearCache only unpins cached
             # frames; localCheckpoint RDDs (dedup_clusters, k-means) are
             # freed by the ContextCleaner when their Python refs die —
@@ -282,14 +295,26 @@ def main() -> None:
         ext_tables["documents"] = scaled_documents(base["documents"], ext_k)
         for ext_name, _kind, claim in EXT_OPS:
             fn = EMB_OPS.get(ext_name) or OPS[ext_name]
+            if results.get(ext_name, {}).get(KS[0]) is None:
+                continue  # matrix run failed; no base time to compare
             runs = []
-            for _ in range(2):
-                pipeline.clear_cc_memo()
-                spark.catalog.clearCache()
-                gc.collect()
-                t0 = time.perf_counter()
-                fn(ext_tables).write.mode("overwrite").format("noop").save()
-                runs.append(time.perf_counter() - t0)
+            try:
+                for _ in range(2):
+                    pipeline.clear_cc_memo()
+                    spark.catalog.clearCache()
+                    gc.collect()
+                    t0 = time.perf_counter()
+                    fn(ext_tables).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    runs.append(time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001 — report-and-continue
+                print(
+                    f"ext k={ext_k} {ext_name}: FAILED "
+                    f"{type(e).__name__}: {str(e)[:200]}",
+                    flush=True,
+                )
+                continue
             ext_time = round(min(runs), 2)
             ext_alpha = _math.log(
                 ext_time / results[ext_name][KS[0]]
@@ -323,6 +348,13 @@ def main() -> None:
     import math
 
     for name, times in results.items():
+        if any(times.get(k) is None for k in KS):
+            cells = " | ".join(
+                "FAILED" if times.get(k) is None else f"{times[k]:.2f}s"
+                for k in KS
+            )
+            lines.append(f"| {name} | {cells} | see probe log |")
+            continue
         ratio = times[KS[-1]] / times[k0] if times[k0] else float("nan")
         cells = " | ".join(f"{times[k]:.2f}s" for k in KS)
         # growth exponent α: time ∝ data^α over the measured span — a
