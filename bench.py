@@ -220,6 +220,8 @@ HEADLINE = [
     "ann_knn_topk",
     "hard_negative_mining_ann",
     "knn_edge_agreement_check",
+    "bitext_margin_pairs",
+    "bitext_margin_pairs_ann",
 ]
 
 

@@ -511,6 +511,134 @@ def hardneg_recall_check(t: Tables) -> DataFrame:
     )
 
 
+def _margin_pairs_from(hardnegs: DataFrame) -> DataFrame:
+    """Margin-criterion scoring shared by the exact and ANN mining ops:
+    given a hard-negative frame (each anchor's top-K most-similar
+    DIFFERENT-label neighbors with 6-dp cosines), score every candidate
+    pair with the RATIO margin of Artetxe & Schwenk (2019, public) —
+    cos(x, y) normalized by the mean of both sides' top-K neighborhoods
+    — and keep each anchor's best pair. Margin beats absolute cosine for
+    alignment mining because hubs (vectors globally similar to
+    everything) inflate raw cosine but inflate their own neighborhood
+    mean identically, so the ratio cancels the hubness.
+
+    Cross-engine exactness: per-pair cosines become integer micros
+    FIRST (``floor(cos·1e6 + 0.5)`` — identical IEEE doubles in both
+    engines), neighborhood sums/counts are exact int64, and the one
+    float division is a single fixed expression over those integers, so
+    the rounded margin hash-matches. Cost: two joins of the K·n
+    candidate frame against the n-row per-anchor sums — candidate-
+    proportional, nothing corpus-quadratic beyond the upstream source.
+    """
+    cm = hardnegs.select(
+        "vec_id",
+        "label",
+        "nbr_id",
+        "nbr_label",
+        F.expr(
+            "cast(floor(cos_sim * 1000000 + 0.5) as bigint)"
+        ).alias("cos_micro"),
+    )
+    sums = cm.groupBy("vec_id").agg(
+        F.sum("cos_micro").alias("sumk"), F.count("*").alias("k")
+    )
+    sx = sums.select(
+        F.col("vec_id"), F.col("sumk").alias("sum_x"), F.col("k").alias("k_x")
+    )
+    sy = sums.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("sumk").alias("sum_y"),
+        F.col("k").alias("k_y"),
+    )
+    denom = F.col("sum_x") * F.col("k_y") + F.col("sum_y") * F.col("k_x")
+    margin = F.round(
+        F.lit(2.0)
+        * F.col("cos_micro")
+        * F.col("k_x")
+        * F.col("k_y")
+        / denom.cast("double"),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("margin").desc(), F.col("nbr_id")
+    )
+    return (
+        cm.join(sx, "vec_id")
+        .join(sy, "nbr_id")
+        .where(denom != 0)
+        .select(
+            "vec_id",
+            "label",
+            "nbr_id",
+            "nbr_label",
+            "cos_micro",
+            margin.alias("margin"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def bitext_margin_pairs(t: Tables) -> DataFrame:
+    """Cross-label pair mining with the margin criterion (Artetxe &
+    Schwenk 2019, the standard bitext/parallel-corpus mining score;
+    labels stand in for languages on this dataset): each anchor's best
+    DIFFERENT-label partner by ratio margin over its top-``HARDNEG_K``
+    cross-label neighborhood. This is the aligned-pair miner an LLM
+    data pipeline runs over multilingual embeddings to harvest
+    translation pairs; thresholding ``margin`` (≥ ~1.06 in the paper)
+    selects the mined corpus.
+
+    EXACT baseline: candidates come from :func:`hard_negative_mining`
+    (all-pairs matmul, campaign-priced); the production twin is
+    :func:`bitext_margin_pairs_ann` over the IVF route. Integer-micro
+    scoring makes the DuckDB oracle hash-match (see
+    :func:`_margin_pairs_from`)."""
+    return _margin_pairs_from(hard_negative_mining(t))
+
+
+def bitext_margin_pairs_ann(t: Tables) -> DataFrame:
+    """PRODUCTION margin mining: the same margin criterion scored over
+    :func:`hard_negative_mining_ann`'s IVF-routed cross-label
+    neighborhoods — linear candidate cost, the 100 TB path. Rows-only
+    (the quantizer isn't SQL-replayable); quality is driver-checked by
+    :func:`bitext_ann_agreement_check` (best-pair agreement vs the
+    exact miner) on top of the candidate source's own
+    :func:`hardneg_recall_check`."""
+    return _margin_pairs_from(hard_negative_mining_ann(t))
+
+
+#: best-pair agreement bound for the ANN margin miner (percent)
+BITEXT_AGREE_PCT = 60
+
+
+def bitext_ann_agreement_check(t: Tables) -> DataFrame:
+    """DuckDB-checkable contract for :func:`bitext_margin_pairs_ann`
+    (rows-only): one row with the exact miner's row count
+    (SQL-recomputable) and an agreement flag — ≥ BITEXT_AGREE_PCT% of
+    anchors pick the SAME best partner as the exact miner."""
+    exact = bitext_margin_pairs(t).select(
+        "vec_id", "nbr_id", F.lit(1).alias("in_exact")
+    )
+    ann = bitext_margin_pairs_ann(t).select(
+        "vec_id", "nbr_id", F.lit(1).alias("in_ann")
+    )
+    j = exact.join(ann, ["vec_id", "nbr_id"], "full_outer")
+    return j.agg(
+        F.count("in_exact").alias("n_exact"),
+        F.count(
+            F.when(F.col("in_exact").isNotNull(), F.col("in_ann"))
+        ).alias("n_agree"),
+    ).select(
+        "n_exact",
+        (
+            F.lit(100) * F.col("n_agree")
+            >= F.lit(BITEXT_AGREE_PCT) * F.col("n_exact")
+        ).alias("agree_ok"),
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (no RNG dependency:
     digits of a fixed LCG so results are reproducible everywhere)."""
@@ -2849,6 +2977,39 @@ ORACLES["hardneg_recall_check"] = f"""
     FROM ({ORACLES["hard_negative_mining"]})
 """
 
+# margin mining: exact op hash-checked (integer-micro scoring); the ANN
+# twin is rows-only with bitext_ann_agreement_check as its contract
+ORACLES["bitext_margin_pairs"] = f"""
+    WITH hn AS ({ORACLES["hard_negative_mining"]}),
+    cm AS (
+      SELECT vec_id, label, nbr_id, nbr_label,
+             CAST(floor(cos_sim * 1000000 + 0.5) AS BIGINT) AS cos_micro
+      FROM hn
+    ),
+    s AS (SELECT vec_id, sum(cos_micro) AS sumk, count(*) AS k
+          FROM cm GROUP BY vec_id),
+    m AS (
+      SELECT c.vec_id, c.label, c.nbr_id, c.nbr_label, c.cos_micro,
+             round(2.0 * c.cos_micro * sx.k * sy.k
+                   / CAST(sx.sumk * sy.k + sy.sumk * sx.k AS DOUBLE),
+                   6) AS margin
+      FROM cm c
+      JOIN s sx ON c.vec_id = sx.vec_id
+      JOIN s sy ON c.nbr_id = sy.vec_id
+      WHERE sx.sumk * sy.k + sy.sumk * sx.k != 0
+    )
+    SELECT vec_id, label, nbr_id, nbr_label, cos_micro, margin
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY margin DESC, nbr_id) AS rn
+          FROM m)
+    WHERE rn = 1
+"""
+
+ORACLES["bitext_ann_agreement_check"] = f"""
+    SELECT count(*) AS n_exact, TRUE AS agree_ok
+    FROM ({ORACLES["bitext_margin_pairs"]})
+"""
+
 #: Matryoshka prefix dimensions audited against the full 64-dim cosine
 MATRYOSHKA_DIMS = (8, 16, 32)
 
@@ -3003,6 +3164,11 @@ QUERIES = {
     "ann_knn_recall_check": ann_knn_recall_check,
     "hard_negative_mining_ann": hard_negative_mining_ann,
     "hardneg_recall_check": hardneg_recall_check,
+    # margin-criterion pair mining (bitext shape): exact hash-checked,
+    # ANN production twin rows-only + agreement contract
+    "bitext_margin_pairs": bitext_margin_pairs,
+    "bitext_margin_pairs_ann": bitext_margin_pairs_ann,
+    "bitext_ann_agreement_check": bitext_ann_agreement_check,
     "lsh_query_topk": lsh_query_topk,
     "mmr_diverse_topk": mmr_diverse_topk,
     "knn_graph_triangles": knn_graph_triangles,

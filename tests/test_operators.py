@@ -2502,3 +2502,50 @@ def test_ann_knn_route_properties(spark):
     edge_chk = similarity.knn_edge_agreement_check(t).first()
     assert edge_chk["recall_ok"]
     assert edge_chk["n_exact_edges"] > 0
+
+
+def test_margin_mining_prefers_reciprocal_pairs(spark):
+    """The margin criterion must rank a RECIPROCALLY-close cross-label
+    pair above a hub: construct label-0 anchor A whose raw cosine to hub
+    H (label 1, close to everything) exceeds nothing, and a partner P
+    (label 1) mutually isolated with A. The ratio margin normalizes by
+    both neighborhoods, so A's best pair is P even when cos(A,H) is
+    competitive; on the fixture corpus the ANN miner agrees with the
+    exact miner above the driver-checked bound."""
+    import math
+
+    # 2-d embeddings, padded to 4 dims. A≈P along x; hub H at 45° is
+    # fairly close to EVERYTHING (its own neighborhood mean is high, so
+    # its margin deflates); distractors D* populate the neighborhoods.
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    rows = [
+        (0, v(0), 0),     # A (label 0)
+        (1, v(4), 1),     # P — reciprocal partner for A
+        (2, v(45), 1),    # H — hub between the label-0 and label-1 packs
+        (3, v(80), 1),    # far label-1 distractors
+        (4, v(86), 1),
+        (5, v(92), 1),
+        (6, v(98), 1),
+        (7, v(83), 0),    # label-0 pack near the distractors: H's
+        (8, v(89), 0),    # neighborhood (and P-of-hub candidates)
+        (9, v(95), 0),
+    ]
+    t = {
+        "embeddings": spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+    }
+    best = {
+        r["vec_id"]: (r["nbr_id"], r["margin"])
+        for r in similarity.bitext_margin_pairs(t).collect()
+    }
+    assert best[0][0] == 1  # A picks P, not the hub
+    # the hub's own best margin is deflated below the reciprocal pair's
+    assert best[2][1] < best[0][1]
+
+    fx = load_tables(spark, SF_DIR)
+    chk = similarity.bitext_ann_agreement_check(fx).first()
+    assert chk["agree_ok"] and chk["n_exact"] > 0

@@ -234,6 +234,8 @@ QUERIES = [
     "hard_negative_mining_ann",
     "knn_edge_agreement_check",
     "sorted_neighborhood_pairs",
+    "bitext_margin_pairs",
+    "bitext_margin_pairs_ann",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"

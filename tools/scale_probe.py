@@ -115,6 +115,8 @@ EMB_OPS = {
     "hard_negative_mining": similarity.hard_negative_mining,
     "ann_knn_topk": similarity.ann_knn_topk,
     "hard_negative_mining_ann": similarity.hard_negative_mining_ann,
+    "bitext_margin_pairs": similarity.bitext_margin_pairs,
+    "bitext_margin_pairs_ann": similarity.bitext_margin_pairs_ann,
     "lsh_query_topk": similarity.lsh_query_topk,
     "mmr_diverse_topk": similarity.mmr_diverse_topk,
     "knn_graph_triangles": similarity.knn_graph_triangles,
