@@ -129,17 +129,85 @@ def dedup_keep_first(t: Tables) -> DataFrame:
     )
 
 
+#: hot-block ceiling for the ER equality-blocking candidate builders —
+#: same reasoning as :data:`BAND_BUCKET_CAP`, but token blocks get ONE
+#: refinement pass before anything is dropped: the block key space is a
+#: token VOCABULARY (tiny — TPC-H part names draw the second token from
+#: ~92 colors), so at corpus scale every block overflows a fixed cap on a
+#: perfectly benign corpus (the failure mode ADVICE r10 flagged for the
+#: 16-bit SimHash bands). Over-cap blocks are therefore re-keyed by
+#: (second token, FIRST token) — Hernández & Stolfo-style multi-pass
+#: block refinement — and only a block that is still over cap after
+#: refinement is dropped (a single-template name family, exact-dedup
+#: territory). Capped+refined semantics are the registered spec,
+#: mirrored verbatim in the DuckDB oracles.
+ER_BLOCK_CAP = 512
+
+
+def _capped_block_pairs(names: DataFrame) -> DataFrame:
+    """Capped candidate pairs from a ``(p_name, n, block)`` distinct-name
+    frame — the ER-blocking twin of :func:`_band_bucket_pairs`
+    (VERDICT r10 §1: this replaces the former
+    ``a join F.broadcast(b) on block`` self-joins, whose forced broadcast
+    of the distinct-name frame cannot build once distinct names are
+    billions of rows).
+
+    Posting-list form: ONE groupBy collects each block's sorted
+    ``(p_name, n)`` list; blocks within [2, ER_BLOCK_CAP] explode into
+    their C(k, 2) ordered pairs; over-cap blocks are re-keyed by the
+    first token (one refinement level — see :data:`ER_BLOCK_CAP`) and
+    re-capped, so one mega-block can neither pin a task to quadratic
+    work nor force a vocabulary-sized broadcast. No pair can appear in
+    two blocks (each name carries exactly one block key per level), so
+    no cross-block dedup is needed.
+    """
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x.p_name AS name_a, x.n AS n_a, "
+        "y.p_name AS name_b, y.n AS n_b))))"
+    )
+    posting = names.groupBy("block").agg(
+        F.array_sort(F.collect_list(F.struct("p_name", "n"))).alias("ds")
+    )
+    refined = (
+        posting.where(F.size("ds") > ER_BLOCK_CAP)
+        .select("block", F.explode("ds").alias("m"))
+        .select(
+            F.concat_ws(
+                "|", "block", F.substring_index("m.p_name", " ", 1)
+            ).alias("block"),
+            F.col("m.p_name").alias("p_name"),
+            F.col("m.n").alias("n"),
+        )
+        .groupBy("block")
+        .agg(F.array_sort(F.collect_list(F.struct("p_name", "n"))).alias("ds"))
+    )
+    ok = posting.where(
+        (F.size("ds") >= 2) & (F.size("ds") <= ER_BLOCK_CAP)
+    ).unionByName(
+        refined.where((F.size("ds") >= 2) & (F.size("ds") <= ER_BLOCK_CAP))
+    )
+    return ok.select(F.explode(pair_expr).alias("p")).select(
+        "p.name_a", "p.n_a", "p.name_b", "p.n_b"
+    )
+
+
 def name_near_dup_pairs(t: Tables) -> DataFrame:
     """Edit-distance near-duplicate name pairs over ``part``, blocked.
 
     The classic blocked string-dedup shape: collapse to DISTINCT names
     first (vocabulary-sized, not row-sized), block on the trailing token,
-    and compare only within blocks — a broadcast self-join of a tiny frame
-    instead of an O(n²) cross product over rows. ``n_pairs`` recovers the
-    row-level pair count from the per-name multiplicities, so the output is
-    equivalent to (but ~|rows/vocab|² cheaper than) comparing raw rows.
-    At 100 TB the same plan holds: the distinct-name frame stays small
-    relative to input and still broadcasts.
+    and compare only within blocks. Candidates come from the CAPPED
+    posting-list explode (:func:`_capped_block_pairs` — VERDICT r10 §1:
+    no broadcast of the distinct-name frame anywhere; at 100 TB distinct
+    names are corpus-growth and a forced broadcast cannot build, while a
+    mega-block without the cap makes one task do C(block, 2) work).
+    Self rows (``name_a == name_b``) are map-only over the distinct-name
+    frame itself — they never depended on blocking. ``n_pairs`` recovers
+    the row-level pair count from the per-name multiplicities, so the
+    output is equivalent to (but ~|rows/vocab|² cheaper than) comparing
+    raw rows.
 
     Single-token names carry no second-token block and are excluded
     SYMMETRICALLY on both engines (ADVICE r9: Spark's
@@ -155,24 +223,24 @@ def name_near_dup_pairs(t: Tables) -> DataFrame:
         .withColumn("block", F.get(F.split("p_name", " "), 1))
         .where(F.col("block").isNotNull() & (F.col("block") != ""))
     )
-    a, b = names.alias("a"), F.broadcast(names.alias("b"))
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
-        a.join(b, F.col("a.block") == F.col("b.block"))
-        .where(F.col("a.p_name") <= F.col("b.p_name"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    cross = (
+        _capped_block_pairs(names)
         .where(dist <= NAME_EDIT_MAX)
         .select(
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
+            "name_a",
+            "name_b",
             dist.alias("edit_dist"),
-            F.when(
-                F.col("a.p_name") == F.col("b.p_name"),
-                (F.col("a.n") * (F.col("a.n") - 1) / 2).cast("long"),
-            )
-            .otherwise(F.col("a.n") * F.col("b.n"))
-            .alias("n_pairs"),
+            (F.col("n_a") * F.col("n_b")).alias("n_pairs"),
         )
     )
+    self_rows = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("p_name").alias("name_b"),
+        F.lit(0).cast("int").alias("edit_dist"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
+    )
+    return cross.unionByName(self_rows)
 
 
 NAME_EDIT_MAX = 3
@@ -282,10 +350,11 @@ def _token_block_candidates(t: Tables) -> DataFrame:
     FAR apart ("corp acme" / "acme corp"-shaped transpositions, or
     same-suffix names differing in their first characters) never land
     in one sorted-neighborhood window, but share an equality block.
-    Same vocabulary-sized broadcast self-join as
-    :func:`name_near_dup_pairs`; per-block fanout is bounded by block
-    size (the existing blocked-dedup contract), so the union's
-    candidate count stays vocabulary-linear plus block-bounded.
+    Candidates come from the same CAPPED posting-list explode as
+    :func:`name_near_dup_pairs` (:func:`_capped_block_pairs` —
+    VERDICT r10 §1: no vocabulary-sized broadcast, over-cap blocks
+    refined by first token then dropped loudly), so the union's
+    candidate count stays vocabulary-linear plus cap-bounded.
     Single-token names (no second token → no block) are excluded
     symmetrically on both engines (ADVICE r9 — see
     :func:`name_near_dup_pairs`)."""
@@ -293,20 +362,15 @@ def _token_block_candidates(t: Tables) -> DataFrame:
         t["part"]
         .select("p_name")
         .distinct()
+        .withColumn("n", F.lit(0).cast("long"))
         .withColumn("block", F.get(F.split("p_name", " "), 1))
         .where(F.col("block").isNotNull() & (F.col("block") != ""))
     )
-    a, b = names.alias("a"), F.broadcast(names.alias("b"))
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
-        a.join(b, F.col("a.block") == F.col("b.block"))
-        .where(F.col("a.p_name") < F.col("b.p_name"))
+        _capped_block_pairs(names)
         .where(dist <= NAME_EDIT_MAX)
-        .select(
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
-            dist.alias("edit_dist"),
-        )
+        .select("name_a", "name_b", dist.alias("edit_dist"))
     )
 
 
@@ -1414,21 +1478,43 @@ ORACLES: dict[str, str] = {
     "dedup_keep_first": """
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
     """,
-    "name_near_dup_pairs": """
+    # capped+refined blocking mirrored verbatim (VERDICT r10 §1): blocks
+    # over ER_BLOCK_CAP are re-keyed by (block, first token); refined
+    # blocks still over cap are dropped on BOTH engines.
+    "name_near_dup_pairs": f"""
         WITH names AS (
           SELECT p_name, count(*) AS n,
                  split_part(p_name, ' ', 2) AS block
           FROM part GROUP BY p_name
+        ),
+        nv AS (SELECT * FROM names WHERE block <> ''),
+        bsz AS (SELECT block, count(*) AS c FROM nv GROUP BY block),
+        small AS (SELECT nv.p_name, nv.n, nv.block
+                  FROM nv JOIN bsz USING (block) WHERE c <= {ER_BLOCK_CAP}),
+        big AS (SELECT nv.p_name, nv.n,
+                       nv.block || '|' || split_part(nv.p_name, ' ', 1)
+                         AS rblock
+                FROM nv JOIN bsz USING (block) WHERE c > {ER_BLOCK_CAP}),
+        rsz AS (SELECT rblock, count(*) AS c FROM big GROUP BY rblock),
+        rok AS (SELECT big.p_name, big.n, big.rblock
+                FROM big JOIN rsz USING (rblock) WHERE c <= {ER_BLOCK_CAP}),
+        cand AS (
+          SELECT a.p_name AS name_a, a.n AS n_a,
+                 b.p_name AS name_b, b.n AS n_b
+          FROM small a JOIN small b
+            ON a.block = b.block AND a.p_name < b.p_name
+          UNION ALL
+          SELECT a.p_name, a.n, b.p_name, b.n
+          FROM rok a JOIN rok b
+            ON a.rblock = b.rblock AND a.p_name < b.p_name
         )
-        SELECT a.p_name AS name_a, b.p_name AS name_b,
-               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
-               CASE WHEN a.p_name = b.p_name
-                    THEN CAST(a.n * (a.n - 1) / 2 AS BIGINT)
-                    ELSE a.n * b.n END AS n_pairs
-        FROM names a JOIN names b ON a.block = b.block
-        WHERE a.p_name <= b.p_name
-          AND a.block <> ''
-          AND levenshtein(a.p_name, b.p_name) <= 3
+        SELECT name_a, name_b,
+               CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist,
+               CAST(n_a * n_b AS BIGINT) AS n_pairs
+        FROM cand WHERE levenshtein(name_a, name_b) <= {NAME_EDIT_MAX}
+        UNION ALL
+        SELECT p_name, p_name, 0, CAST(n * (n - 1) / 2 AS BIGINT)
+        FROM nv
     """,
     "near_dup_threshold_sweep_check": f"""
         WITH {_SHINGLE_DUCK},
@@ -1840,14 +1926,33 @@ ORACLES["sorted_neighborhood_pairs"] = f"""
 ORACLES["er_candidate_pairs"] = f"""
     WITH sn AS ({ORACLES["sorted_neighborhood_pairs"]}),
     blocks AS (SELECT p_name, split_part(p_name, ' ', 2) AS block
-               FROM (SELECT DISTINCT p_name FROM part)),
+               FROM (SELECT DISTINCT p_name FROM part)
+               WHERE split_part(p_name, ' ', 2) <> ''),
+    tbsz AS (SELECT block, count(*) AS c FROM blocks GROUP BY block),
+    tsmall AS (SELECT blocks.p_name, blocks.block
+               FROM blocks JOIN tbsz USING (block)
+               WHERE c <= {ER_BLOCK_CAP}),
+    tbig AS (SELECT blocks.p_name,
+                    blocks.block || '|' || split_part(blocks.p_name, ' ', 1)
+                      AS rblock
+             FROM blocks JOIN tbsz USING (block) WHERE c > {ER_BLOCK_CAP}),
+    trsz AS (SELECT rblock, count(*) AS c FROM tbig GROUP BY rblock),
+    trok AS (SELECT tbig.p_name, tbig.rblock
+             FROM tbig JOIN trsz USING (rblock) WHERE c <= {ER_BLOCK_CAP}),
+    tcand AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM tsmall a JOIN tsmall b
+        ON a.block = b.block AND a.p_name < b.p_name
+      UNION ALL
+      SELECT a.p_name, b.p_name
+      FROM trok a JOIN trok b
+        ON a.rblock = b.rblock AND a.p_name < b.p_name
+    ),
     tb AS (
-      SELECT a.p_name AS name_a, b.p_name AS name_b,
-             CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
-      FROM blocks a JOIN blocks b ON a.block = b.block
-      WHERE a.p_name < b.p_name
-        AND a.block <> ''
-        AND levenshtein(a.p_name, b.p_name) <= {NAME_EDIT_MAX}
+      SELECT name_a, name_b,
+             CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist
+      FROM tcand
+      WHERE levenshtein(name_a, name_b) <= {NAME_EDIT_MAX}
     )
     SELECT DISTINCT name_a, name_b, edit_dist
     FROM (SELECT * FROM sn UNION ALL SELECT * FROM tb)

@@ -2549,3 +2549,80 @@ def test_margin_mining_prefers_reciprocal_pairs(spark):
     fx = load_tables(spark, SF_DIR)
     chk = similarity.bitext_ann_agreement_check(fx).first()
     assert chk["agree_ok"] and chk["n_exact"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Round 11: capped+refined ER blocking (VERDICT r10 §1), SimHash sub-band
+# refinement + degenerate gating (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+
+def test_name_blocking_matches_uncapped_join(spark):
+    """VERDICT r10 §1: the capped posting-list candidate build must emit
+    EXACTLY the pair set of the former broadcast block self-join on any
+    corpus where no block exceeds ER_BLOCK_CAP (the fixture vocab)."""
+
+    def old_form(part_df):
+        names = (
+            part_df.groupBy("p_name")
+            .agg(F.count("*").alias("n"))
+            .withColumn("block", F.get(F.split("p_name", " "), 1))
+            .where(F.col("block").isNotNull() & (F.col("block") != ""))
+        )
+        a, b = names.alias("a"), names.alias("b")
+        dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        return (
+            a.join(b, F.col("a.block") == F.col("b.block"))
+            .where(F.col("a.p_name") <= F.col("b.p_name"))
+            .where(dist <= dedup.NAME_EDIT_MAX)
+            .select(
+                F.col("a.p_name").alias("name_a"),
+                F.col("b.p_name").alias("name_b"),
+                dist.alias("edit_dist"),
+                F.when(
+                    F.col("a.p_name") == F.col("b.p_name"),
+                    (F.col("a.n") * (F.col("a.n") - 1) / 2).cast("long"),
+                )
+                .otherwise(F.col("a.n") * F.col("b.n"))
+                .alias("n_pairs"),
+            )
+        )
+
+    t = load_tables(spark, SF_DIR)
+    got = {tuple(r) for r in dedup.name_near_dup_pairs(t).collect()}
+    want = {tuple(r) for r in old_form(t["part"]).collect()}
+    assert got == want
+    assert any(a != b for a, b, *_ in got)  # non-self pairs exist at sf
+
+
+def test_name_blocking_mega_block_refined_and_capped(spark):
+    """A mega-block (one second token shared by far more than
+    ER_BLOCK_CAP names) must be REFINED by first token — near-dups inside
+    a refined sub-block still pair — while a refined block still over cap
+    is dropped loudly instead of exploding one task quadratically."""
+    cap = dedup.ER_BLOCK_CAP
+    # 6 first-token groups x 100 names (block size 600 > cap): every
+    # group under cap after refinement; one planted near-dup pair in g0
+    rows = [f"g{i % 6} zzz n{i}" for i in range(6 * 100)]
+    rows += ["g0 zzz ab", "g0 zzz ac"]
+    # refined-but-still-hot family: same first token throughout, > cap
+    rows += [f"same yyy n{i}" for i in range(cap + 100)]
+    rows += ["same yyy ab", "same yyy ac"]
+    t = {"part": spark.createDataFrame([(v,) for v in rows], "p_name string")}
+
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in dedup.name_near_dup_pairs(t).collect()
+        if r["name_a"] != r["name_b"]
+    }
+    assert ("g0 zzz ab", "g0 zzz ac") in got
+    # every cross pair stays within one refined sub-block (same 1st token)
+    assert all(a.split()[0] == b.split()[0] for a, b in got)
+    # the still-over-cap refined family is dropped loudly: no yyy pairs
+    assert not any("yyy" in a for a, _ in got)
+    # the other candidate generators share the capped build
+    cand = {
+        (r["name_a"], r["name_b"])
+        for r in dedup.er_candidate_pairs(t).collect()
+    }
+    assert ("g0 zzz ab", "g0 zzz ac") in cand
