@@ -328,21 +328,47 @@ def prior_round_floors() -> dict:
         except Exception:
             return None
 
+    def commit_round(rev: str) -> int:
+        """Round id of a commit = highest N among the CORRECTNESS_r{N}
+        markers in its tree (ADVICE r10: the detail file is committed
+        2-3× per round, so counting COMMITS collapses the floor lookback
+        to ~1 round; rounds are the unit the floor hardening promised)."""
+        try:
+            out = subprocess.run(
+                ["git", "-C", root, "ls-tree", "--name-only", rev],
+                capture_output=True, text=True, timeout=30,
+            ).stdout
+        except Exception:
+            return 0
+        ns = [int(m.group(1))
+              for m in re.finditer(r"CORRECTNESS_r(\d+)\.json", out)]
+        return max(ns, default=0)
+
     head = show("HEAD") or {}
-    # commits that touched the detail file, newest first
+    head["_floor_round"] = commit_round("HEAD")
+    # commits that touched the detail file, newest first — fetch well
+    # beyond the per-round commit cadence, then dedupe to one (the
+    # newest = that round's accepted final state) per round id
     try:
         revs = subprocess.run(
-            ["git", "-C", root, "log", f"-{REPLAY_FLOOR_ROUNDS}",
+            ["git", "-C", root, "log", "-40",
              "--format=%H", "--", "BENCH_DETAIL.json"],
             capture_output=True, text=True, timeout=30,
         ).stdout.split()
     except Exception:
         revs = []
-    steadies = []
+    steadies: list[float] = []
+    seen_rounds: set[int] = set()
     for rev in revs:
+        rnd = commit_round(rev)
+        if rnd in seen_rounds:
+            continue
+        seen_rounds.add(rnd)
         d = show(rev)
         if d and isinstance(d.get("taxi_replay_steady_rows_per_sec"), (int, float)):
             steadies.append(d["taxi_replay_steady_rows_per_sec"])
+        if len(steadies) >= REPLAY_FLOOR_ROUNDS:
+            break
     if steadies:
         head["taxi_replay_steady_rows_per_sec"] = max(steadies)
     return head
@@ -360,17 +386,24 @@ REPLAY_FLOOR_SLACK = 1.15
 #: DECLARED, documented cost shifts (see COVERAGE.md round receipts): the
 #: cross-round guard reports these under `expected_shifts` WITH the
 #: reason instead of as regressions — the r9 er_entity_clusters pattern
-#: (union candidate source, ~10× candidate graph) made mechanical. An
-#: entry is inert after one round: the new time becomes the next floor.
-EXPECTED_SHIFTS = {
+#: (union candidate source, ~10× candidate graph) made mechanical.
+#: ROUND-SCOPED (ADVICE r10: an unconditional name match would mask any
+#: FUTURE slowdown of the same query behind a stale reason forever):
+#: each entry is (declared_round, reason) and applies only while the
+#: committed floor predates the declared round — once that round's
+#: BENCH_DETAIL lands, the shifted time IS the floor and the entry goes
+#: inert mechanically.
+EXPECTED_SHIFTS: dict[str, tuple[int, str]] = {
     "knn_graph_triangles": (
+        10,
         "r10: edge build repointed at the IVF-routed ANN route — the"
         " quantizer lifecycle (offline-trained at 100 TB) dominates at"
-        " sf0.1's 2k vectors; growth, not toy-scale time, is the win"
+        " sf0.1's 2k vectors; growth, not toy-scale time, is the win",
     ),
     "label_propagation_knn": (
+        10,
         "r10: same ANN edge repoint (edge list built once,"
-        " localCheckpoint shared by both directions)"
+        " localCheckpoint shared by both directions)",
     ),
 }
 
@@ -527,8 +560,10 @@ def main() -> None:
         record(name)
         contention_remeasures[name] = [before, timings[name]]
         if timings[name] > CROSS_ROUND_FACTOR * prior_min[name]:
-            if name in EXPECTED_SHIFTS:
-                expected_shifts[name] = EXPECTED_SHIFTS[name]
+            declared = EXPECTED_SHIFTS.get(name)
+            floor_round = prior.get("_floor_round", 0)
+            if declared and declared[0] > floor_round:
+                expected_shifts[name] = declared[1]
             else:
                 regression_suspects.append(name)
         else:

@@ -1056,6 +1056,12 @@ def simhash_fingerprints(t: Tables) -> DataFrame:
     token) — this form has zero shuffle and is ~10× faster; at 100 TB a
     constant-width fingerprint per document out of a map stage is exactly
     what a hamming-distance near-dup pass wants.
+
+    Token-less documents (empty / all-whitespace text) fingerprint to
+    NULL, not 0 (ADVICE r10: a non-empty document can legitimately
+    bit-majority to 0 — every vote non-positive — and gating downstream
+    exclusions on the VALUE would silently drop it from near-dup
+    detection; NULL gates on the actual degenerate condition).
     """
 
     def simhash_batches(batches):
@@ -1070,7 +1076,7 @@ def simhash_fingerprints(t: Tables) -> DataFrame:
                 ws = text.strip().split()
                 if not ws:
                     ids.append(doc_id)
-                    fps.append(0)
+                    fps.append(None)
                     continue
                 h = np.fromiter(
                     (
@@ -1090,7 +1096,11 @@ def simhash_fingerprints(t: Tables) -> DataFrame:
                         fp |= np.uint64(1) << np.uint64(b)
                 ids.append(doc_id)
                 fps.append(int(fp.astype("int64")))  # two's-complement into long
-            yield pd.DataFrame({"doc_id": ids, "simhash": fps})
+            # nullable Int64: None (token-less doc) must survive the
+            # Arrow transfer as SQL NULL, not coerce the column to float
+            yield pd.DataFrame(
+                {"doc_id": ids, "simhash": pd.array(fps, dtype="Int64")}
+            )
 
     return t["documents"].select("doc_id", "text").mapInPandas(
         simhash_batches, schema="doc_id bigint, simhash bigint"
@@ -1187,11 +1197,12 @@ def containment_pairs(
 #: containment-c pair with sizes m ≤ M has j = c·m / (m + M − c·m), so
 #: near-equal-size subsets collide like ordinary near-dups while extreme
 #: size-ratio quotes (M ≫ m → j → c·m/M) are the recall tail — the
-#: documented approximation axis of the banded route. Measured at
-#: sf0.001/0.01 the band candidates cover the exact set comfortably above
-#: this floor; a corpus of pathological 100×-size quotes would need more
-#: bands or a prefix-sampled candidate source.
-CONTAINMENT_RECALL_PCT = 60
+#: documented approximation axis of the banded route. Measured recall is
+#: 100% at sf0.001/0.01/0.1, so the floor sits at 90 (VERDICT r10 §5 —
+#: a 60 floor would keep a silent one-third recall loss green); a corpus
+#: of pathological 100×-size quotes would need more bands or a
+#: prefix-sampled candidate source, and would trip this loudly first.
+CONTAINMENT_RECALL_PCT = 90
 
 
 def containment_pairs_banded(t: Tables) -> DataFrame:
@@ -1290,58 +1301,48 @@ SIMHASH_HAM_MAX = 3
 SIMHASH_BANDS = 4
 _SIMHASH_BAND_BITS = 64 // SIMHASH_BANDS
 
+#: sub-band refinement of over-cap simhash band buckets (ADVICE r10):
+#: the 16-bit band key space is FIXED, so bucket occupancy grows linearly
+#: with corpus size and beyond ~BAND_BUCKET_CAP·2^16 docs per band a flat
+#: cap would drop essentially every candidate on a perfectly benign
+#: corpus. Instead, members of an over-cap bucket are re-keyed by the
+#: SIMHASH_SUBBANDS disjoint 12-bit chunks of their REMAINING 48 bits
+#: (one row per chunk — replication is the "overlap" that preserves the
+#: pigeonhole guarantee): a pair that agrees on band b with hamming ≤
+#: SIMHASH_HAM_MAX has at most SIMHASH_HAM_MAX dirty bits in the other
+#: 48, which can dirty at most SIMHASH_HAM_MAX of the SIMHASH_HAM_MAX+1
+#: chunks — so the pair still shares ≥1 sub-bucket. Refined key space is
+#: 16+12 = 28 bits; only a sub-bucket still over cap (an identical-
+#: fingerprint template family — exact-dedup territory) is dropped, and
+#: then :func:`simhash_band_check` goes loudly false.
+SIMHASH_SUBBANDS = SIMHASH_HAM_MAX + 1
+_SIMHASH_SUB_BITS = (64 - _SIMHASH_BAND_BITS) // SIMHASH_SUBBANDS
 
-def simhash_near_dup_pairs(t: Tables) -> DataFrame:
-    """SimHash near-duplicate pairs via pigeonhole banding — the step
-    that turns :func:`simhash_fingerprints`' constant-width fingerprints
-    into pairs at scale: explode each fingerprint into SIMHASH_BANDS
-    disjoint 16-bit band keys, bucket-join on the band key (candidates
-    = same-band collisions only, never all-pairs), verify with the
-    exact ``bit_count(xor)`` hamming distance. Within the fingerprint
-    space the output is EXACTLY the hamming ≤ SIMHASH_HAM_MAX pair set
-    (pigeonhole completeness + exact verification), asserted as data by
-    :func:`simhash_band_check` and pinned by test.
 
-    100 TB posture (VERDICT r9 §4 hardening): the banded frame is
-    4 rows/doc of (16-byte key, fingerprint), and the two degenerate-key
-    defenses both run BEFORE any pair is generated — (a) the all-zero
-    fingerprint (empty/whitespace docs: no tokens → every bit-majority 0)
-    is dropped up front, symmetric with :func:`simhash_band_check`'s
-    brute-force side, since "both texts are empty" is exact-dedup
-    territory, not a hamming signal; (b) band buckets are built as
-    CAPPED posting lists (``BAND_BUCKET_CAP``, same bound as
-    :func:`_band_bucket_pairs`) so a boilerplate band shared by
-    thousands of docs is dropped instead of exploding quadratically
-    inside one task. The cap never bites on benign corpora (a >512-doc
-    identical band is a template family); when it does, the band check
-    goes loudly false rather than silently slow. crc32-based
-    fingerprints aren't reproducible in DuckDB → rows-only driver
-    check; the band check carries the completeness contract as data."""
-    from ..tables import persist_replacing
+def _simhash_rem48(b: int):
+    """The 48 non-band-``b`` bits of ``simhash`` as one packed value —
+    plan-time per-band expression (shift counts are Python ints, so the
+    Java mod-64 shift pitfall at b = SIMHASH_BANDS-1 is avoided
+    explicitly)."""
+    low_bits = _SIMHASH_BAND_BITS * b
+    if b == SIMHASH_BANDS - 1:
+        return F.col("simhash").bitwiseAND(
+            F.lit((1 << (64 - _SIMHASH_BAND_BITS)) - 1)
+        )
+    high = F.shiftrightunsigned(
+        F.col("simhash"), _SIMHASH_BAND_BITS * (b + 1)
+    )
+    if b == 0:
+        return high
+    low = F.col("simhash").bitwiseAND(F.lit((1 << low_bits) - 1))
+    return low.bitwiseOR(F.shiftleft(high, low_bits))
 
-    fps = persist_replacing(
-        simhash_fingerprints(t), "dedup.simhash_fps"
-    )
-    bands = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                F.shiftrightunsigned(
-                    F.col("simhash"), b * _SIMHASH_BAND_BITS
-                ).bitwiseAND(F.lit((1 << _SIMHASH_BAND_BITS) - 1)),
-            )
-            for b in range(SIMHASH_BANDS)
-        ]
-    )
-    banded = fps.where(F.col("simhash") != 0).select(
-        "doc_id", "simhash", F.explode(bands).alias("bk")
-    )
-    posting = banded.groupBy("bk").agg(
-        F.array_sort(
-            F.collect_list(F.struct("doc_id", "simhash"))
-        ).alias("ds")
-    )
-    pairs = (
+
+def _fps_posting_pairs(posting: DataFrame) -> DataFrame:
+    """Capped C(k,2) pair explode of a ``(key, ds:[struct(doc_id,
+    simhash)])`` posting frame — shared by the band level and the
+    sub-band refinement level."""
+    return (
         posting.where(
             (F.size("ds") >= 2) & (F.size("ds") <= BAND_BUCKET_CAP)
         )
@@ -1357,6 +1358,70 @@ def simhash_near_dup_pairs(t: Tables) -> DataFrame:
         )
         .select("p.id_a", "p.id_b", "p.f_a", "p.f_b")
     )
+
+
+def _simhash_pairs_from_fps(fps: DataFrame) -> DataFrame:
+    """Banded + sub-band-refined near-dup pairs from a ``(doc_id,
+    simhash)`` fingerprint frame (NULL fingerprints already excluded by
+    the caller). Exactness argument in :func:`simhash_near_dup_pairs`."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.xxhash64(
+                    F.lit(b),
+                    F.shiftrightunsigned(
+                        F.col("simhash"), b * _SIMHASH_BAND_BITS
+                    ).bitwiseAND(F.lit((1 << _SIMHASH_BAND_BITS) - 1)),
+                ).alias("bk"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = fps.select(
+        "doc_id", "simhash", F.explode(bands).alias("e")
+    ).select("doc_id", "simhash", "e.b", "e.bk")
+    posting = banded.groupBy("b", "bk").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "simhash"))
+        ).alias("ds")
+    )
+    lvl0 = _fps_posting_pairs(posting)
+    # over-cap buckets: re-key members by the 12-bit chunks of their
+    # remaining 48 bits (see SIMHASH_SUBBANDS) and re-cap
+    rem = _simhash_rem48(SIMHASH_BANDS - 1)
+    for b in range(SIMHASH_BANDS - 1):
+        rem = F.when(F.col("b") == b, _simhash_rem48(b)).otherwise(rem)
+    sub_keys = F.array(
+        *[
+            F.xxhash64(
+                F.col("bk"),
+                F.lit(c),
+                F.shiftrightunsigned(rem, c * _SIMHASH_SUB_BITS).bitwiseAND(
+                    F.lit((1 << _SIMHASH_SUB_BITS) - 1)
+                ),
+            )
+            for c in range(SIMHASH_SUBBANDS)
+        ]
+    )
+    sub_posting = (
+        posting.where(F.size("ds") > BAND_BUCKET_CAP)
+        .select("b", "bk", F.explode("ds").alias("m"))
+        .select(
+            F.col("m.doc_id").alias("doc_id"),
+            F.col("m.simhash").alias("simhash"),
+            "b",
+            "bk",
+        )
+        .select("doc_id", "simhash", F.explode(sub_keys).alias("sk"))
+        .groupBy("sk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
+        )
+    )
+    pairs = lvl0.unionByName(_fps_posting_pairs(sub_posting))
     ham = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b")))
     return (
         pairs.select("id_a", "id_b", ham.cast("int").alias("hamming"))
@@ -1365,17 +1430,54 @@ def simhash_near_dup_pairs(t: Tables) -> DataFrame:
     )
 
 
+def simhash_near_dup_pairs(t: Tables) -> DataFrame:
+    """SimHash near-duplicate pairs via pigeonhole banding — the step
+    that turns :func:`simhash_fingerprints`' constant-width fingerprints
+    into pairs at scale: explode each fingerprint into SIMHASH_BANDS
+    disjoint 16-bit band keys, bucket the band keys (candidates =
+    same-band collisions only, never all-pairs), verify with the
+    exact ``bit_count(xor)`` hamming distance. Within the fingerprint
+    space the output is EXACTLY the hamming ≤ SIMHASH_HAM_MAX pair set
+    (pigeonhole completeness + exact verification), asserted as data by
+    :func:`simhash_band_check` and pinned by test.
+
+    100 TB posture: the banded frame is 4 rows/doc of (key,
+    fingerprint); band buckets are CAPPED posting lists
+    (``BAND_BUCKET_CAP``) so a degenerate band key can't pin one task to
+    quadratic work — but because the 16-bit band key space saturates at
+    corpus scale (ADVICE r10), over-cap buckets are SUB-BAND REFINED
+    (:data:`SIMHASH_SUBBANDS` — 12-bit chunks of the remaining 48 bits,
+    replicated so the pigeonhole guarantee survives refinement) rather
+    than dropped; only a sub-bucket still over cap (an identical-
+    fingerprint template family) is dropped, and then the band check
+    goes loudly false rather than silently slow. Token-less documents
+    fingerprint to NULL and are excluded by IS NOT NULL — the actual
+    degenerate condition, not the fingerprint VALUE (ADVICE r10: a
+    legitimate all-zero fingerprint stays in). crc32-based fingerprints
+    aren't reproducible in DuckDB → rows-only driver check; the band
+    check carries the completeness contract as data."""
+    from ..tables import persist_replacing
+
+    fps = persist_replacing(
+        simhash_fingerprints(t), "dedup.simhash_fps"
+    )
+    return _simhash_pairs_from_fps(fps.where(F.col("simhash").isNotNull()))
+
+
 def simhash_band_check(t: Tables) -> DataFrame:
     """Driver-checked completeness/precision contract for
     :func:`simhash_near_dup_pairs` (itself rows-only): one row with the
     SQL-recomputable document count and two flags — the banded pair set
     EQUALS the brute-force hamming ≤ SIMHASH_HAM_MAX set (pigeonhole
-    says no pair can be missed; the full-outer comparison proves it as
+    says no pair can be missed — through the sub-band refinement level,
+    see :data:`SIMHASH_SUBBANDS`; the full-outer comparison proves it as
     data) and contains nothing outside it. The brute-force side is the
     deliberate exact baseline (all-pairs bit_count over the fingerprint
     frame — check-priced, never the production path). Capped semantics
-    are the spec on BOTH sides: the all-zero degenerate fingerprint is
-    excluded here exactly as the production op excludes it, and the
+    are the spec on BOTH sides: token-less documents (NULL fingerprint —
+    the actual degenerate condition, ADVICE r10) are excluded here
+    exactly as the production op excludes them, and ``n_excluded``
+    publishes that exclusion as a SQL-recomputable field; the
     hot-bucket cap (which the brute force cannot mirror) is chosen so a
     cap-induced miss flips ``complete_ok`` false LOUDLY rather than
     passing a silently-reduced pair set."""
@@ -1385,9 +1487,10 @@ def simhash_band_check(t: Tables) -> DataFrame:
         simhash_fingerprints(t), "dedup.simhash_fps"
     )
     # brute-force side mirrors the production op's degenerate-fingerprint
-    # exclusion; n_docs below stays the FULL document count (the
-    # SQL-recomputable field — crc32 keeps "nonzero simhash" out of SQL)
-    nz = fps.where(F.col("simhash") != 0)
+    # exclusion; n_docs below stays the FULL document count (crc32 keeps
+    # fingerprint VALUES out of SQL, but "has no tokens" is
+    # SQL-recomputable — hence n_excluded)
+    nz = fps.where(F.col("simhash").isNotNull())
     a = nz.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("f_a"))
     b2 = nz.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("f_b"))
     ham = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b")))
@@ -1404,9 +1507,13 @@ def simhash_band_check(t: Tables) -> DataFrame:
         F.count(F.when(F.col("in_banded").isNull(), 1)).alias("n_missed"),
         F.count(F.when(F.col("in_exact").isNull(), 1)).alias("n_outside"),
     )
-    n_docs = fps.agg(F.count("*").alias("n_docs"))
-    return n_docs.crossJoin(flags).select(
+    counts = fps.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("simhash").isNull(), 1)).alias("n_excluded"),
+    )
+    return counts.crossJoin(flags).select(
         "n_docs",
+        "n_excluded",
         (F.col("n_missed") == 0).alias("complete_ok"),
         (F.col("n_outside") == 0).alias("subset_ok"),
     )
@@ -1626,10 +1733,15 @@ ORACLES: dict[str, str] = {
         SELECT count(*) AS n_pairs, TRUE AS locality_ok FROM jc
     """,
     # simhash_near_dup_pairs: rows-only (crc32 fingerprints); the band
-    # check's doc count is SQL-recomputable and the oracle expects both
-    # pigeonhole flags TRUE — the completeness contract as data
-    "simhash_band_check": """
+    # check's doc counts are SQL-recomputable and the oracle expects both
+    # pigeonhole flags TRUE — the completeness contract as data.
+    # n_excluded = token-less docs (no non-whitespace character — the
+    # NULL-fingerprint degenerate condition, ADVICE r10); ASCII
+    # whitespace on both engines, pinned by test on constructed frames.
+    "simhash_band_check": r"""
         SELECT count(*) AS n_docs,
+               count(*) FILTER (WHERE NOT regexp_matches(text, '\S'))
+                 AS n_excluded,
                TRUE AS complete_ok,
                TRUE AS subset_ok
         FROM documents

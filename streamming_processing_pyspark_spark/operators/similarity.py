@@ -609,8 +609,9 @@ def bitext_margin_pairs_ann(t: Tables) -> DataFrame:
     return _margin_pairs_from(hard_negative_mining_ann(t))
 
 
-#: best-pair agreement bound for the ANN margin miner (percent)
-BITEXT_AGREE_PCT = 60
+#: best-pair agreement bound for the ANN margin miner (percent) —
+#: measured 100% at sf0.001/0.01/0.1, floored at 90 (VERDICT r10 §5)
+BITEXT_AGREE_PCT = 90
 
 
 def bitext_ann_agreement_check(t: Tables) -> DataFrame:
@@ -986,11 +987,20 @@ def _mmr_oracle_sql(k: int) -> str:
 
 #: recall bounds the driver-checked ANN-kNN claims assert (percent):
 #: multi-probe IVF routing misses a true neighbor only when query and
-#: neighbor share no probed branch/cell; measured agreement at
-#: sf0.001/0.01 sits comfortably above these floors.
-ANN_KNN_RECALL_PCT = 60
-KNN_EDGE_RECALL_PCT = 60
-HARDNEG_RECALL_PCT = 60
+#: neighbor share no probed branch/cell. Measured recall is 100% at
+#: sf0.001/0.01/0.1, so the floors sit at 90 (VERDICT r10 §5: a 60
+#: floor would have let a silent regression to 65% — a third of
+#: duplicate clusters missed at 100 TB — keep every check green; 90
+#: still leaves margin for benign quantizer-seed drift).
+ANN_KNN_RECALL_PCT = 90
+KNN_EDGE_RECALL_PCT = 90
+HARDNEG_RECALL_PCT = 90
+
+#: band for the ANN/exact mutual-edge COUNT ratio (percent, ADVICE r10):
+#: recall alone cannot see spurious-edge inflation; measured ratio is
+#: 100% at all three SFs.
+KNN_EDGE_RATIO_LO_PCT = 90
+KNN_EDGE_RATIO_HI_PCT = 110
 
 
 def _ann_topk_candidates(t: Tables, k: int, with_label: bool) -> DataFrame:
@@ -1192,9 +1202,13 @@ def _mutual_knn_edges_exact(t: Tables) -> DataFrame:
 def knn_edge_agreement_check(t: Tables) -> DataFrame:
     """DuckDB-checkable contract for the production ANN edge build: one
     row with the EXACT mutual-kNN edge count (SQL-recomputable via the
-    same edge CTE the old triangle oracle used) and a recall flag — ≥
+    same edge CTE the old triangle oracle used), a recall flag — ≥
     KNN_EDGE_RECALL_PCT% of exact mutual edges are present in the ANN
-    edge set. Everything downstream of the edge list (triangles, label
+    edge set — and an edge-COUNT ratio band flag (ADVICE r10: recall
+    alone cannot see spurious-edge inflation, and a loose floor lets
+    large silent edge loss stay green; the band pins |ANN| within
+    [KNN_EDGE_RATIO_LO_PCT, KNN_EDGE_RATIO_HI_PCT]% of |exact|).
+    Everything downstream of the edge list (triangles, label
     propagation) is degree-bounded linear either way; this check
     quantifies the one approximation the repoint introduced."""
     exact = _mutual_knn_edges_exact(t).select(
@@ -1204,6 +1218,7 @@ def knn_edge_agreement_check(t: Tables) -> DataFrame:
     j = exact.join(ann, ["a", "b"], "full_outer")
     return j.agg(
         F.count("in_exact").alias("n_exact_edges"),
+        F.count("in_ann").alias("n_ann_edges"),
         F.count(
             F.when(F.col("in_exact").isNotNull(), F.col("in_ann"))
         ).alias("n_hit"),
@@ -1213,6 +1228,16 @@ def knn_edge_agreement_check(t: Tables) -> DataFrame:
             F.lit(100) * F.col("n_hit")
             >= F.lit(KNN_EDGE_RECALL_PCT) * F.col("n_exact_edges")
         ).alias("recall_ok"),
+        (
+            (
+                F.lit(100) * F.col("n_ann_edges")
+                >= F.lit(KNN_EDGE_RATIO_LO_PCT) * F.col("n_exact_edges")
+            )
+            & (
+                F.lit(100) * F.col("n_ann_edges")
+                <= F.lit(KNN_EDGE_RATIO_HI_PCT) * F.col("n_exact_edges")
+            )
+        ).alias("edge_ratio_ok"),
     )
 
 
@@ -1687,6 +1712,19 @@ def lsh_theta_recall_check(t: Tables) -> DataFrame:
             >= F.lit(LSH_THETA_RECALL_PCT) * F.col("n_exact")
         ).alias("recall_ok"),
     )
+
+
+def embedding_near_dup_pairs_theta(t: Tables) -> DataFrame:
+    """Exact cosine pairs at the SemDeDup operating point
+    (SEMDEDUP_THRESHOLD) — the HASH-GREEN exact twin of
+    :func:`lsh_pairs_at_theta` (VERDICT r10 §4: the synthetic embedding
+    fixtures top out at cosine ~0.51, so the 0.95-threshold
+    `embedding_near_dup_pairs` / `lsh_bucketed_pairs` driver rows had
+    only ever value-checked the EMPTY pair set across ten rounds; this
+    row drives the same blocked-matmul path over real pairs — 59 at
+    sf0.01 — with a value-hashed DuckDB oracle, and the fixtures are
+    immutable so the operating point, not the data, moves)."""
+    return _all_pairs_at(t, SEMDEDUP_THRESHOLD)
 
 
 #: CORPUS-SIZED TUNING: the classic IVF setting is n_centroids ≈ √n with
@@ -2859,7 +2897,9 @@ ORACLES: dict[str, str] = {
     # downstream algebra) against _triangles_oracle_sql/_lpa_oracle_sql.
     "knn_edge_agreement_check": f"""
         WITH {_knn_edge_cte()}
-        SELECT count(*) AS n_exact_edges, TRUE AS recall_ok FROM e
+        SELECT count(*) AS n_exact_edges, TRUE AS recall_ok,
+               TRUE AS edge_ratio_ok
+        FROM e
     """,
     "embedding_centroid_drift": f"""
         WITH e AS (

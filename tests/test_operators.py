@@ -2325,14 +2325,17 @@ def test_band_bucket_cap_bounds_degenerate_corpus(spark):
 
 
 def test_simhash_degenerate_fingerprints_excluded(spark):
-    """Empty/whitespace docs fingerprint to 0 (no tokens → every
-    bit-majority 0); they must never band-join each other into bogus
-    hamming-0 'near-dups', and the band check must stay green because the
-    brute-force side mirrors the exclusion."""
+    """Empty/whitespace docs fingerprint to NULL (no tokens — the actual
+    degenerate condition, ADVICE r10, not the VALUE 0); they must never
+    band-join each other into bogus hamming-0 'near-dups', the band check
+    must stay green because the brute-force side mirrors the exclusion,
+    and n_excluded publishes the exclusion as SQL-recomputable data."""
     base = "the quick brown fox jumps over the lazy dog again " * 4
     rows = [(0, base), (1, base.replace("lazy", "sleepy"))]
     rows += [(10 + i, "   " if i % 2 else "") for i in range(50)]
     t = {"documents": spark.createDataFrame(rows, "doc_id long, text string")}
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(t).collect()}
+    assert fps[10] is None and fps[0] is not None
     pairs = {
         (r["id_a"], r["id_b"])
         for r in dedup.simhash_near_dup_pairs(t).collect()
@@ -2341,6 +2344,7 @@ def test_simhash_degenerate_fingerprints_excluded(spark):
     chk = dedup.simhash_band_check(t).first()
     assert chk["complete_ok"] and chk["subset_ok"]
     assert chk["n_docs"] == 52  # SQL-recomputable field: ALL docs
+    assert chk["n_excluded"] == 50
 
 
 def test_sorted_neighborhood_range_form_equals_global_window(spark):
@@ -2501,6 +2505,7 @@ def test_ann_knn_route_properties(spark):
     assert similarity.hardneg_recall_check(t).first()["recall_ok"]
     edge_chk = similarity.knn_edge_agreement_check(t).first()
     assert edge_chk["recall_ok"]
+    assert edge_chk["edge_ratio_ok"]
     assert edge_chk["n_exact_edges"] > 0
 
 
@@ -2626,3 +2631,79 @@ def test_name_blocking_mega_block_refined_and_capped(spark):
         for r in dedup.er_candidate_pairs(t).collect()
     }
     assert ("g0 zzz ab", "g0 zzz ac") in cand
+
+
+def _brute_hamming_pairs(fps, ham_max):
+    out = set()
+    items = sorted(fps.items())
+    for i, (ia, fa) in enumerate(items):
+        for ib, fb in items[i + 1:]:
+            if ((fa ^ fb) & 0xFFFFFFFFFFFFFFFF).bit_count() <= ham_max:
+                out.add((ia, ib))
+    return out
+
+
+def test_simhash_subband_refinement_preserves_completeness(spark):
+    """ADVICE r10 (medium): the 16-bit band key space saturates at corpus
+    scale, so an over-cap band bucket must be SUB-BAND REFINED (12-bit
+    chunks of the remaining 48 bits, replicated per chunk) rather than
+    dropped — a benign corpus whose docs happen to share one band value
+    keeps full pigeonhole completeness. Constructed: every doc shares
+    band 0 (bucket >> BAND_BUCKET_CAP), remainders diverse; one planted
+    pair differs by exactly one bit in EACH of bands 1-3, so it agrees on
+    no band except the over-cap one — only the refinement path can emit
+    it."""
+    import random
+
+    rng = random.Random(11)
+    shared_band0 = 0x1234
+    n = dedup.BAND_BUCKET_CAP + 40
+    raw = {}
+    seen = set()
+    for i in range(n):
+        hi = rng.getrandbits(48)
+        while hi in seen:
+            hi = rng.getrandbits(48)
+        seen.add(hi)
+        raw[i] = (hi << 16) | shared_band0
+    # planted near-dup: one dirty bit in each of bands 1, 2 and 3
+    raw[1000] = raw[0] ^ (1 << 20) ^ (1 << 40) ^ (1 << 60)
+    want = _brute_hamming_pairs(raw, dedup.SIMHASH_HAM_MAX)
+    assert (0, 1000) in want
+
+    def to_long(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    fps = spark.createDataFrame(
+        [(i, to_long(v)) for i, v in raw.items()],
+        "doc_id long, simhash bigint",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup._simhash_pairs_from_fps(fps).collect()
+    }
+    assert got == want
+
+    # identical-fingerprint template family > cap: still dropped loudly
+    # (sub-buckets inherit the full bucket — exact-dedup territory)
+    tmpl = spark.createDataFrame(
+        [(i, 0x0F0F0F0F) for i in range(dedup.BAND_BUCKET_CAP + 8)],
+        "doc_id long, simhash bigint",
+    )
+    assert dedup._simhash_pairs_from_fps(tmpl).count() == 0
+
+
+def test_simhash_zero_fingerprint_is_legitimate(spark):
+    """ADVICE r10: a fingerprint that happens to equal 0 (every
+    bit-majority non-positive on a real token stream) is a legitimate
+    document and must participate in near-dup detection — the exclusion
+    gates on the NULL degenerate condition only."""
+    fps = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, -1)],  # ham(0,1)=1; ham with -1 = 63-64
+        "doc_id long, simhash bigint",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup._simhash_pairs_from_fps(fps).collect()
+    }
+    assert got == {(1, 2, 1)}

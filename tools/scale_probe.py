@@ -52,6 +52,30 @@ from streamming_processing_pyspark_spark.operators import (
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 KS = [int(k) for k in os.environ.get("SPARK_GRAFT_PROBE_KS", "1,2,4").split(",")]
 
+#: optional comma-separated op filter for targeted re-measures (VERDICT
+#: r10 §3 protocol: single ops, fresh JVM, idle host) — empty = full matrix
+ONLY_OPS = {
+    s for s in os.environ.get("SPARK_GRAFT_PROBE_OPS", "").split(",") if s
+}
+
+#: pair-driven ops whose OUTPUT row count is recorded per k alongside the
+#: timing (VERDICT r10 §3: without the pair-graph size next to α, a
+#: superlinear cell can't be told apart from generator-inflated pair
+#: volume — the k=8 dedup_clusters cliff read as a CC regression when the
+#: question was really "did the pair graph grow linearly?"). The count is
+#: a separate untimed run after the measured ones.
+PAIR_COUNT_OPS = {
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_dup_pairs",
+    "containment_pairs_banded",
+    "winnow_fingerprint_pairs",
+    "knn_join_topk",
+    "embedding_near_dup_pairs",
+    "dedup_clusters",
+    "dedup_clusters_star",
+}
+
 OPS = {
     "exact_dedup": dedup.exact_dedup,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -200,11 +224,16 @@ def scaled_embeddings(emb, k: int):
 
 
 def main() -> None:
+    global OPS, EMB_OPS
+    if ONLY_OPS:
+        OPS = {n: f for n, f in OPS.items() if n in ONLY_OPS}
+        EMB_OPS = {n: f for n, f in EMB_OPS.items() if n in ONLY_OPS}
     spark = get_spark(app_name="scale_probe")
     base = load_tables(spark, SF_DIR)
     results: dict[str, dict[int, float]] = {
         name: {} for name in (*OPS, *EMB_OPS)
     }
+    counts: dict[str, dict[int, int]] = {name: {} for name in PAIR_COUNT_OPS}
     rows: dict[int, int] = {}
     # untimed warm-up pass: whole-stage-codegen compilation and JIT are
     # session-global and land on whichever op runs first — without this,
@@ -244,6 +273,11 @@ def main() -> None:
                 results[name][k] = round(
                     min(warm, time.perf_counter() - t0), 2
                 )
+                if name in PAIR_COUNT_OPS:
+                    # untimed: the pair-graph/output size that CONTEXTS
+                    # the timing (VERDICT r10 §3)
+                    pipeline.clear_cc_memo()
+                    counts[name][k] = fn(t).count()
             except Exception as e:  # noqa: BLE001 — report-and-continue
                 results[name][k] = None
                 print(
@@ -263,7 +297,12 @@ def main() -> None:
             pipeline.clear_cc_memo()
             spark.catalog.clearCache()
             gc.collect()
-            print(f"k={k} {name}: {results[name][k]}s", flush=True)
+            cnote = (
+                f" rows={counts[name][k]:,}"
+                if counts.get(name, {}).get(k) is not None
+                else ""
+            )
+            print(f"k={k} {name}: {results[name][k]}s{cnote}", flush=True)
 
     # extended single-op probe: semantic_dedup_pairs at k=16 (VERDICT r7
     # §2 asked the two-level quantizer to hold α ≤ 0.3 out to k=16; the
@@ -375,6 +414,39 @@ def main() -> None:
         else:
             verdict = f"SUPER-LINEAR (α≈{alpha:.2f})"
         lines.append(f"| {name} | {cells} | ×{ratio:.1f} — {verdict} |")
+
+    # pair-graph context (VERDICT r10 §3): output row counts of the
+    # pair-driven ops per k, with the count exponent beside the time
+    # exponent — a superlinear TIME cell with a ~linear COUNT column is
+    # environment/op, never generator-inflated pair volume.
+    counted = {n: c for n, c in counts.items() if all(k in c for k in KS)}
+    if counted:
+        lines += [
+            "",
+            "## Pair-graph sizes (output rows per k)",
+            "",
+            "The generator contract — per-replica token renaming /",
+            "circular embedding shifts — holds the duplication RATE",
+            "constant, so pair counts should grow ~linearly (count",
+            "exponent ≈ 1). A time exponent far above its count exponent",
+            "is op/environment growth; a count exponent ≫ 1 would mean",
+            "the generator, not the operator, inflated the workload.",
+            "",
+            "| operator | " + " | ".join(f"k={k}" for k in KS)
+            + " | count exponent |",
+            "|---|" + "---|" * (len(KS) + 1),
+        ]
+        for name in sorted(counted):
+            c = counted[name]
+            cr = c[KS[-1]] / c[k0] if c[k0] else float("nan")
+            ce = (
+                math.log(cr) / math.log(KS[-1] / k0)
+                if cr > 0 and KS[-1] > k0
+                else float("nan")
+            )
+            cells = " | ".join(f"{c[k]:,}" for k in KS)
+            lines.append(f"| {name} | {cells} | {ce:.2f} |")
+
     lines += [
         "",
         "Footnotes (by-design shapes, not regressions):",
@@ -423,7 +495,9 @@ def main() -> None:
         "  from the corpus fingerprint index the join probes.",
         "- `dedup_clusters` growth tracks the pair-graph size (CC rounds are",
         "  log-bounded via pointer doubling); at a fixed duplication RATE its",
-        "  input grows linearly with the corpus.",
+        "  input grows linearly with the corpus — the pair-graph table above",
+        "  states the measured count exponent next to the time exponent, so",
+        "  a superlinear time cell is attributable (VERDICT r10 §3).",
         "- `dup_leakage_matrix` inherits its pair source's growth: it is the",
         "  exact `ngram_jaccard_pairs` frame plus pair-sized metadata joins",
         "  and a |sources|²-bounded rollup — registered as the _check of",
