@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine_pudf
 from ..tables import fan_out, persist_replacing
+from .dedup import INCR_BATCH_MOD
 
 Tables = dict[str, DataFrame]
 
@@ -1727,6 +1728,136 @@ def embedding_near_dup_pairs_theta(t: Tables) -> DataFrame:
     return _all_pairs_at(t, SEMDEDUP_THRESHOLD)
 
 
+#: recall floor for the incremental-semantic ingest contract (percent) —
+#: measured 100% at sf0.001/0.01/0.1, floored with margin like the other
+#: ANN contracts (VERDICT r10 §5)
+INCR_SEM_RECALL_PCT = 90
+
+
+def incremental_semantic_pairs(t: Tables) -> DataFrame:
+    """Incremental SEMANTIC dedup ingest — the semantic rung of the
+    incremental ladder (VERDICT r10 §6; MinHash and winnowing already
+    have ingest twins): each vector of an incoming batch
+    (``vec_id % INCR_BATCH_MOD == 0``, the ladder's shared ingest split)
+    probes the CORPUS IVF index — the coarse spherical quantizer trained
+    on the already-ingested corpus only — and is scored with exact
+    rounded cosine against the corpus members of its probed branches;
+    pairs ≥ SEMDEDUP_THRESHOLD emit as (new_id, old_id, cos_sim)
+    near-dup hits, novelty = batch ids that emit nothing.
+
+    Per-drop cost ∝ batch (the incremental contract): at 100 TB the
+    corpus assignment is a PERSISTED table written once at ingest time
+    (here computed inline, exactly like the corpus band keys of
+    ``dedup.incremental_minhash_pairs``); a new drop costs only its own
+    assignment FLOPs plus per-branch batch×members matmuls. The corpus
+    side sits in its HOME branch, the batch side multi-probes
+    (SEMDEDUP_PROBES), so a true neighbor is missed only if its home
+    branch escapes every probe of the batch vector — quantified as
+    driver-checked data by :func:`incremental_semantic_check`. Float
+    k-means isn't SQL-replayable → rows-only; the check is the
+    hash-green contract.
+    """
+    import math
+
+    import numpy as np
+
+    emb = fan_out(
+        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
+    )
+    corpus = emb.where(F.col("vec_id") % INCR_BATCH_MOD != 0)
+    batch = emb.where(F.col("vec_id") % INCR_BATCH_MOD == 0)
+    k_total = max(
+        SEMDEDUP_K, int(corpus.count()) // SEMDEDUP_TARGET_CLUSTER
+    )
+    k_coarse = max(SEMDEDUP_COARSE_MIN, math.isqrt(k_total - 1) + 1)
+    _, assign, corpus = _spherical_kmeans(corpus, k_coarse, SEMDEDUP_ITERS)
+    c_assigned = assign(corpus, probes=1).withColumn("is_new", F.lit(False))
+    b_assigned = assign(batch, probes=SEMDEDUP_PROBES).withColumn(
+        "is_new", F.lit(True)
+    )
+
+    def cross_in_branch(pdf):
+        new = pdf[pdf["is_new"]].sort_values("vec_id", kind="mergesort")
+        old = pdf[~pdf["is_new"]].sort_values("vec_id", kind="mergesort")
+        if not len(new) or not len(old):
+            return pd.DataFrame(
+                {
+                    "new_id": np.array([], dtype="int64"),
+                    "old_id": np.array([], dtype="int64"),
+                    "cos_sim": np.array([], dtype="float64"),
+                }
+            )
+        nm = np.array(new["vec"].tolist(), dtype="float64")
+        om = np.array(old["vec"].tolist(), dtype="float64")
+        # same operation order as _all_pairs_at (dot / (|a|·|b|), 6 dp)
+        # so the subset claim vs the exact cross set can't flip at the
+        # threshold boundary
+        sims = np.round(
+            (nm @ om.T)
+            / np.outer(
+                np.linalg.norm(nm, axis=1), np.linalg.norm(om, axis=1)
+            ),
+            6,
+        )
+        ia, ib = np.where(sims >= SEMDEDUP_THRESHOLD)
+        return pd.DataFrame(
+            {
+                "new_id": new["vec_id"].to_numpy()[ia],
+                "old_id": old["vec_id"].to_numpy()[ib],
+                "cos_sim": sims[ia, ib],
+            }
+        )
+
+    return (
+        c_assigned.unionByName(b_assigned)
+        .groupBy("cluster")
+        .applyInPandas(
+            cross_in_branch,
+            schema="new_id bigint, old_id bigint, cos_sim double",
+        )
+        .dropDuplicates(["new_id", "old_id"])
+    )
+
+
+def incremental_semantic_check(t: Tables) -> DataFrame:
+    """Hash-green contract for :func:`incremental_semantic_pairs` (itself
+    rows-only): one row with the exact batch×corpus ≥-threshold pair
+    count (SQL-recomputable — the cross pairs of the exact cosine set
+    under the shared ingest split), a subset flag (every emitted pair is
+    exact-scored, so nothing may fall outside the exact cross set) and a
+    recall floor (≥ INCR_SEM_RECALL_PCT% of exact cross pairs found via
+    the corpus-index probe)."""
+    is_batch_a = F.col("id_a") % INCR_BATCH_MOD == 0
+    is_batch_b = F.col("id_b") % INCR_BATCH_MOD == 0
+    exact = (
+        _all_pairs_at(t, SEMDEDUP_THRESHOLD)
+        .where(is_batch_a != is_batch_b)
+        .select("id_a", "id_b", F.lit(1).alias("in_exact"))
+    )
+    inc = incremental_semantic_pairs(t).select(
+        F.least("new_id", "old_id").alias("id_a"),
+        F.greatest("new_id", "old_id").alias("id_b"),
+        F.lit(1).alias("in_inc"),
+    )
+    j = exact.join(inc, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count("in_exact").alias("n_exact_cross"),
+        F.count(
+            F.when(F.col("in_exact").isNotNull(), F.col("in_inc"))
+        ).alias("_hit"),
+        F.count(F.when(F.col("in_exact").isNull(), F.col("in_inc"))).alias(
+            "_outside"
+        ),
+    ).select(
+        "n_exact_cross",
+        (F.col("_outside") == 0).alias("subset_ok"),
+        (
+            F.lit(100) * F.col("_hit")
+            >= F.lit(INCR_SEM_RECALL_PCT) * F.col("n_exact_cross")
+        ).alias("recall_ok"),
+    )
+
+
 #: CORPUS-SIZED TUNING: the classic IVF setting is n_centroids ≈ √n with
 #: n_probe a small fraction of it (recall/latency dial) — 16/6 suits the
 #: 500-row test table; 100 B rows → ~300k centroids trained offline.
@@ -2886,6 +3017,27 @@ ORACLES: dict[str, str] = {
           WHERE {_COS_DUCK} >= {SEMDEDUP_THRESHOLD}
         )
     """,
+    # the VALUE-hashed exact twin at the same operating point (VERDICT
+    # r10 §4: non-empty on the immutable fixtures, unlike the 0.95 rows)
+    "embedding_near_dup_pairs_theta": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_DUCK} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_DUCK} >= {SEMDEDUP_THRESHOLD}
+    """,
+    # incremental_semantic_pairs: rows-only (float k-means); its ingest
+    # contract quantifies subset + recall over the exact CROSS pairs of
+    # the shared batch split (VERDICT r10 §6)
+    "incremental_semantic_check": f"""
+        SELECT count(*) AS n_exact_cross, TRUE AS subset_ok,
+               TRUE AS recall_ok
+        FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE {_COS_DUCK} >= {SEMDEDUP_THRESHOLD}
+            AND ((a.vec_id % {INCR_BATCH_MOD} = 0)
+                 != (b.vec_id % {INCR_BATCH_MOD} = 0))
+        )
+    """,
     "lsh_query_topk": _lsh_query_oracle_sql(LSH_QUERY_BITS),
     "mmr_diverse_topk": _mmr_oracle_sql(MMR_K),
     # knn_graph_triangles / label_propagation_knn: now ride the
@@ -3183,6 +3335,9 @@ QUERIES = {
     "lsh_subset_check": lsh_subset_check,
     "lsh_pairs_at_theta": lsh_pairs_at_theta,
     "lsh_theta_recall_check": lsh_theta_recall_check,
+    "embedding_near_dup_pairs_theta": embedding_near_dup_pairs_theta,
+    "incremental_semantic_pairs": incremental_semantic_pairs,
+    "incremental_semantic_check": incremental_semantic_check,
     "ivf_topk": ivf_topk,
     "ivf_recall_check": ivf_recall_check,
     # PQ: rows-only ANN + hard driver contract

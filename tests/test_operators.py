@@ -2707,3 +2707,35 @@ def test_simhash_zero_fingerprint_is_legitimate(spark):
         for r in dedup._simhash_pairs_from_fps(fps).collect()
     }
     assert got == {(1, 2, 1)}
+
+
+def test_incremental_semantic_ingest_contract(spark):
+    """VERDICT r10 §6: the semantic rung's ingest twin — batch vectors
+    probe the corpus-trained IVF index; every emitted pair is an exact
+    ≥-threshold CROSS pair (subset), recall holds the contract floor on
+    the fixture, and the split is the ladder's shared ingest modulus."""
+    from streamming_processing_pyspark_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+    )
+
+    t = load_tables(spark, SF_DIR)
+    got = {
+        (r["new_id"], r["old_id"])
+        for r in similarity.incremental_semantic_pairs(t).collect()
+    }
+    assert all(a % INCR_BATCH_MOD == 0 and b % INCR_BATCH_MOD != 0
+               for a, b in got)
+    exact_cross = {
+        (r["id_a"], r["id_b"])
+        for r in similarity._all_pairs_at(
+            t, similarity.SEMDEDUP_THRESHOLD
+        ).collect()
+        if (r["id_a"] % INCR_BATCH_MOD == 0) != (r["id_b"] % INCR_BATCH_MOD == 0)
+    }
+    norm = {(min(a, b), max(a, b)) for a, b in got}
+    assert norm <= exact_cross
+    assert exact_cross, "fixture must contain cross pairs at theta"
+    assert 100 * len(norm) >= similarity.INCR_SEM_RECALL_PCT * len(exact_cross)
+    chk = similarity.incremental_semantic_check(t).first()
+    assert chk["subset_ok"] and chk["recall_ok"]
+    assert chk["n_exact_cross"] == len(exact_cross)

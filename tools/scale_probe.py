@@ -142,6 +142,8 @@ EMB_OPS = {
     "bitext_margin_pairs": similarity.bitext_margin_pairs,
     "bitext_margin_pairs_ann": similarity.bitext_margin_pairs_ann,
     "lsh_query_topk": similarity.lsh_query_topk,
+    "incremental_semantic_pairs": similarity.incremental_semantic_pairs,
+    "embedding_near_dup_pairs_theta": similarity.embedding_near_dup_pairs_theta,
     "mmr_diverse_topk": similarity.mmr_diverse_topk,
     "knn_graph_triangles": similarity.knn_graph_triangles,
     "label_propagation_knn": similarity.label_propagation_knn,
