@@ -1749,13 +1749,17 @@ def incremental_semantic_pairs(t: Tables) -> DataFrame:
     corpus assignment is a PERSISTED table written once at ingest time
     (here computed inline, exactly like the corpus band keys of
     ``dedup.incremental_minhash_pairs``); a new drop costs only its own
-    assignment FLOPs plus per-branch batch×members matmuls. The corpus
-    side sits in its HOME branch, the batch side multi-probes
-    (SEMDEDUP_PROBES), so a true neighbor is missed only if its home
-    branch escapes every probe of the batch vector — quantified as
-    driver-checked data by :func:`incremental_semantic_check`. Float
-    k-means isn't SQL-replayable → rows-only; the check is the
-    hash-green contract.
+    assignment FLOPs plus per-cell batch×members matmuls — the branch
+    task runs the SAME fine-level split as
+    :func:`semantic_dedup_pairs`, so per-cell work stays TARGET-bounded
+    instead of scaling with the √(n·TARGET)-wide coarse branch. The
+    corpus side sits in its HOME branch, the batch side multi-probes
+    (SEMDEDUP_PROBES); a true neighbor is missed only if its home
+    branch escapes every probe of the batch vector, or the pair shares
+    no probed fine cell — the same recall axis as the semantic rung
+    itself, quantified as driver-checked data by
+    :func:`incremental_semantic_check`. Float k-means isn't
+    SQL-replayable → rows-only; the check is the hash-green contract.
     """
     import math
 
@@ -1776,37 +1780,75 @@ def incremental_semantic_pairs(t: Tables) -> DataFrame:
         "is_new", F.lit(True)
     )
 
+    empty = pd.DataFrame(
+        {
+            "new_id": np.array([], dtype="int64"),
+            "old_id": np.array([], dtype="int64"),
+            "cos_sim": np.array([], dtype="float64"),
+        }
+    )
+
     def cross_in_branch(pdf):
-        new = pdf[pdf["is_new"]].sort_values("vec_id", kind="mergesort")
-        old = pdf[~pdf["is_new"]].sort_values("vec_id", kind="mergesort")
-        if not len(new) or not len(old):
-            return pd.DataFrame(
-                {
-                    "new_id": np.array([], dtype="int64"),
-                    "old_id": np.array([], dtype="int64"),
-                    "cos_sim": np.array([], dtype="float64"),
-                }
+        # sort: fine init / float means must not depend on shuffle
+        # arrival order (same determinism contract as pairs_in_branch)
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        is_new = pdf["is_new"].to_numpy()
+        if is_new.all() or not is_new.any():
+            return empty
+        mat = np.array(pdf["vec"].tolist(), dtype="float64")
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        n_b = len(ids)
+        # fine level inside the branch, identical sizing/probe logic to
+        # semantic_dedup_pairs.pairs_in_branch: without it the cross
+        # matmul is |batch ∩ branch| × |branch| and the branch is
+        # √(n·TARGET) wide at corpus scale — the fine split keeps
+        # per-cell work TARGET-bounded so per-drop cost tracks the batch
+        k_fine = max(1, n_b * SEMDEDUP_PROBES // SEMDEDUP_TARGET_CLUSTER)
+        if k_fine <= SEMDEDUP_PROBES:
+            cells = [np.arange(n_b)]
+        else:
+            unit = mat / norms[:, None]
+            c = unit[:k_fine].copy()
+            for _ in range(SEMDEDUP_FINE_ITERS):
+                a = (unit @ c.T).argmax(axis=1)
+                for j in np.unique(a):
+                    v = mat[a == j].sum(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        c[j] = v / nv
+            p = min(SEMDEDUP_PROBES, k_fine)
+            top = np.argpartition(-(unit @ c.T), p - 1, axis=1)[:, :p]
+            cells = [
+                np.where((top == j).any(axis=1))[0] for j in range(k_fine)
+            ]
+        out_n: list = []
+        out_o: list = []
+        out_s: list = []
+        for idx in cells:
+            ni = idx[is_new[idx]]
+            oi = idx[~is_new[idx]]
+            if not len(ni) or not len(oi):
+                continue
+            # same operation order as _all_pairs_at (dot / (|a|·|b|),
+            # 6 dp) so the subset claim vs the exact cross set can't
+            # flip at the threshold boundary
+            sims = np.round(
+                (mat[ni] @ mat[oi].T) / np.outer(norms[ni], norms[oi]), 6
             )
-        nm = np.array(new["vec"].tolist(), dtype="float64")
-        om = np.array(old["vec"].tolist(), dtype="float64")
-        # same operation order as _all_pairs_at (dot / (|a|·|b|), 6 dp)
-        # so the subset claim vs the exact cross set can't flip at the
-        # threshold boundary
-        sims = np.round(
-            (nm @ om.T)
-            / np.outer(
-                np.linalg.norm(nm, axis=1), np.linalg.norm(om, axis=1)
-            ),
-            6,
-        )
-        ia, ib = np.where(sims >= SEMDEDUP_THRESHOLD)
+            ia, ib = np.where(sims >= SEMDEDUP_THRESHOLD)
+            out_n.append(ids[ni[ia]])
+            out_o.append(ids[oi[ib]])
+            out_s.append(sims[ia, ib])
+        if not out_n:
+            return empty
         return pd.DataFrame(
             {
-                "new_id": new["vec_id"].to_numpy()[ia],
-                "old_id": old["vec_id"].to_numpy()[ib],
-                "cos_sim": sims[ia, ib],
+                "new_id": np.concatenate(out_n),
+                "old_id": np.concatenate(out_o),
+                "cos_sim": np.concatenate(out_s),
             }
-        )
+        ).drop_duplicates(["new_id", "old_id"])
 
     return (
         c_assigned.unionByName(b_assigned)

@@ -95,10 +95,19 @@ def test_check_order_front_loads_changed_sources(monkeypatch):
     order = R.check_order(list(names), hashes)
     assert order[0] == most_checked
 
-    # sanity: the live SOURCE_RECEIPTS.json only flags known-changed ops
+    # the changed-source invariant, pinned on CONSTRUCTED receipts
+    # rather than a live-round snapshot (the r10 form hardcoded
+    # resize_plan's state and went stale the moment r11's receipt stamp
+    # ran): fresh receipt + untouched source is never flagged, a stale
+    # receipt is, and a receiptless (new) query is not.
+    a, b = names[0], names[1]
+    monkeypatch.setattr(
+        R,
+        "_source_receipts",
+        lambda: {a: hashes[a], b: "stale-sentinel"},
+    )
+    assert R._changed_since_receipt(hashes) == {b}
+    # live-file structural sanity: only receipt-bearing queries can be
+    # flagged (never a new op with no receipt)
     monkeypatch.undo()
-    changed = R._changed_since_receipt(hashes)
-    assert "resize_plan" in changed or counts.get("resize_plan", 0) >= 3
-    # new round-10 ops have no receipt -> never spuriously "changed"
-    for n in ("containment_pairs_banded", "ann_knn_topk"):
-        assert n not in changed
+    assert R._changed_since_receipt(hashes) <= set(R._source_receipts())

@@ -236,6 +236,13 @@ QUERIES = [
     "sorted_neighborhood_pairs",
     "bitext_margin_pairs",
     "bitext_margin_pairs_ann",
+    # round-11 batch: capped+refined ER blocking (no vocab broadcast),
+    # sub-band-refined simhash, the non-vacuous SemDeDup-threshold twin,
+    # the incremental semantic ingest rung
+    "name_near_dup_pairs",
+    "embedding_near_dup_pairs_theta",
+    "incremental_semantic_pairs",
+    "incremental_semantic_check",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"

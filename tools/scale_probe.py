@@ -326,6 +326,8 @@ def main() -> None:
          "banded candidates, r9; target ≤ 0.5"),
         ("containment_pairs_banded", "documents",
          "banded candidates + exact containment rescore, r10; target ≤ 0.5"),
+        ("simhash_near_dup_pairs", "documents",
+         "sub-band-refined banding, r11; VERDICT r10 §2 re-probe"),
         ("knn_graph_triangles", "embeddings",
          "IVF-routed ANN edge build, r10; target ≤ 0.4"),
         ("label_propagation_knn", "embeddings",
@@ -515,6 +517,11 @@ def main() -> None:
         "  assignment FLOPs are n·d·O(√k), not the old n²·d/TARGET.",
         extended_note,
     ]
+    if ONLY_OPS:
+        # targeted re-measure (SPARK_GRAFT_PROBE_OPS): report to stdout
+        # only — never clobber the full-matrix SCALE.md with a slice
+        print("\n".join(lines))
+        return
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
