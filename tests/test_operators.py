@@ -2606,9 +2606,10 @@ def test_name_blocking_mega_block_refined_and_capped(spark):
     a refined sub-block still pair — while a refined block still over cap
     is dropped loudly instead of exploding one task quadratically."""
     cap = dedup.ER_BLOCK_CAP
-    # 6 first-token groups x 100 names (block size 600 > cap): every
-    # group under cap after refinement; one planted near-dup pair in g0
-    rows = [f"g{i % 6} zzz n{i}" for i in range(6 * 100)]
+    # one 10k-name mega-block (VERDICT r10 §1): 100 first-token groups x
+    # 100 names, so every group lands under cap after refinement; one
+    # planted near-dup pair in g0
+    rows = [f"g{i % 100} zzz n{i}" for i in range(100 * 100)]
     rows += ["g0 zzz ab", "g0 zzz ac"]
     # refined-but-still-hot family: same first token throughout, > cap
     rows += [f"same yyy n{i}" for i in range(cap + 100)]
