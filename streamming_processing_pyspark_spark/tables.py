@@ -102,11 +102,26 @@ def persist_replacing(df: DataFrame, slot: str) -> DataFrame:
     across operator calls, while a changed input (different sf_dir, new
     session) still swaps the slot. Memory stays bounded at one cached
     frame per slot either way.
+
+    Liveness is checked through ``DataFrame.storageLevel`` — which asks
+    the CacheManager — NOT ``is_cached``, which is a plan-local flag
+    that stays True after ``spark.catalog.clearCache()`` (measured on
+    PySpark 4.1: is_cached True / storageLevel no-memory-no-disk after a
+    clearCache). With the is_cached guard, a clearCache'd slot frame was
+    returned forever UNPERSISTED (every use recomputed — a silent perf
+    cliff after any cache flush), and worse: ``sameSemantics`` compares
+    canonical plans, not bytes on disk, so a caller that overwrote the
+    parquet behind the same path got the DROPPED file listing back
+    (FAILED_READ_FILE in the r11 scale-probe targeted runs). A
+    rewritten-path caller must still call :func:`clear_persist_slots` —
+    same hygiene as ``pipeline.clear_cc_memo`` — because a slot whose
+    blocks are genuinely live cannot detect the rewrite.
     """
     prev = _PERSIST_SLOTS.get(slot)
     if prev is not None:
         try:
-            if prev.is_cached and df.sameSemantics(prev):
+            lvl = prev.storageLevel  # CacheManager-backed, unlike is_cached
+            if (lvl.useMemory or lvl.useDisk) and df.sameSemantics(prev):
                 return prev
         except Exception:
             pass  # cross-session comparison / stopped session → replace
@@ -117,6 +132,20 @@ def persist_replacing(df: DataFrame, slot: str) -> DataFrame:
     out = df.persist()
     _PERSIST_SLOTS[slot] = out
     return out
+
+
+def clear_persist_slots() -> None:
+    """Unpersist and forget every slot frame. Required hygiene for any
+    caller that rewrites data behind a previously-read path mid-session
+    (the scale probe's replicated-corpus writes): ``sameSemantics`` is
+    plan-level, so a live slot built on the old bytes would otherwise be
+    reused. The sibling of ``pipeline.clear_cc_memo``."""
+    for prev in _PERSIST_SLOTS.values():
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+    _PERSIST_SLOTS.clear()
 
 
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:

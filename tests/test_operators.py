@@ -425,7 +425,66 @@ def test_persist_replacing_reuses_identical_plan(spark):
     c = persist_replacing(docs.where(F.col("doc_id") > 3), "_test_slot")
     assert c is not a
     assert not a.storageLevel.useMemory or not a.is_cached  # old slot evicted
-    c.unpersist(blocking=False)
+    # Liveness must come from the CacheManager, not the plan-local
+    # is_cached flag (which stays True after clearCache — measured on
+    # PySpark 4.1): after a cache flush a same-plan call must RE-PERSIST,
+    # not return the flushed frame forever-unpersisted (r11: the stale
+    # flag also let the scale probe reuse a dropped file listing).
+    spark.catalog.clearCache()
+    assert c.is_cached  # the trap: local flag survives the flush
+    d = persist_replacing(docs.where(F.col("doc_id") > 3), "_test_slot")
+    assert d is not c  # replaced — storageLevel saw the flush
+    d.count()
+    assert d.storageLevel.useMemory
+    from streamming_processing_pyspark_spark.tables import (
+        _PERSIST_SLOTS,
+        clear_persist_slots,
+    )
+
+    clear_persist_slots()
+    assert "_test_slot" not in _PERSIST_SLOTS
+    assert not d.storageLevel.useMemory
+
+
+def test_scale_probe_replication_is_token_bijective(spark):
+    """The scale probe's replica renaming must be a BIJECTION of the
+    token/shingle space: same token count per doc, every replica token
+    suffixed, intra-replica pair set identical to the original's, ZERO
+    cross-replica pairs — that is what holds the duplication rate
+    constant under fan-out so α measures the operator (VERDICT r10 §3).
+    Pinned after r11 found the renaming expr split on the LETTER s: an
+    expr() string passes the SQL parser, which unescapes '\\s' to 's',
+    so the regex needs double escaping IN THE SQL TEXT ("spark" came
+    back as "r1 park", replicas shared most tokens with their originals,
+    and every document-op pair graph grew superlinearly)."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    from scale_probe import scaled_documents
+
+    rows = [
+        # 's'-heavy near-dup pair (the r11 regression trigger) + a loner
+        (0, "spark streams join fast spark streams join slow", "en", "s0", 40),
+        (1, "spark streams join fast spark streams join quick", "en", "s0", 41),
+        (2, "completely different words about customers systems", "en", "s0", 50),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    scaled = scaled_documents(docs, 2).orderBy("doc_id").collect()
+    assert len(scaled) == 6
+    orig = {r["doc_id"]: r["text"] for r in scaled if r["doc_id"] < 3}
+    for r in scaled:
+        if r["doc_id"] >= 3:
+            base_toks = orig[r["doc_id"] - 3].split()
+            rep_toks = r["text"].split()
+            assert rep_toks == [w + "r1" for w in base_toks], r["text"]
+    t = {"documents": scaled_documents(docs, 2)}
+    pairs = dedup.ngram_jaccard_pairs(t).select("id_a", "id_b").collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # original pair (0,1) and its replica twin (3,4); nothing cross
+    assert got == {(0, 1), (3, 4)}
 
 
 def test_leakage_safe_split_group_atomic(spark):

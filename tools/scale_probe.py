@@ -29,7 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from streamming_processing_pyspark_spark.session import get_spark
-from streamming_processing_pyspark_spark.tables import load_tables
+from streamming_processing_pyspark_spark.tables import (
+    clear_persist_slots,
+    load_tables,
+)
 from streamming_processing_pyspark_spark.operators import (
     analytics3,
     analytics4,
@@ -155,6 +158,14 @@ EMB_OPS = {
 }
 
 
+_PATH_SEQ = [0]
+
+
+def _next_seq() -> int:
+    _PATH_SEQ[0] += 1
+    return _PATH_SEQ[0]
+
+
 def scaled_documents(docs, k: int):
     """k replicas with offset ids; replica i>0 applies a per-replica token
     RENAMING (every word suffixed with the replica marker). Renaming is a
@@ -176,7 +187,16 @@ def scaled_documents(docs, k: int):
                 F.col("text")
                 if i == 0
                 else F.expr(
-                    "concat_ws(' ', transform(split(trim(text), '\\s+'),"
+                    # NB: expr() strings pass through the SQL parser,
+                    # which unescapes '\s' to 's' — the regex must be
+                    # '\\s+' IN THE SQL TEXT (so four backslashes in
+                    # Python source), same as sampling.py's expr regexes.
+                    # With the single escape this split ran on runs of
+                    # the LETTER s ("spark" -> "r1 park"), replicas
+                    # shared most tokens with their originals, and every
+                    # document-op pair graph grew superlinearly — the
+                    # r10 "CC looks superlinear" confound in one char.
+                    "concat_ws(' ', transform(split(trim(text), '\\\\s+'),"
                     f" w -> concat(w, 'r{i}')))"
                 )
             ).alias("text"),
@@ -189,8 +209,12 @@ def scaled_documents(docs, k: int):
     out = reps[0]
     for r in reps[1:]:
         out = out.unionAll(r)
-    # one write+read so every run starts from a comparable parquet scan
-    path = f"/tmp/scale_probe_docs_k{k}"
+    # one write+read so every run starts from a comparable parquet scan.
+    # The path is UNIQUE per call (never rewritten in-session): plan-level
+    # reuse guards (persist_replacing sameSemantics, the CC memo) cannot
+    # see bytes change behind a path, so rewriting one mid-session served
+    # dropped file listings to the measured run (r11 targeted probes).
+    path = f"/tmp/scale_probe_docs_k{k}_{_next_seq()}"
     out.write.mode("overwrite").parquet(path)
     return docs.sparkSession.read.parquet(path)
 
@@ -220,7 +244,7 @@ def scaled_embeddings(emb, k: int):
     out = reps[0]
     for r in reps[1:]:
         out = out.unionAll(r)
-    path = f"/tmp/scale_probe_emb_k{k}"
+    path = f"/tmp/scale_probe_emb_k{k}_{_next_seq()}"  # unique per call, see scaled_documents
     out.write.mode("overwrite").parquet(path)
     return emb.sparkSession.read.parquet(path)
 
@@ -296,7 +320,11 @@ def main() -> None:
             # this, and normal in a fresh JVM). The CC label memo would
             # otherwise turn the measured (second) run of dedup_clusters /
             # campaign into a dict lookup — clear it between runs.
+            # clear_persist_slots drops the slot dict's frame refs too —
+            # the probe rewrites its replicated corpus between ks, and a
+            # plan-level reuse guard can't see bytes change behind a path.
             pipeline.clear_cc_memo()
+            clear_persist_slots()
             spark.catalog.clearCache()
             gc.collect()
             cnote = (
@@ -471,6 +499,37 @@ def main() -> None:
         "  `knn_edge_agreement_check`.",
         "- `ngram_jaccard_pairs` is the exact-Jaccard baseline (pair-density",
         "  driven); `minhash_lsh_pairs` (α≈0.2) is the production path.",
+        "- GENERATOR FIX (r11): the replica token renaming had a",
+        "  one-char escape bug — expr() strings pass the SQL parser,",
+        "  which unescapes '\\s+' to 's+', so the split ran on runs of",
+        "  the LETTER s ('spark' → 'r1 park'); replicas shared most",
+        "  tokens with their originals and every document-op pair graph",
+        "  grew superlinearly (359 cross-replica Jaccard pairs at k=2,",
+        "  sf0.1 — vs 0 by design). All α cells before r11 carried that",
+        "  confound; the tables above are measured on the fixed",
+        "  generator (cross-replica pairs: 0, intra sets exact copies —",
+        "  pinned by tests::test_scale_probe_replication_is_token_bijective).",
+        "- `simhash_near_dup_pairs` α VERDICT (r11, fresh-JVM-per-cell",
+        "  protocol, idle host, k=1,2,4,8,16 each in its own process,",
+        "  fixed generator): cells 1.80/1.99/2.78/2.86/2.90 s, pairs",
+        "  1,328→15,532 (count exponent 0.89 — constant dup-rate holds)",
+        "  → α(1→16) ≈ 0.17, α(1→8) ≈ 0.22. The r9 ≤0.4 band REPRODUCES",
+        "  on the r11 sub-band-refined code; r10's 0.55–0.75 cells were",
+        "  the generator confound (under the broken renaming the pair",
+        "  count exponent was 2.07 — 411k pairs at k=16 — because",
+        "  replicas kept most raw tokens, yet time α still measured",
+        "  0.26–0.29 fresh: the capped banding held time near-linear",
+        "  against quadratic output) plus shared-matrix-JVM noise.",
+        "  Rung verdict: SETTLED at α≈0.2.",
+        "- `dedup_clusters` re-measure at CONSTANT dup-rate (r11 fresh-JVM",
+        "  cells, fixed generator): 2.94/3.79/5.74/10.48 s at k=1/2/4/8",
+        "  with output rows EXACTLY k×477 (count exponent 1.00) →",
+        "  α ≈ 0.61 — inside the r9 0.6–0.8 expected band; the r10",
+        "  α≈1.20 cell and its k=4→8 cliff were the generator confound,",
+        "  not a CC regression. `dedup_clusters_star` same protocol:",
+        "  3.98/3.85/3.72/4.67 s → α ≈ 0.08. `knn_join_topk`:",
+        "  0.82/0.78/1.38/6.82 s → α ≈ 1.02 (the declared exact matmul",
+        "  baseline going compute-bound, rows exactly linear).",
         "- `containment_pairs` rides the exact capped index (only the gate",
         "  differs), so it is priced like `ngram_jaccard_pairs` — since",
         "  round 10 it is the declared audit/campaign baseline;",
