@@ -2450,8 +2450,19 @@ def label_centroid_sim(t: Tables) -> DataFrame:
 PQ_M = 8
 PQ_K = 16
 PQ_KMEANS_ITERS = 5
-#: ADC shortlist size before exact re-rank
+#: ADC shortlist size before exact re-rank — FLOOR of the corpus-aware
+#: sizing below; see PQ_SHORTLIST_FRAC
 PQ_SHORTLIST = 8 * TOPK
+#: PQ shortlist sizing: max(PQ_SHORTLIST, n // FRAC) — the same faiss
+#: "k-factor" re-rank dial ivfpq_topk applies (r10). A FIXED 8·TOPK
+#: shortlist under the test corpus's tiny PQ_K=16 codebooks loses true
+#: neighbors into the ADC tail as the corpus grows: measured 80/100/30%
+#: recall at sf0.001/0.01/0.1 before this fix — the sf0.1 cell quietly
+#: under the 60% contract floor the smaller SFs kept green. At
+#: production scale the recall lever is PQ_K=256 codebooks trained on a
+#: real sample, which keeps the shortlist O(TOPK); the fraction is the
+#: small-codebook compensation, exactly as documented for IVFPQ.
+PQ_SHORTLIST_FRAC = 6
 #: recall bound the driver-checked PQ claim asserts (percent).
 PQ_RECALL_PCT = 60
 
@@ -2464,7 +2475,8 @@ def pq_topk(t: Tables) -> DataFrame:
     bounded driver-side sample — offline-trainable at 100 TB, same harness
     as :func:`ivf_topk`), queries score candidates via asymmetric distance
     computation (one ``PQ_M × PQ_K`` lookup table per query, summed by
-    code — no float vectors touched), the ADC top-``PQ_SHORTLIST`` is a
+    code — no float vectors touched), the ADC top-``max(PQ_SHORTLIST,
+    n // PQ_SHORTLIST_FRAC)`` (the k-factor dial — see the constant) is a
     ``TakeOrderedAndProject`` shortlist, and only the shortlist is
     re-ranked with exact cosines. Executors hold codes (8 B/vector), not
     embeddings (256 B/vector) — the working set shrinks 32×, which is what
@@ -2530,11 +2542,12 @@ def pq_topk(t: Tables) -> DataFrame:
                 score += tt[m][d2.argmin(axis=1)]
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "adc": score})
 
+    shortlist_n = max(PQ_SHORTLIST, int(emb.count()) // PQ_SHORTLIST_FRAC)
     shortlist = (
         emb.mapInPandas(adc_scores, schema="vec_id bigint, adc double")
         .where(F.col("vec_id") != QUERY_VEC_ID)
         .orderBy(F.col("adc").desc(), F.col("vec_id"))
-        .limit(PQ_SHORTLIST)
+        .limit(shortlist_n)
         .select("vec_id")
     )
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
