@@ -168,6 +168,9 @@ HEADLINE = [
     # LSH pairs
     "dup_leakage_matrix_minhash",
     "lsh_pairs_at_theta",
+    # round-11: multi-probe recall tier + contract
+    "lsh_multiprobe_pairs",
+    "lsh_multiprobe_recall_check",
     "zorder_cluster_assign",
     "packing_efficiency_report",
     "text_compression_ratio",

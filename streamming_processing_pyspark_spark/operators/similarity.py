@@ -1578,12 +1578,48 @@ def lsh_tuning_for(n_rows: int) -> tuple[int, int]:
     return r * b, b
 
 
+def _multiprobe_band_keys(proj, n_bands: int, bits_per_band: int, n_probes: int):
+    """Per-band bucket keys with query-directed multi-probe extensions
+    (Lv/Josephson/Wang/Charikar/Li, "Multi-Probe LSH", VLDB 2007, adapted
+    to sign-bit hyperplane signatures): after each band's base key (packed
+    sign bits), emit ``n_probes`` extra keys, each the base with ONE bit
+    flipped — the bits whose projections have the smallest |margin|, i.e.
+    the planes this vector sits closest to. A near-duplicate that lands on
+    the other side of exactly such a plane (the overwhelmingly likely way
+    near-dups separate) shares the probe key even though the base keys
+    differ.
+
+    ``proj`` is the n × n_planes raw projection matrix; returns an
+    n × n_bands·(1+eff) int64 array ordered
+    ``[b0_base, b0_probe1, …, b1_base, …]`` so ``pos // (1+eff)`` is the
+    band and ``pos % (1+eff) == 0`` marks base keys. Pure numpy — unit
+    tested directly, shared by the pandas UDF in
+    :func:`lsh_bucketed_pairs`.
+    """
+    import numpy as np
+
+    bits = (proj >= 0).astype("int64")
+    weights = (1 << np.arange(bits_per_band, dtype="int64")).reshape(1, -1)
+    eff = min(n_probes, bits_per_band)
+    cols = []
+    for b in range(n_bands):
+        sl = slice(b * bits_per_band, (b + 1) * bits_per_band)
+        base = (bits[:, sl] @ weights.T)[:, 0]
+        cols.append(base)
+        if eff:
+            order = np.argsort(np.abs(proj[:, sl]), axis=1)
+            for tp in range(eff):
+                cols.append(base ^ (np.int64(1) << order[:, tp]))
+    return np.stack(cols, axis=1)
+
+
 def lsh_bucketed_pairs(
     t: Tables,
     dim: int = 64,
     n_planes: int | None = None,
     n_bands: int | None = None,
     threshold: float = NEAR_DUP_THRESHOLD,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup: candidates per band-bucket, verified
     with exact cosine. The scale path for `embedding_near_dup_pairs`.
@@ -1600,6 +1636,19 @@ def lsh_bucketed_pairs(
     registered default is unchanged at sf), which pins expected bucket
     occupancy and keeps candidate volume ∝ n as the corpus grows — the
     100 TB posture. Pass explicit ``n_planes``/``n_bands`` to override.
+
+    ``n_probes > 0`` turns on query-directed multi-probe
+    (:func:`_multiprobe_band_keys`): every row additionally lands in the
+    ``n_probes`` Hamming-1 buckets across its least-confident band bits,
+    and candidates join probe-extended keys against BASE keys only — a
+    pair is found when EITHER side's flip bridges the one differing bit,
+    so candidate volume grows ≤ (1+n_probes)× while band-collision
+    recall at cos 0.4 roughly doubles (see
+    :func:`lsh_multiprobe_recall_check`). At 100 TB this is the
+    space-efficient recall lever: the VLDB'07 result is that probing
+    buys the recall of ~an order of magnitude more hash tables at the
+    same index size, and here the signature/index build is unchanged —
+    only the explode width and one join side grow.
     """
     import numpy as np
 
@@ -1612,35 +1661,68 @@ def lsh_bucketed_pairs(
         n_bands = auto_bands if n_bands is None else n_bands
     planes = np.array(_hyperplanes(dim, n_planes), dtype="float64")
     bits_per_band = n_planes // n_bands
-    weights = (1 << np.arange(bits_per_band, dtype="int64")).reshape(1, -1)
+    if n_probes < 0:
+        # auto: probe half the band width (floored at LSH_MULTIPROBE_T).
+        # The corpus-sized tuning grows bits/band ~log2(n), which shrinks
+        # the chance a fixed-T probe set covers the one differing
+        # boundary bit — scaling T ∝ r holds that coverage constant
+        # (measured: fixed T=2 decays 87→75% recall sf0.001→0.1; r//2
+        # holds 87/96/82)
+        n_probes = max(LSH_MULTIPROBE_T, bits_per_band // 2)
+    kpb = 1 + min(n_probes, bits_per_band)  # keys emitted per band
 
     from pyspark.sql.types import ArrayType, LongType
 
     @F.pandas_udf(ArrayType(LongType()))
     def band_keys(vecs: pd.Series) -> pd.Series:
         mat = np.array(vecs.tolist(), dtype="float64")
-        bits = (mat @ planes.T >= 0).astype("int64")  # n × N_PLANES
-        keys = [
-            bits[:, b * bits_per_band : (b + 1) * bits_per_band] @ weights.T
-            for b in range(n_bands)
-        ]
-        packed = np.concatenate(keys, axis=1)  # n × N_BANDS
+        packed = _multiprobe_band_keys(
+            mat @ planes.T, n_bands, bits_per_band, n_probes
+        )
         return pd.Series(list(packed))
 
     # checkpoint before the self-join so the BLAS signature pass runs once,
     # not once per join side (the per-side rename precedes the exchange,
     # so ReuseExchange can't deduplicate the branches)
-    banded = emb.select(
-        "vec_id", F.posexplode(band_keys("vec")).alias("band_id", "band_key")
-    ).localCheckpoint()
-    a = banded.select(F.col("vec_id").alias("id_a"), "band_id", "band_key")
-    b = banded.select(F.col("vec_id").alias("id_b"), "band_id", "band_key")
-    cands = (
-        a.join(b, ["band_id", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    exploded = emb.select(
+        "vec_id", F.posexplode(band_keys("vec")).alias("pos", "band_key")
     )
+    if kpb == 1:
+        banded = exploded.select(
+            "vec_id", F.col("pos").alias("band_id"), "band_key"
+        ).localCheckpoint()
+        a = banded.select(F.col("vec_id").alias("id_a"), "band_id", "band_key")
+        b = banded.select(F.col("vec_id").alias("id_b"), "band_id", "band_key")
+        cands = (
+            a.join(b, ["band_id", "band_key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        banded = exploded.select(
+            "vec_id",
+            F.floor(F.col("pos") / kpb).cast("int").alias("band_id"),
+            (F.col("pos") % kpb == 0).alias("is_base"),
+            "band_key",
+        ).localCheckpoint()
+        a = banded.select(F.col("vec_id").alias("id_a"), "band_id", "band_key")
+        # probe-extended keys join against BASE keys only: Hamming-1 pairs
+        # collide when either side flips its differing bit (the pair shows
+        # up as (x-probe, y-base) or (y-probe, x-base)); joining probes to
+        # probes would admit Hamming-2 noise without a recall argument
+        b = banded.where("is_base").select(
+            F.col("vec_id").alias("id_b"), "band_id", "band_key"
+        )
+        cands = (
+            a.join(b, ["band_id", "band_key"])
+            .where(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
 
     emb_a = t["embeddings"].select(
         F.col("vec_id").alias("id_a"), as_double("embedding").alias("vec_a")
@@ -1711,6 +1793,69 @@ def lsh_theta_recall_check(t: Tables) -> DataFrame:
         (
             F.lit(100) * F.col("_overlap")
             >= F.lit(LSH_THETA_RECALL_PCT) * F.col("n_exact")
+        ).alias("recall_ok"),
+    )
+
+
+#: probes per band for the registered multi-probe op — 2 flips of the
+#: least-confident bits triple each row's bucket memberships per band
+#: (1 base + 2 probes) and, by the Hamming-1 bridge argument in
+#: :func:`lsh_bucketed_pairs`, lifts per-band collision odds at cos 0.4
+#: from p^r to roughly p^r + r·(1−p)·p^(r−1)·cover(T) — measured on the
+#: fixtures it takes recall from ~50% (single-probe, the theory value
+#: the r7 docstring states) to the LSH_MULTIPROBE_RECALL_PCT band.
+LSH_MULTIPROBE_T = 2
+#: floor set from the measured band 87/96/82 % at sf0.001/0.01/0.1 (vs
+#: single-probe 51/47/32) with margin under the worst cell; strictly
+#: above the ~50% single-probe theory value so silently dropping the
+#: probe keys trips recall_ok
+LSH_MULTIPROBE_RECALL_PCT = 75
+
+
+def lsh_multiprobe_pairs(t: Tables) -> DataFrame:
+    """:func:`lsh_bucketed_pairs` at the SemDeDup operating point with
+    query-directed multi-probe: the RECALL-tier production path. Same
+    index, same single candidate shuffle — each row just lands in (1+T)
+    buckets per band and probe keys join against base keys, so recall
+    roughly doubles vs :func:`lsh_pairs_at_theta` (measured 87/96/82 %
+    vs 51/47/32 % at sf0.001/0.01/0.1) for ≤(1+T)× candidate volume
+    instead of the ~2^T× more bands a table-count fix would cost
+    (Multi-Probe LSH, VLDB 2007). T auto-scales with the corpus-sized
+    band width (max(2, bits_per_band // 2)) so probe coverage of the
+    boundary bits holds as tuning tightens buckets. Rows-only driver
+    check (hyperplane signatures aren't SQL-reproducible);
+    :func:`lsh_multiprobe_recall_check` is the hash-green contract."""
+    return lsh_bucketed_pairs(t, threshold=SEMDEDUP_THRESHOLD, n_probes=-1)
+
+
+def lsh_multiprobe_recall_check(t: Tables) -> DataFrame:
+    """Hard driver contract for :func:`lsh_multiprobe_pairs`: one row with
+    the oracle-recomputed exact ≥-threshold pair count, the subset claim
+    (probing widens CANDIDATES, never output — every pair is still
+    exact-cosine verified), and a recall floor strictly above the
+    single-probe theory value (~50% at cos 0.4), so a regression that
+    silently drops the probe keys trips the check."""
+    exact = _all_pairs_at(t, SEMDEDUP_THRESHOLD).select(
+        "id_a", "id_b", F.lit(1).alias("in_exact")
+    )
+    mp = lsh_multiprobe_pairs(t).select(
+        "id_a", "id_b", F.lit(1).alias("in_lsh")
+    )
+    j = exact.join(mp, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count("in_exact").alias("n_exact"),
+        F.count(F.when(F.col("in_exact").isNull(), F.col("in_lsh"))).alias(
+            "_outside"
+        ),
+        F.count(F.when(F.col("in_exact").isNotNull(), F.col("in_lsh"))).alias(
+            "_overlap"
+        ),
+    ).select(
+        "n_exact",
+        (F.col("_outside") == 0).alias("subset_ok"),
+        (
+            F.lit(100) * F.col("_overlap")
+            >= F.lit(LSH_MULTIPROBE_RECALL_PCT) * F.col("n_exact")
         ).alias("recall_ok"),
     )
 
@@ -3072,6 +3217,17 @@ ORACLES: dict[str, str] = {
           WHERE {_COS_DUCK} >= {SEMDEDUP_THRESHOLD}
         )
     """,
+    # lsh_multiprobe_pairs: rows-only (hyperplane signatures + probe
+    # sequences); its contract pins subset + a recall floor ABOVE the
+    # single-probe theory value, over the same exact 0.4-threshold pairs
+    "lsh_multiprobe_recall_check": f"""
+        SELECT count(*) AS n_exact, TRUE AS subset_ok, TRUE AS recall_ok
+        FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE {_COS_DUCK} >= {SEMDEDUP_THRESHOLD}
+        )
+    """,
     # the VALUE-hashed exact twin at the same operating point (VERDICT
     # r10 §4: non-empty on the immutable fixtures, unlike the 0.95 rows)
     "embedding_near_dup_pairs_theta": f"""
@@ -3390,6 +3546,9 @@ QUERIES = {
     "lsh_subset_check": lsh_subset_check,
     "lsh_pairs_at_theta": lsh_pairs_at_theta,
     "lsh_theta_recall_check": lsh_theta_recall_check,
+    # multi-probe recall tier: rows-only production op + hard contract
+    "lsh_multiprobe_pairs": lsh_multiprobe_pairs,
+    "lsh_multiprobe_recall_check": lsh_multiprobe_recall_check,
     "embedding_near_dup_pairs_theta": embedding_near_dup_pairs_theta,
     "incremental_semantic_pairs": incremental_semantic_pairs,
     "incremental_semantic_check": incremental_semantic_check,

@@ -762,6 +762,69 @@ def test_lsh_retuned_bits_still_subset(spark):
     assert len(tight) <= len(default)
 
 
+def test_multiprobe_band_keys_flip_least_confident():
+    """Query-directed probing math, pinned by hand: probe keys are the
+    base key with exactly ONE bit flipped, chosen ascending by |margin|
+    within the band (the planes the vector sits closest to)."""
+    import numpy as np
+
+    proj = np.array([[0.9, -0.05, 0.5, -0.7, 0.01, 0.6, -0.3, 0.2]])
+    keys = similarity._multiprobe_band_keys(
+        proj, n_bands=2, bits_per_band=4, n_probes=2
+    )
+    # band0 bits [1,0,1,0] → base 5; |margins| rank bits 1 then 2 → 7, 1
+    # band1 bits [1,1,0,1] → base 11; rank bits 0 then 3 → 10, 3
+    assert keys.tolist() == [[5, 7, 1, 11, 10, 3]]
+
+
+def test_multiprobe_zero_probes_is_base_keys():
+    """n_probes=0 must reproduce the historical base packing exactly —
+    the registered single-probe ops' results are unchanged."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    proj = rng.normal(size=(50, 16))
+    keys = similarity._multiprobe_band_keys(
+        proj, n_bands=4, bits_per_band=4, n_probes=0
+    )
+    bits = (proj >= 0).astype("int64")
+    weights = (1 << np.arange(4, dtype="int64")).reshape(1, -1)
+    expected = np.concatenate(
+        [bits[:, 4 * b : 4 * (b + 1)] @ weights.T for b in range(4)], axis=1
+    )
+    assert (keys == expected).all()
+    # and probes cap at bits_per_band (no duplicate/overflow flips)
+    capped = similarity._multiprobe_band_keys(
+        proj, n_bands=4, bits_per_band=4, n_probes=99
+    )
+    assert capped.shape == (50, 4 * (1 + 4))
+
+
+def test_lsh_multiprobe_superset_recall_and_contract(spark):
+    """Probing widens candidates, never output: single-probe pairs ⊆
+    multi-probe pairs ⊆ exact pairs, so multi-probe recall is
+    structurally ≥ single-probe recall — and the registered contract's
+    flags hold on the fixture."""
+    t = load_tables(spark, SF_DIR)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs_theta(t).collect()
+    }
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_pairs_at_theta(t).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_multiprobe_pairs(t).collect()
+    }
+    assert single <= multi <= exact
+    assert exact, "theta fixture pairs must be non-empty"
+    [chk] = similarity.lsh_multiprobe_recall_check(t).collect()
+    assert chk["n_exact"] == len(exact)
+    assert chk["subset_ok"] and chk["recall_ok"], dict(chk.asDict())
+
+
 def test_lsh_auto_tuning_is_corpus_sized():
     """The auto default pins bucket occupancy: bits/band grows ~log2(n)
     (bands widening to hold recall), and the 500-row test corpus maps to

@@ -75,6 +75,7 @@ PAIR_COUNT_OPS = {
     "winnow_fingerprint_pairs",
     "knn_join_topk",
     "embedding_near_dup_pairs",
+    "lsh_multiprobe_pairs",
     "dedup_clusters",
     "dedup_clusters_star",
 }
@@ -133,6 +134,7 @@ EMB_OPS = {
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     "lsh_bucketed_pairs": similarity.lsh_bucketed_pairs,
     "lsh_pairs_at_theta": similarity.lsh_pairs_at_theta,
+    "lsh_multiprobe_pairs": similarity.lsh_multiprobe_pairs,
     "semantic_dedup_pairs": similarity.semantic_dedup_pairs,
     "knn_join_topk": similarity.knn_join_topk,
     "pq_topk": similarity.pq_topk,
