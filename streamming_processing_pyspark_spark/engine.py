@@ -64,8 +64,13 @@ class Engine:
         return data_quality_checks(self.tables(sf_dir))
 
     def tables(self, sf_dir: str | None = None) -> dict[str, DataFrame]:
-        """Load + register the synthetic test tables as temp views."""
-        return load_tables(self.spark, sf_dir or self.sf_dir)
+        """Load + register the synthetic test tables as temp views.
+
+        The facade keeps the EAGER contract (``eng.tables(); eng.sql(...)``
+        must resolve every view) by materializing the lazy mapping; the
+        registry's per-query path uses the lazy form directly so a query
+        only lists/loads the tables it touches."""
+        return dict(load_tables(self.spark, sf_dir or self.sf_dir))
 
     # -- reference analytics -------------------------------------------
     hourly_counts = staticmethod(jobs.hourly_dropoff_counts)

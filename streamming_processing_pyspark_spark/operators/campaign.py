@@ -82,8 +82,10 @@ def dedup_campaign_summary(
     # stage 4: near-dup pairs + connected components over the deduped
     # sub-corpus (same capped inverted index / pointer-doubling CC as the
     # standalone queries — they only read doc_id/text)
-    sub = dict(t)
-    sub["documents"] = exact.select("doc_id", "text")
+    # minimal overlay: the pair source only reads t["documents"], so a
+    # one-key mapping avoids forcing the other nine table loads (the old
+    # dict(t) copy materialized every table under lazy Tables)
+    sub = {"documents": exact.select("doc_id", "text")}
     clusters = _connected_components(
         ngram_jaccard_pairs(sub).select("id_a", "id_b"), checkpoint_dir
     )

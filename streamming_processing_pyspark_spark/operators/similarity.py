@@ -1004,6 +1004,31 @@ KNN_EDGE_RATIO_LO_PCT = 90
 KNN_EDGE_RATIO_HI_PCT = 110
 
 
+def _emb_frame(t: Tables) -> DataFrame:
+    """The (vec_id, vec double-array) working frame every vector-index
+    op scans, fan_out-spread and PERSISTED under one slot (r11).
+
+    Why: the index ops make SEVERAL full passes over this exact frame —
+    quantizer sample / sizing count / query-vector probe / assignment
+    scan / shortlist re-rank (pq_topk made five) — and unpersisted each
+    pass was its own parquet scan + cast + fan_out shuffle. One slot
+    (``persist_replacing``) bounds the footprint at a single cached copy,
+    shared by every op that builds the identical plan (the k-means slot
+    reuses it through ``sameSemantics``), and the bench's per-iteration
+    ``clearCache`` keeps timings honest. Guide §5: persist exactly the
+    frame that is re-read, nothing else."""
+    from ..tables import persist_replacing
+
+    return persist_replacing(
+        fan_out(
+            t["embeddings"].select(
+                "vec_id", as_double("embedding").alias("vec")
+            )
+        ),
+        "similarity.kmeans_emb",
+    )
+
+
 def _ann_topk_candidates(t: Tables, k: int, with_label: bool) -> DataFrame:
     """IVF-routed kNN: per-vector top-``k`` neighbors found WITHIN
     quantizer cells only (VERDICT r9 §2) — the candidate source that
@@ -1028,9 +1053,12 @@ def _ann_topk_candidates(t: Tables, k: int, with_label: bool) -> DataFrame:
     just self."""
     import numpy as np
 
-    emb = fan_out(
-        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
-    )
+    # persist BEFORE the sizing count (r11): the count is the first of
+    # 4+ passes over this frame (k-means init, every Lloyd round, the
+    # final assignment) — unpersisted it was one extra full parquet scan
+    # + fan_out shuffle per call. Same slot _spherical_kmeans uses, so
+    # its own persist_replacing call is a sameSemantics no-op.
+    emb = _emb_frame(t)
     k_total = max(SEMDEDUP_K, int(emb.count()) // SEMDEDUP_TARGET_CLUSTER)
     k_coarse = max(SEMDEDUP_COARSE_MIN, math.isqrt(k_total - 1) + 1)
     _, assign, emb = _spherical_kmeans(emb, k_coarse, SEMDEDUP_ITERS)
@@ -1910,10 +1938,19 @@ def incremental_semantic_pairs(t: Tables) -> DataFrame:
 
     import numpy as np
 
+    from ..tables import persist_replacing
+
     emb = fan_out(
         t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
     )
-    corpus = emb.where(F.col("vec_id") % INCR_BATCH_MOD != 0)
+    # persist the corpus side BEFORE the sizing count (r11): the count,
+    # the k-means init, every Lloyd round and the home assignment all
+    # re-read it — same slot _spherical_kmeans uses. The batch side is
+    # read once (its one assignment pass), as the ingest contract says.
+    corpus = persist_replacing(
+        emb.where(F.col("vec_id") % INCR_BATCH_MOD != 0),
+        "similarity.kmeans_emb",
+    )
     batch = emb.where(F.col("vec_id") % INCR_BATCH_MOD == 0)
     k_total = max(
         SEMDEDUP_K, int(corpus.count()) // SEMDEDUP_TARGET_CLUSTER
@@ -2070,6 +2107,12 @@ def ivf_topk(
     """
     import numpy as np
 
+    # NOT repointed at _emb_frame (r11, measured): the quantizer sample
+    # is an order-sensitive limit() — reading it through the persisted
+    # frame returns different rows (cache-block arrival order), which
+    # retrains the quantizer and changes the declared rows-only output.
+    # Kept on the plain scan so results stay bit-identical; the extra
+    # passes here are the documented offline-trainable model stages.
     emb = fan_out(
         t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
     )
@@ -2448,9 +2491,8 @@ def semantic_dedup_pairs(t: Tables) -> DataFrame:
 
     import numpy as np
 
-    emb = fan_out(
-        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
-    )
+    # persist BEFORE the sizing count — see _ann_topk_candidates (r11)
+    emb = _emb_frame(t)
     k_total = max(SEMDEDUP_K, int(emb.count()) // SEMDEDUP_TARGET_CLUSTER)
     k_coarse = max(SEMDEDUP_COARSE_MIN, math.isqrt(k_total - 1) + 1)
     _, assign, emb = _spherical_kmeans(emb, k_coarse, SEMDEDUP_ITERS)
@@ -2632,6 +2674,12 @@ def pq_topk(t: Tables) -> DataFrame:
     """
     import numpy as np
 
+    # NOT repointed at _emb_frame (r11, measured): the quantizer sample
+    # is an order-sensitive limit() — reading it through the persisted
+    # frame returns different rows (cache-block arrival order), which
+    # retrains the quantizer and changes the declared rows-only output.
+    # Kept on the plain scan so results stay bit-identical; the extra
+    # passes here are the documented offline-trainable model stages.
     emb = fan_out(
         t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
     )
@@ -2777,6 +2825,12 @@ def ivfpq_topk(
     """
     import numpy as np
 
+    # NOT repointed at _emb_frame (r11, measured): the quantizer sample
+    # is an order-sensitive limit() — reading it through the persisted
+    # frame returns different rows (cache-block arrival order), which
+    # retrains the quantizer and changes the declared rows-only output.
+    # Kept on the plain scan so results stay bit-identical; the extra
+    # passes here are the documented offline-trainable model stages.
     emb = fan_out(
         t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
     )
@@ -3029,9 +3083,9 @@ def _whitened_vectors(t: Tables) -> DataFrame:
     :func:`whiten_check`'s identity-covariance contract."""
     import numpy as np
 
-    emb = fan_out(
-        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
-    )
+    # r11: persisted shared frame — the model moment pass and the
+    # transform pass both scan it; see _emb_frame
+    emb = _emb_frame(t)
     mean, zca, _ = _whitening_model(emb)
     b = emb.sparkSession.sparkContext.broadcast((mean, zca))
     _ASSIGN_BROADCASTS.append(b)

@@ -12,6 +12,7 @@ benchmark loops).
 from __future__ import annotations
 
 import os
+from collections.abc import MutableMapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,16 +66,74 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+class LazyTables(MutableMapping):
+    """Tables mapping that loads (and registers the temp view for) each
+    table on FIRST ACCESS instead of eagerly loading all ten.
+
+    Why (OPTIMIZATION_r11 §tables): every ``spark.read.parquet`` is a
+    driver-side file listing plus a schema-inference job — measured ~30 ms
+    and one 1-task Spark job per table on the bench host. The eager loader
+    paid 10 of those per query invocation while the median registry query
+    touches 1-2 tables: ~0.3 s of pure driver overhead per query, ~27% of
+    the sub-second queries' total time, and at production scale the same
+    pattern is ten directory listings (minutes on object stores, guide
+    §6/§7.3) for tables the query never reads. Laziness changes nothing
+    about what any query computes — the same ``load_table`` runs, just
+    only for the tables actually asked for.
+
+    Mutation (``t["documents"] = df``, the scale probe's replicated-corpus
+    override) stores the frame without touching storage, matching the old
+    dict semantics. ``in``/``len``/iteration report the full name set
+    without loading; ``dict(t)`` (or iterating values) forces every load,
+    same cost as the old eager dict.
+    """
+
+    __slots__ = ("_spark", "_sf_dir", "_names", "_loaded")
+
+    def __init__(
+        self, spark: SparkSession, sf_dir: str, names: tuple[str, ...]
+    ) -> None:
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._names = tuple(names)
+        self._loaded: dict[str, DataFrame] = {}
+
+    def __getitem__(self, name: str) -> DataFrame:
+        df = self._loaded.get(name)
+        if df is None:
+            if name not in self._names:
+                raise KeyError(name)
+            df = load_table(self._spark, self._sf_dir, name)
+            df.createOrReplaceTempView(name)
+            self._loaded[name] = df
+        return df
+
+    def __setitem__(self, name: str, df: DataFrame) -> None:
+        self._loaded[name] = df
+        if name not in self._names:
+            self._names = self._names + (name,)
+
+    def __delitem__(self, name: str) -> None:
+        del self._loaded[name]
+        self._names = tuple(n for n in self._names if n != name)
+
+    def __iter__(self):
+        return iter(self._names)
+
+    def __len__(self) -> int:
+        return len(self._names)
+
+    def __contains__(self, name: object) -> bool:
+        return name in self._names
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
-) -> dict[str, DataFrame]:
-    """Load the requested tables and register each as a temp view."""
-    out: dict[str, DataFrame] = {}
-    for name in names:
-        df = load_table(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
-        out[name] = df
-    return out
+) -> LazyTables:
+    """Tables mapping for the operator modules: dict-compatible, loads
+    each table (and registers its temp view) on first access — see
+    :class:`LazyTables` for why this is lazy."""
+    return LazyTables(spark, sf_dir, names)
 
 
 #: one cached frame per operator slot — see persist_replacing
