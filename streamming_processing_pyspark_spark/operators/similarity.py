@@ -1680,9 +1680,11 @@ def lsh_bucketed_pairs(
     """
     import numpy as np
 
-    emb = fan_out(
-        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
-    )
+    # r11: persisted shared frame — the corpus-sized tuning count and the
+    # signature pass both scan it (and unlike ivf/pq there is no
+    # order-sensitive limit() here: band keys are a pure per-row
+    # function, so reading through the cache cannot change the output)
+    emb = _emb_frame(t)
     if n_planes is None or n_bands is None:
         auto_planes, auto_bands = lsh_tuning_for(emb.count())
         n_planes = auto_planes if n_planes is None else n_planes
