@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import local_df
+
 Tables = dict[str, DataFrame]
 
 #: the conversion event
@@ -151,7 +153,8 @@ def markov_attribution(t: Tables) -> DataFrame:
             ATTR_SCALE - (p_rem * ATTR_SCALE) // p_base if p_base > 0 else 0
         )
         rows.append((c, p_base, p_rem, removal))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "channel string, p_base_micro long, p_removed_micro long,"
         " removal_micro long",

@@ -41,6 +41,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import local_df
+
 Tables = dict[str, DataFrame]
 
 #: candidate-pool size (corpus-independent driver state)
@@ -153,7 +155,8 @@ def kcenter_coreset(t: Tables) -> DataFrame:
     # Always emit all K centers: a center that wins no assignment (its
     # pool neighborhood got claimed by a later, closer pick) would be
     # dropped by the groupBy — left-join the picked list back instead.
-    center_list = spark.createDataFrame(
+    center_list = local_df(
+        spark,
         [(rank + 1, int(vid)) for rank, (vid, _e, _nr) in enumerate(centers)],
         "center_rank INT, center_vec_id BIGINT",
     )

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import local_df
+
 Tables = dict[str, DataFrame]
 
 JACCARD_THRESHOLD = 0.3
@@ -630,7 +632,8 @@ def _sweep_rollup(scored: DataFrame) -> DataFrame:
     still emit a row (left join from the θ spine), because "0.9 kills
     everything" is exactly the datum the curve exists to show."""
     spark = scored.sparkSession
-    thetas = spark.createDataFrame(
+    thetas = local_df(
+        spark,
         [(p,) for p in SWEEP_THETAS_PCT], "theta_pct int"
     )
     hits = scored.crossJoin(F.broadcast(thetas)).where(

@@ -59,6 +59,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import local_df
+
 from ..functions.text import words
 
 Tables = dict[str, DataFrame]
@@ -264,7 +266,8 @@ def bpe_learn_merges(t: Tables) -> DataFrame:
         .limit(BPE_VOCAB_CAP)
         .collect()
     )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         _learn_from_wf([(r["w"], r["n_w"]) for r in wf]),
         "merge_rank int, pair_left string, pair_right string, freq long",
     )

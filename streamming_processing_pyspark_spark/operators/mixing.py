@@ -56,6 +56,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import local_df
+
 from ..functions.text import words as _words
 
 Tables = dict[str, DataFrame]
@@ -513,7 +515,8 @@ def doremi_mixture_weights(t: Tables) -> DataFrame:
         for src, _, _ in rows:  # rows is source-sorted: fold order pinned
             z = z + u[src]
         alpha = {src: (1.0 - c) * (u[src] / z) + c / s_cnt for src, _, _ in rows}
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (src, n_tok, lm, math.floor(1000000 * alpha[src]))
             for src, n_tok, lm in rows

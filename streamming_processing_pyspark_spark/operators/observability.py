@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from ..tables import local_df
+
 from .sampling import gopher_keep_col
 
 Tables = dict[str, DataFrame]
@@ -85,7 +87,8 @@ def observed_gate_metrics(t: Tables) -> DataFrame:
     obs = Observation("ingest")
     n_pass = gated_pass(docs, obs).count()
     m = obs.get
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 m["n_rows"],
@@ -113,7 +116,8 @@ def fold_batch_metrics(rows: list[dict], n_pass: int, spark: SparkSession) -> Da
     nonempty = [r for r in rows if r["n_rows"] > 0]
     mn = min((r["min_chars"] for r in nonempty), default=0)
     mx = max((r["max_chars"] for r in nonempty), default=0)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n_rows, n_empty, total, mn, mx, n_pass)], METRICS_SCHEMA
     )
 

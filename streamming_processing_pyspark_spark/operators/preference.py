@@ -49,6 +49,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import local_df
+
 Tables = dict[str, DataFrame]
 
 #: MM iterations; the oracle unrolls the same number — keep in lockstep
@@ -109,7 +111,8 @@ def bradley_terry_event_prefs(t: Tables) -> DataFrame:
         for i in types:
             z = z + new[i]
         s = {i: new[i] / z for i in types}
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (i, wins[i], losses[i], math.floor(1000000 * s[i]))
             for i in types

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import local_df
+
 Tables = dict[str, DataFrame]
 
 SESSION_GAP_SECONDS = 1800
@@ -183,7 +185,8 @@ def range_join_value_buckets(t: Tables) -> DataFrame:
     """Range (theta) join against a small bucket dimension — broadcast so
     the fact side never shuffles; the predicate is lo <= v < hi."""
     spark = t["events"].sparkSession
-    buckets = spark.createDataFrame(
+    buckets = local_df(
+        spark,
         [("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 1e9)],
         "bucket string, lo double, hi double",
     )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine_pudf
-from ..tables import fan_out, persist_replacing
+from ..tables import fan_out, local_df, persist_replacing
 from .dedup import INCR_BATCH_MOD
 
 Tables = dict[str, DataFrame]
@@ -915,7 +915,8 @@ def mmr_diverse_topk(t: Tables) -> DataFrame:
             s = py_dot(e_v, e_b) / (nr_v * nr_b)
             if s > maxsim[vid]:
                 maxsim[vid] = s
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         picks,
         "mmr_rank int, vec_id long, rel_micro long,"
         " maxsim_micro long, score_micro long",
@@ -3154,7 +3155,8 @@ def whiten_check(t: Tables) -> DataFrame:
     diag_ok = bool(np.all(np.abs(diag - 1.0) <= WHITEN_DIAG_TOL))
     offdiag_ok = bool(np.abs(off).max() <= WHITEN_OFFDIAG_TOL)
     spark = t["embeddings"].sparkSession
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n, diag_ok, offdiag_ok)],
         "n_vecs long, diag_ok boolean, offdiag_ok boolean",
     )

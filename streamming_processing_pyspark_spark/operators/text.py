@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import local_df
+
 from ..functions.text import (
     FINGERPRINT_MOD,
     LANG_STOPWORDS,
@@ -421,7 +423,8 @@ def vocab_coverage(t: Tables) -> DataFrame:
         F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
         F.sum("cnt").over(w_all).alias("total"),
     )
-    sizes = ranked.sparkSession.createDataFrame(
+    sizes = local_df(
+        ranked.sparkSession,
         [(v,) for v in VOCAB_SIZES], "vocab_size int"
     )
     per_v = ranked.join(
