@@ -2110,20 +2110,23 @@ def ivf_topk(
     """
     import numpy as np
 
-    # NOT repointed at _emb_frame (r11, measured): the quantizer sample
-    # is an order-sensitive limit() — reading it through the persisted
-    # frame returns different rows (cache-block arrival order), which
-    # retrains the quantizer and changes the declared rows-only output.
-    # Kept on the plain scan so results stay bit-identical; the extra
-    # passes here are the documented offline-trainable model stages.
-    emb = fan_out(
-        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
-    )
+    # r12 (VERDICT r11 §4): the quantizer sample is DETERMINISTIC now —
+    # orderBy(vec_id) before the limit() — so it no longer depends on
+    # scan/cache block arrival order, which is what had blocked reading
+    # through the shared persisted frame (r11: a bare limit() through the
+    # cache returned different rows and retrained the quantizer). With
+    # the order pinned, the op reads _emb_frame like the rest of the
+    # vector-index family: one cached scan feeds the sample, the query
+    # probe, the assignment pass and the re-rank. One declared rows-only
+    # output change this round, receipts regenerated; recall checks
+    # stay green (OPTIMIZATION_r12.md §ivf/pq).
+    emb = _emb_frame(t)
     spark = emb.sparkSession
 
     # deterministic sample → k-means quantizer (offline-trainable at scale)
     sample = np.array(
-        emb.where(F.col("vec_id") % 7 == 0).limit(n_centroids * 20)
+        emb.where(F.col("vec_id") % 7 == 0).orderBy("vec_id")
+        .limit(n_centroids * 20)
         .toPandas()["vec"].tolist(),
         dtype="float64",
     )
@@ -2677,20 +2680,23 @@ def pq_topk(t: Tables) -> DataFrame:
     """
     import numpy as np
 
-    # NOT repointed at _emb_frame (r11, measured): the quantizer sample
-    # is an order-sensitive limit() — reading it through the persisted
-    # frame returns different rows (cache-block arrival order), which
-    # retrains the quantizer and changes the declared rows-only output.
-    # Kept on the plain scan so results stay bit-identical; the extra
-    # passes here are the documented offline-trainable model stages.
-    emb = fan_out(
-        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
-    )
+    # r12 (VERDICT r11 §4): the quantizer sample is DETERMINISTIC now —
+    # orderBy(vec_id) before the limit() — so it no longer depends on
+    # scan/cache block arrival order, which is what had blocked reading
+    # through the shared persisted frame (r11: a bare limit() through the
+    # cache returned different rows and retrained the quantizer). With
+    # the order pinned, the op reads _emb_frame like the rest of the
+    # vector-index family: one cached scan feeds the sample, the query
+    # probe, the assignment pass and the re-rank. One declared rows-only
+    # output change this round, receipts regenerated; recall checks
+    # stay green (OPTIMIZATION_r12.md §ivf/pq).
+    emb = _emb_frame(t)
     spark = emb.sparkSession
 
     # deterministic bounded sample -> per-subspace k-means codebooks
     sample = np.array(
-        emb.where(F.col("vec_id") % 7 == 0).limit(PQ_K * 20)
+        emb.where(F.col("vec_id") % 7 == 0).orderBy("vec_id")
+        .limit(PQ_K * 20)
         .toPandas()["vec"].tolist(),
         dtype="float64",
     )
@@ -2828,19 +2834,22 @@ def ivfpq_topk(
     """
     import numpy as np
 
-    # NOT repointed at _emb_frame (r11, measured): the quantizer sample
-    # is an order-sensitive limit() — reading it through the persisted
-    # frame returns different rows (cache-block arrival order), which
-    # retrains the quantizer and changes the declared rows-only output.
-    # Kept on the plain scan so results stay bit-identical; the extra
-    # passes here are the documented offline-trainable model stages.
-    emb = fan_out(
-        t["embeddings"].select("vec_id", as_double("embedding").alias("vec"))
-    )
+    # r12 (VERDICT r11 §4): the quantizer sample is DETERMINISTIC now —
+    # orderBy(vec_id) before the limit() — so it no longer depends on
+    # scan/cache block arrival order, which is what had blocked reading
+    # through the shared persisted frame (r11: a bare limit() through the
+    # cache returned different rows and retrained the quantizer). With
+    # the order pinned, the op reads _emb_frame like the rest of the
+    # vector-index family: one cached scan feeds the sample, the query
+    # probe, the assignment pass and the re-rank. One declared rows-only
+    # output change this round, receipts regenerated; recall checks
+    # stay green (OPTIMIZATION_r12.md §ivf/pq).
+    emb = _emb_frame(t)
     spark = emb.sparkSession
 
     sample = np.array(
-        emb.where(F.col("vec_id") % 7 == 0).limit(n_centroids * 20)
+        emb.where(F.col("vec_id") % 7 == 0).orderBy("vec_id")
+        .limit(n_centroids * 20)
         .toPandas()["vec"].tolist(),
         dtype="float64",
     )

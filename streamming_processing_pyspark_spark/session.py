@@ -55,6 +55,23 @@ def get_spark(
     ``getOrCreate`` returns an existing session (the conf is read at query
     start).
     """
+    # cwd-portability (VERDICT r11 §6): several UDF closures reference
+    # module-level helpers (similarity._multiprobe_band_keys,
+    # analytics5._fp_batches), which cloudpickle serializes BY REFERENCE —
+    # the Python WORKERS must be able to import this package. Workers
+    # inherit PYTHONPATH from the environment at JVM launch, NOT the
+    # driver's runtime sys.path inserts, so a driver started from a
+    # non-repo cwd failed 7 queries with worker-side ModuleNotFoundError.
+    # Exporting the package root on PYTHONPATH before the first session
+    # (and as spark.executorEnv.PYTHONPATH for cluster submits) closes
+    # the hole; existing sessions are unaffected (getOrCreate reuse).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + py_path if py_path else "")
+        )
+
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         master = f"local[{DEFAULT_CPUS}]"
@@ -69,6 +86,9 @@ def get_spark(
         "spark.sql.parquet.filterPushdown": "true",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # ship the package path to executors on a real cluster too (in
+        # local mode workers inherit the driver env set above)
+        "spark.executorEnv.PYTHONPATH": os.environ["PYTHONPATH"],
     }
     state_store = state_store or os.environ.get("SPARK_GRAFT_STATE_STORE")
     if state_store:

@@ -109,12 +109,22 @@ class LazyTables(MutableMapping):
         return df
 
     def __setitem__(self, name: str, df: DataFrame) -> None:
+        # NOTE (ADVICE r11): an override is NOT registered as a temp view;
+        # SQL-based consumers must access t[name] for every table their
+        # SQL references before calling spark.sql (all current ones do).
+        # Registering here would leak session-scoped views past the
+        # override's lifetime, which is worse than the documented rule.
         self._loaded[name] = df
         if name not in self._names:
             self._names = self._names + (name,)
 
     def __delitem__(self, name: str) -> None:
-        del self._loaded[name]
+        # MutableMapping contract (ADVICE r11): a name that is present
+        # ("in self") but not yet loaded must delete cleanly — pop/
+        # popitem/clear all route through here.
+        if name not in self._names:
+            raise KeyError(name)
+        self._loaded.pop(name, None)
         self._names = tuple(n for n in self._names if n != name)
 
     def __iter__(self):
@@ -218,12 +228,18 @@ def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     driver-sized: model fixpoints, θ spines, audit summaries). One slice,
     one task; values and schema are bit-identical (same codepath, only
     ``numSlices`` differs). Empty lists keep the plain path — a zero-row
-    parallelize slice is the one case the RDD route handles worse."""
+    parallelize slice is the one case the RDD route handles worse.
+
+    Spark Connect sessions have no ``sparkContext`` (ADVICE r11): fall
+    back to the plain path there — correct, just without the one-slice
+    scheduling win."""
     if not rows:
         return spark.createDataFrame(rows, schema)
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema
-    )
+    try:
+        sc = spark.sparkContext
+    except Exception:  # Spark Connect: no RDD API
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(sc.parallelize(rows, 1), schema)
 
 
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
