@@ -1030,6 +1030,19 @@ def _emb_frame(t: Tables) -> DataFrame:
     )
 
 
+def _branch_parts(spark, k_coarse: int) -> int:
+    """Explicit exchange width for the per-branch Python stages (r12):
+    AQE's byte-based partition coalescing (64 MB advisory) sees only the
+    tiny candidate BYTES and serializes the CPU-per-row numpy branch
+    work into one task (measured: the whole branch top-k ran as a single
+    630 ms task at sf0.1 while 31 cores idled). Pin ~3 partitions per
+    coarse cell (hash spread over few distinct keys, guide §2.5) bounded
+    by the session shuffle width — scale-adaptive through k_coarse ∝
+    √(n/TARGET), no constant tuned to the local core count."""
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(2, min(width, 3 * k_coarse))
+
+
 def _ann_topk_candidates(t: Tables, k: int, with_label: bool) -> DataFrame:
     """IVF-routed kNN: per-vector top-``k`` neighbors found WITHIN
     quantizer cells only (VERDICT r9 §2) — the candidate source that
@@ -1139,8 +1152,12 @@ def _ann_topk_candidates(t: Tables, k: int, with_label: bool) -> DataFrame:
             return pd.DataFrame({c: [] for c in cols})
         return pd.concat(frames, ignore_index=True)[cols]
 
-    cands = assigned.groupBy("cluster").applyInPandas(
-        topk_in_branch, schema=schema
+    cands = (
+        assigned.repartition(
+            _branch_parts(emb.sparkSession, k_coarse), "cluster"
+        )
+        .groupBy("cluster")
+        .applyInPandas(topk_in_branch, schema=schema)
     )
     # multi-probe emits the same candidate from several cells; the
     # grouped max is the deterministic dedup (scores agree up to the
@@ -2037,6 +2054,7 @@ def incremental_semantic_pairs(t: Tables) -> DataFrame:
 
     return (
         c_assigned.unionByName(b_assigned)
+        .repartition(_branch_parts(emb.sparkSession, k_coarse), "cluster")
         .groupBy("cluster")
         .applyInPandas(
             cross_in_branch,
@@ -2184,7 +2202,11 @@ def ivf_topk(
 
 
 #: recall bound the driver-checked IVF claim asserts (percent).
-IVF_RECALL_PCT = 60
+#: r12 (VERDICT r10 §5 carried): measured 80/90/90 at sf0.001/0.01/0.1
+#: with the deterministic quantizer sample — floor raised 60 → 75 (worst
+#: band minus 5 pts slack; the sample is order-pinned now, so per-SF
+#: recall is reproducible).
+IVF_RECALL_PCT = 75
 
 
 def ivf_recall_check(t: Tables) -> DataFrame:
@@ -2268,6 +2290,18 @@ SEMDEDUP_FINE_ITERS = 2
 #: rounds don't change assignments, so stopping early is free recall-wise
 #: and drops whole (scan + shuffle) rounds at 100 TB.
 KMEANS_TOL = 1e-4
+
+#: Lloyd partials are pre-reduced ON THE EXECUTORS (groupBy(cluster) +
+#: applyInPandas) when the input has MORE partitions than this; at or
+#: below it the ≤ P·k partial rows are collected raw and reduced on the
+#: driver with the SAME numpy ops in the SAME (cluster, pid, seq) order —
+#: bit-identical centroids, one Python stage and one scheduled job fewer
+#: per Lloyd round (r12, guide §1.2/§4: each extra Python stage costs a
+#: fixed ~0.2-0.4 s of worker round-trip latency regardless of data).
+#: Driver bytes stay bounded at ≤ this·k·d doubles; above the threshold
+#: the executor pre-reduction keeps the r8 §2 O(k·d) driver contract —
+#: that path is what runs at cluster scale and stays test-covered.
+KMEANS_DRIVER_REDUCE_MAX_PARTS = 64
 
 #: live assignment broadcasts of the CURRENT _spherical_kmeans call.
 #: Assignment frames are lazy — the broadcast must outlive the call — so
@@ -2419,14 +2453,48 @@ def _spherical_kmeans(emb: DataFrame, k: int, iters: int, tol: float = KMEANS_TO
 
     _REDUCED_SCHEMA = "cluster int, sum_vec array<double>, cnt long"
 
+    def reduce_partials_driver(raw):
+        # driver twin of reduce_cluster (small-P path): identical sort
+        # keys and identical numpy summation per cluster, so centroids
+        # are bit-for-bit the ones the executor pre-reduction produces
+        rows = []
+        for cl, grp in raw.groupby("cluster", sort=True):
+            grp = grp.sort_values(["pid", "seq"], kind="mergesort")
+            total = np.array(
+                grp["sum_vec"].tolist(), dtype="float64"
+            ).sum(axis=0)
+            rows.append(
+                {
+                    "cluster": int(cl),
+                    "sum_vec": total.tolist(),
+                    "cnt": int(grp["cnt"].sum()),
+                }
+            )
+        return pd.DataFrame(rows, columns=["cluster", "sum_vec", "cnt"])
+
+    # one plan→RDD translation per CALL (not per round) to learn the
+    # partition count; the persisted frame makes this cheap
+    try:
+        n_parts = emb.rdd.getNumPartitions()
+    except Exception:
+        n_parts = None
+    driver_reduce = (
+        n_parts is not None and n_parts <= KMEANS_DRIVER_REDUCE_MAX_PARTS
+    )
+
     for _ in range(iters):
         partials_fn, b_round = make_partials(cents)
-        upd = (
-            emb.mapInPandas(partials_fn, schema=_PARTIAL_SCHEMA)
-            .groupBy("cluster")
-            .applyInPandas(reduce_cluster, schema=_REDUCED_SCHEMA)
-            .toPandas()
-        )
+        partials_df = emb.mapInPandas(partials_fn, schema=_PARTIAL_SCHEMA)
+        if driver_reduce:
+            # ≤ n_parts·k rows of (d+3) numbers — bounded by the
+            # KMEANS_DRIVER_REDUCE_MAX_PARTS constant, see its comment
+            upd = reduce_partials_driver(partials_df.toPandas())
+        else:
+            upd = (
+                partials_df.groupBy("cluster")
+                .applyInPandas(reduce_cluster, schema=_REDUCED_SCHEMA)
+                .toPandas()
+            )
         # the round's job is complete — its centroid broadcast is garbage
         # now, not at session end (ADVICE r7: these accumulated per round)
         b_round.unpersist(blocking=False)
@@ -2576,6 +2644,7 @@ def semantic_dedup_pairs(t: Tables) -> DataFrame:
 
     return (
         assign(emb, probes=SEMDEDUP_PROBES)
+        .repartition(_branch_parts(emb.sparkSession, k_coarse), "cluster")
         .groupBy("cluster")
         .applyInPandas(
             pairs_in_branch, schema="id_a bigint, id_b bigint, cos_sim double"
@@ -2657,6 +2726,8 @@ PQ_SHORTLIST = 8 * TOPK
 #: small-codebook compensation, exactly as documented for IVFPQ.
 PQ_SHORTLIST_FRAC = 6
 #: recall bound the driver-checked PQ claim asserts (percent).
+#: r12: measured 60/80/90 at sf0.001/0.01/0.1 — the sf0.001 band sits ON
+#: the 60 floor (tiny corpus, PQ_K=16 codebooks), so the floor stays.
 PQ_RECALL_PCT = 60
 
 
@@ -2795,7 +2866,9 @@ def pq_recall_check(t: Tables) -> DataFrame:
 
 #: IVFPQ: recall floor the driver-checked claim asserts (percent). Lower
 #: than plain IVF/PQ — the composition stacks both approximations.
-IVFPQ_RECALL_PCT = 50
+#: r12: measured 70/90/90 at sf0.001/0.01/0.1 (deterministic sample) —
+#: floor raised 50 → 65, worst band minus 5 pts.
+IVFPQ_RECALL_PCT = 65
 #: IVFPQ shortlist sizing: max(PQ_SHORTLIST, n // FRAC). The stacked
 #: quantization noise (coarse + residual codes at the test corpus's tiny
 #: PQ_K=16 codebooks) pushes true neighbors deeper into the ADC ranking
@@ -2986,8 +3059,40 @@ def _collect_moment_partials(parts: DataFrame):
     float-sum order is pinned (sort by pid inside each group, by rid on
     the driver) so the result is deterministic for a given partitioning.
 
-    Returns (n, s, g) as (int, np.ndarray[d], np.ndarray[d²])."""
+    Returns (n, s, g) as (int, np.ndarray[d], np.ndarray[d²]).
+
+    r12: when the input has ≤ KMEANS_DRIVER_REDUCE_MAX_PARTS partitions
+    the ≤ P partial rows are collected raw and reduced on the driver with
+    the SAME numpy ops in the SAME (rid, pid) order — bit-identical
+    moments, one Python stage + one job fewer per pass; the executor
+    pre-reduction stays the >threshold path (the cluster-scale shape)."""
     import numpy as np
+
+    try:
+        n_parts = parts.rdd.getNumPartitions()
+    except Exception:
+        n_parts = None
+    if n_parts is not None and n_parts <= KMEANS_DRIVER_REDUCE_MAX_PARTS:
+        raw = parts.toPandas()
+        if not len(raw):
+            raise ValueError("no moment partials (empty input)")
+        raw = raw.assign(rid=raw["pid"] % MOMENT_REDUCE_GROUPS)
+        # identical ops/order to reduce_group + the rid-sorted driver
+        # finish below: per-rid numpy pairwise sum (pid-sorted), then
+        # zeros-init += accumulation in rid order
+        n = 0
+        s = g = None
+        for _, grp in raw.groupby("rid", sort=True):
+            grp = grp.sort_values("pid", kind="mergesort")
+            gs = np.array(grp["s"].tolist(), dtype="float64").sum(axis=0)
+            gg = np.array(grp["g"].tolist(), dtype="float64").sum(axis=0)
+            if s is None:
+                s = np.zeros(len(gs))
+                g = np.zeros(len(gg))
+            n += int(grp["n"].sum())
+            s += gs
+            g += gg
+        return n, s, g
 
     def reduce_group(key, pdf):
         pdf = pdf.sort_values("pid", kind="mergesort")
@@ -3148,14 +3253,52 @@ def whiten_check(t: Tables) -> DataFrame:
     WHITEN_DIAG_TOL of 1, every off-diagonal within WHITEN_OFFDIAG_TOL
     of 0 — verified by a second distributed moment pass over the
     whitened output (never driver-collected vectors; the partial rows
-    executor-reduce to ≤ MOMENT_REDUCE_GROUPS before the collect, same
-    O(R·d²) driver bound as the model pass)."""
+    reduce to ≤ MOMENT_REDUCE_GROUPS before the collect, same O(R·d²)
+    driver bound as the model pass).
+
+    r12 (guide §4): the whiten transform and the verification moment
+    accumulation run FUSED in ONE mapInPandas — the same float64 whitened
+    values the two-stage chain produced (Arrow round-trips doubles
+    exactly), same per-partition batch accumulation, one Python worker
+    round-trip instead of two. The transform itself still ships
+    standalone as :func:`_whitened_vectors` for the audit query."""
     import numpy as np
 
-    emb = _whitened_vectors(t).select(
-        "vec_id", F.col("whitened").alias("vec")
+    emb = _emb_frame(t)
+    mean, zca, _ = _whitening_model(emb)
+    b = emb.sparkSession.sparkContext.broadcast((mean, zca))
+    _ASSIGN_BROADCASTS.append(b)
+
+    def whitened_moments(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        mu, wm = b.value
+        acc_g = acc_s = None
+        nn = 0
+        for pdf in batches:
+            m = (np.array(pdf["vec"].tolist(), dtype="float64") - mu) @ wm.T
+            gg = m.T @ m
+            ss = m.sum(axis=0)
+            acc_g = gg if acc_g is None else acc_g + gg
+            acc_s = ss if acc_s is None else acc_s + ss
+            nn += len(m)
+        if acc_g is None:
+            return
+        yield pd.DataFrame(
+            {
+                "pid": [pid],
+                "n": [nn],
+                "s": [acc_s.tolist()],
+                "g": [acc_g.ravel().tolist()],
+            }
+        )
+
+    parts = emb.mapInPandas(
+        whitened_moments,
+        schema="pid int, n long, s array<double>, g array<double>",
     )
-    n, s, g = _collect_moment_partials(_moment_partials(emb))
+    n, s, g = _collect_moment_partials(parts)
     d = len(s)
     mu = s / n
     cov = g.reshape(d, d) / n - np.outer(mu, mu)

@@ -2862,3 +2862,47 @@ def test_incremental_semantic_ingest_contract(spark):
     chk = similarity.incremental_semantic_check(t).first()
     assert chk["subset_ok"] and chk["recall_ok"]
     assert chk["n_exact_cross"] == len(exact_cross)
+
+
+def test_kmeans_driver_reduce_matches_executor_reduce(spark, monkeypatch):
+    """r12: Lloyd partials reduce on the DRIVER when the input has few
+    partitions (one Python stage fewer per round); the centroids must be
+    bit-identical to the executor pre-reduction path (the cluster-scale
+    shape), because they feed declared rows-only outputs."""
+    t = load_tables(spark, SF_DIR)
+    from streamming_processing_pyspark_spark.tables import clear_persist_slots
+
+    def centroids():
+        spark.catalog.clearCache()
+        clear_persist_slots()
+        emb = similarity._emb_frame(t)
+        cents, _assign, _emb = similarity._spherical_kmeans(
+            emb, 4, similarity.SEMDEDUP_ITERS
+        )
+        return cents
+
+    a = centroids()
+    monkeypatch.setattr(similarity, "KMEANS_DRIVER_REDUCE_MAX_PARTS", -1)
+    b = centroids()
+    assert a.tobytes() == b.tobytes()
+
+
+def test_moment_driver_reduce_matches_executor_reduce(spark, monkeypatch):
+    """r12: same bit-identity contract for the whitening moment pass."""
+    t = load_tables(spark, SF_DIR)
+    from streamming_processing_pyspark_spark.tables import clear_persist_slots
+
+    def moments():
+        spark.catalog.clearCache()
+        clear_persist_slots()
+        emb = similarity._emb_frame(t)
+        return similarity._collect_moment_partials(
+            similarity._moment_partials(emb)
+        )
+
+    n1, s1, g1 = moments()
+    monkeypatch.setattr(similarity, "KMEANS_DRIVER_REDUCE_MAX_PARTS", -1)
+    n2, s2, g2 = moments()
+    assert n1 == n2
+    assert s1.tobytes() == s2.tobytes()
+    assert g1.tobytes() == g2.tobytes()
