@@ -58,6 +58,22 @@ _LEHMER_MOD = 2147483647
 _LEHMER_MUL = 48271
 
 
+#: live assignment broadcast of the CURRENT kcenter call — slot pattern,
+#: same lifetime discipline as similarity._ASSIGN_BROADCASTS (the
+#: assignment frame is lazy, so the broadcast must outlive the call; the
+#: NEXT call retires it)
+_ASSIGN_BROADCASTS: list = []
+
+
+def _retire_assign_broadcasts() -> None:
+    while _ASSIGN_BROADCASTS:
+        b = _ASSIGN_BROADCASTS.pop()
+        try:
+            b.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped
+
+
 def _dot(a: list[float], b: list[float]) -> float:
     """Left-fold dot product — the pinned summation order."""
     acc = 0.0
@@ -117,37 +133,59 @@ def kcenter_coreset(t: Tables) -> DataFrame:
             d = 1.0 - _dot(e, far[1]) / (nr * far[2])
             if d < md[vid]:
                 md[vid] = d
-    # ASSIGN: one map-only pass, centers baked in as array literals
-    def dist_to(c_e: list[float], c_nr: float):
-        dot = F.aggregate(
-            F.zip_with("e", F.array(*[F.lit(v) for v in c_e]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.lit(1.0) - dot / (F.col("nr") * F.lit(c_nr))
+    # ASSIGN: one map-only Arrow pass against the BROADCAST center matrix
+    # (r12, VERDICT r11 §8 measured A/B). The previous form baked the
+    # K×d center values in as array literals and folded the dot product
+    # in Catalyst — a ~4096-literal expression tree whose PLANNING alone
+    # cost ~1 s per call (job walls summed to 0.5 s of a 1.5 s query);
+    # the pandas-UDF twin runs the identical left fold vectorized over
+    # rows (sequential over dims, so the float summation ORDER matches
+    # `_dot` and the DuckDB oracle exactly), then 1.0 − dot/(|x||c|) and
+    # first-minimum pick — argmin's first-occurrence tie-break IS the
+    # struct array_min (d, rank) ordering. Measured 1.77 → 0.60 s with
+    # collected rows equal; output hash-pinned by the oracle either way.
+    import numpy as np
 
-    choice = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    dist_to(e, nr).alias("d"),
-                    F.lit(rank + 1).alias("center_rank"),
-                    F.lit(vid).cast("long").alias("center_vec_id"),
-                )
-                for rank, (vid, e, nr) in enumerate(centers)
-            ]
+    _retire_assign_broadcasts()
+    b = spark.sparkContext.broadcast(
+        (
+            np.array([e for _, e, _ in centers], dtype="float64"),
+            np.array([nr for _, _, nr in centers], dtype="float64"),
+            np.array([vid for vid, _, _ in centers], dtype="int64"),
         )
     )
+    _ASSIGN_BROADCASTS.append(b)
+
+    def assign_batches(batches):
+        import pandas as pd
+
+        ce, cn, cv = b.value
+        for pdf in batches:
+            m = np.array(pdf["e"].tolist(), dtype="float64")
+            nr = pdf["nr"].to_numpy()
+            acc = np.zeros((len(m), len(ce)))
+            for i in range(m.shape[1]):  # left fold over dims == _dot
+                acc = acc + m[:, i : i + 1] * ce[:, i][None, :]
+            d = 1.0 - acc / (nr[:, None] * cn[None, :])
+            pick = np.argmin(d, axis=1)  # first min == lowest rank
+            yield pd.DataFrame(
+                {
+                    "center_rank": (pick + 1).astype("int32"),
+                    "center_vec_id": cv[pick],
+                    "d": d[np.arange(len(m)), pick],
+                }
+            )
+
     assigned = (
         emb.select("vec_id", "e", norm.alias("nr"))
-        .select(choice.alias("c"))
-        .groupBy(
-            F.col("c.center_rank").alias("center_rank"),
-            F.col("c.center_vec_id").alias("center_vec_id"),
+        .mapInPandas(
+            assign_batches,
+            schema="center_rank int, center_vec_id bigint, d double",
         )
+        .groupBy("center_rank", "center_vec_id")
         .agg(
             F.count("*").alias("n_assigned"),
-            F.floor(1000000 * F.max("c.d")).cast("long").alias(
+            F.floor(1000000 * F.max("d")).cast("long").alias(
                 "max_radius_micro"
             ),
         )
