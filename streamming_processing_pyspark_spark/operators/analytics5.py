@@ -132,9 +132,19 @@ def _winnow_doc_arrays(t: Tables) -> DataFrame:
     reflects under heap pressure."""
     from ..tables import persist_replacing
 
+    from ..tables import fan_out
+
     ws = F.split(F.trim("text"), r"\s+")
+    # r12: spread the extraction across cores — the one-file local scan
+    # ran the whole md5-HOF extraction as ONE 1.15 s task (and AQE's
+    # concurrent query-stage materialization built the then-uncached
+    # frame up to 4× in parallel before the lazy persist filled, so the
+    # pairs query paid ~4 serial-task builds). fan_out is a no-op on
+    # already-split inputs, so the map-only-at-scale property stands;
+    # every winnow output is exact integer/string arithmetic, so the
+    # partitioning cannot change results.
     base = (
-        t["documents"]
+        fan_out(t["documents"].select("doc_id", "source", "text"))
         .select("doc_id", "source", ws.alias("ws"))
         .where(F.size("ws") >= F.lit(WINNOW_K))
     )
@@ -167,7 +177,15 @@ def _winnow_doc_arrays(t: Tables) -> DataFrame:
         F.size("hs").alias("n_kgrams"),
         picked.alias("picked"),
     )
-    return persist_replacing(arrays, "analytics5.winnow_doc_arrays")
+    out = persist_replacing(arrays, "analytics5.winnow_doc_arrays")
+    # r12: fill the cache EAGERLY — every consumer branches this frame
+    # 2-4×, and AQE materializes independent query stages concurrently,
+    # so a lazy persist was rebuilt once per racing branch (measured 3-4
+    # simultaneous extraction builds in the pairs query). One count()
+    # fills the cache before any consumer plan branches; on a warm slot
+    # it is a cached-scan count.
+    out.count()
+    return out
 
 
 def _winnow_positions(t: Tables) -> DataFrame:
