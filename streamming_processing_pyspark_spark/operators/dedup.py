@@ -108,6 +108,28 @@ def _shingles(df: DataFrame) -> DataFrame:
     )
 
 
+def _doc_shingles_cached(t: Tables, eager: bool = True) -> DataFrame:
+    """The shared shingle frame, slot-persisted AND eagerly filled (r12):
+    every consumer branches it at least twice (posting build + size
+    sides, or signatures + exact-verify sides), and AQE materializes
+    those query stages CONCURRENTLY — a lazily-persisted slot ran the
+    Arrow shingler 2x in parallel before the cache filled (measured two
+    ~300 ms Python-wait stages per dedup_clusters call). One count()
+    fills the slot first; on a warm slot it is a cached-scan count.
+    Callers whose FIRST consumer is an eager localCheckpoint (the
+    minhash/banded paths) pass eager=False — the checkpoint already
+    serializes the build, so the count would be a pure extra job
+    (measured +0.2 s on minhash_lsh_pairs)."""
+    from ..tables import persist_replacing
+
+    sh = persist_replacing(
+        _shingles(t["documents"]), "doc_shingles"
+    )
+    if eager:
+        sh.count()
+    return sh
+
+
 def _exploded_shingles(df: DataFrame) -> DataFrame:
     return _shingles(df).select("doc_id", F.explode("shingles").alias("sh"))
 
@@ -567,7 +589,7 @@ def ngram_jaccard_pairs(
 
     if max_shingle_df == "auto":
         max_shingle_df = AUTO_DF_CAP
-    sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
+    sh = _doc_shingles_cached(t)
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     e = sh.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", F.xxhash64("s").alias("shh")
@@ -711,6 +733,8 @@ def near_dup_threshold_sweep_check(t: Tables) -> DataFrame:
     # rebuild the capped pair-commons (ngram_jaccard_pairs applies the
     # registered threshold before returning, so it can't be reused here)
     sh = persist_replacing(_shingles(t["documents"]), "dedup.sweep_shingles")
+    # eager fill — same AQE stage-race as _doc_shingles_cached
+    sh.count()
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     e = sh.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", F.xxhash64("s").alias("shh")
@@ -862,7 +886,7 @@ def minhash_lsh_pairs(t: Tables) -> DataFrame:
     """
     from ..tables import persist_replacing
 
-    sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
+    sh = _doc_shingles_cached(t, eager=False)
     # checkpoint before the bucket aggregate: consumers that fan the
     # candidate frame into several branches would otherwise recompute
     # the signature pipeline per branch
@@ -941,7 +965,7 @@ def incremental_minhash_pairs(t: Tables) -> DataFrame:
     """
     from ..tables import persist_replacing
 
-    sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
+    sh = _doc_shingles_cached(t, eager=False)
     banded = _banded(_signatures_from_shingles(sh)).localCheckpoint()
     # same capped posting-list form as _band_bucket_pairs, with the
     # batch × corpus split done INSIDE each bucket's array (filter by the
@@ -1148,7 +1172,7 @@ def containment_pairs(
 
     if max_shingle_df == "auto":
         max_shingle_df = AUTO_DF_CAP
-    sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
+    sh = _doc_shingles_cached(t)
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     e = sh.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", F.xxhash64("s").alias("shh")
@@ -1235,7 +1259,7 @@ def containment_pairs_banded(t: Tables) -> DataFrame:
     the exact baseline out for this one unchanged."""
     from ..tables import persist_replacing
 
-    sh = persist_replacing(_shingles(t["documents"]), "doc_shingles")
+    sh = _doc_shingles_cached(t, eager=False)
     banded = _banded(_signatures_from_shingles(sh)).localCheckpoint()
     cands = _band_bucket_pairs(banded)
     sa = sh.select(
